@@ -1,0 +1,31 @@
+from epnn_tpu.data.xyz import (
+    Molecule,
+    XYZParseError,
+    load_directory,
+    load_molecule,
+    parse_xyz_file,
+    parse_xyz_text,
+)
+from epnn_tpu.data.dataset import (
+    MolBatch,
+    bucket_molecules,
+    minibatches,
+    pad_molecules,
+    round_up,
+    train_val_split,
+)
+
+__all__ = [
+    "Molecule",
+    "XYZParseError",
+    "load_directory",
+    "load_molecule",
+    "parse_xyz_file",
+    "parse_xyz_text",
+    "MolBatch",
+    "bucket_molecules",
+    "minibatches",
+    "pad_molecules",
+    "round_up",
+    "train_val_split",
+]

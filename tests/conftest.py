@@ -1,0 +1,106 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (SURVEY §4: the JAX-standard way to
+exercise multi-chip sharding without a pod) — set up *before* jax is imported.
+Real-TPU benchmarking lives in bench.py, not here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = os.environ.get("EPNN_REFERENCE_DIR", "/root/reference")
+REFDATA_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             ".cache", "refdata")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def _ensure_extracted(name: str) -> str:
+    """Extract a reference dataset tarball into the gitignored cache."""
+    out = os.path.join(REFDATA_CACHE, name)
+    if os.path.isdir(out):
+        return out
+    tar = os.path.join(REFERENCE_DIR, "data", f"{name}.tar.gz")
+    if not os.path.exists(tar):
+        pytest.skip(f"reference dataset {name} unavailable")
+    import tarfile
+
+    os.makedirs(REFDATA_CACHE, exist_ok=True)
+    with tarfile.open(tar) as tf:
+        tf.extractall(REFDATA_CACHE)
+    return out
+
+
+@pytest.fixture(scope="session")
+def mixed_dir() -> str:
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    return _ensure_extracted("mixed")
+
+
+@pytest.fixture(scope="session")
+def protein_dir() -> str:
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    return _ensure_extracted("protein")
+
+
+@pytest.fixture(scope="session")
+def pol_dir() -> str:
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    return _ensure_extracted("pol_data")
+
+
+@pytest.fixture(scope="session")
+def qm9_dir() -> str:
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    return _ensure_extracted("QM9")
+
+
+@pytest.fixture(scope="session")
+def curated_dir() -> str:
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    return _ensure_extracted("curated")
+
+
+@pytest.fixture()
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def toy_molecules():
+    """Synthetic molecules (no reference needed) spanning sizes and charges."""
+    from epnn_tpu.data.xyz import Molecule
+
+    g = np.random.default_rng(7)
+    mols = []
+    specs = [
+        (3, 0.0, ["O", "H", "H"]),
+        (5, 1.0, ["N", "H", "H", "H", "H"]),
+        (7, -1.0, ["C", "C", "O", "O", "H", "H", "H"]),
+        (11, 2.0, ["C"] * 4 + ["N", "O"] + ["H"] * 5),
+    ]
+    for i, (n, q, symbols) in enumerate(specs):
+        xyz = g.uniform(-2.5, 2.5, size=(n, 3)).astype(np.float32)
+        labels = g.normal(0, 0.3, size=n).astype(np.float32)
+        labels += (q - labels.sum()) / n
+        mols.append(
+            Molecule(name=f"toy{i}", symbols=symbols, xyz=xyz,
+                     total_charge=q, labels=labels)
+        )
+    return mols
