@@ -1,0 +1,256 @@
+"""Command-line interface: ``python -m epnn_tpu <command>``.
+
+Replaces the reference's edit-the-source workflow (hard-coded hparams at
+``charge_gn.py:413-425``, fill-in placeholders at ``infer.py:42``) with real
+subcommands:
+
+  train         train a model on a directory of .xyz/.npy systems
+  infer         predict charges for .xyz files (checkpoint or reference ckpt)
+  import-ckpt   convert a reference TF checkpoint to the native format
+  eval-pol      polarization-response analysis on a dimer
+  horton2npy    extract MBIS charges from HORTON *-mtp.txt outputs
+  convert-qm9   convert raw QM9 .xyz files to loader format
+  bench         benchmark inference on a system
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--h-dim", type=int, default=48)
+    p.add_argument("--e-dim", type=int, default=48)
+    p.add_argument("--msg-dim", type=int, default=32)
+    p.add_argument("--layers", type=int, nargs="+", default=[32, 32])
+    p.add_argument("--rounds", "-T", type=int, default=5)
+    p.add_argument("--n-elems", type=int, default=10,
+                   help="atom feature width (10: 9-element table, 9: 8-element)")
+    p.add_argument("--cutoff", type=float, default=3.0)
+    p.add_argument("--eta", type=float, default=2.0)
+    p.add_argument("--reference-compat", action="store_true",
+                   help="reproduce the reference's unmasked GNN messages")
+    p.add_argument("--preset", choices=["model", "model2", "decay_model"],
+                   help="use a shipped-checkpoint architecture preset")
+
+
+def _model_config(args):
+    from epnn_tpu.models import EPNNConfig, PRESETS
+
+    if args.preset:
+        cfg = PRESETS[args.preset]
+    else:
+        cfg = EPNNConfig(
+            n_elems=args.n_elems, h_dim=args.h_dim, e_dim=args.e_dim,
+            msg_dim=args.msg_dim, mlp_hidden=tuple(args.layers),
+            T=args.rounds, cutoff=args.cutoff, eta=args.eta,
+        )
+    if args.reference_compat:
+        cfg = cfg.replace(mask_messages=False)
+    return cfg
+
+
+def cmd_train(args):
+    from epnn_tpu.data import load_directory
+    from epnn_tpu.train import TrainConfig, train
+
+    cfg = _model_config(args)
+    mols = [m for m in load_directory(args.data) if m.labels is not None]
+    print(f"{len(mols)} labeled systems from {args.data}")
+    tc = TrainConfig(
+        learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        loss=args.loss, seed=args.seed, checkpoint_dir=args.out,
+        log_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
+        resume=args.resume,
+    )
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from epnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.shape} mesh")
+    res = train(mols, cfg, tc, mesh=mesh)
+    print(f"best val masked MAE: {res.best_val_masked_mae:.5f} e "
+          f"(padded-metric equivalent: {res.best_val_padded_mae:.5f} e)")
+
+
+def cmd_infer(args):
+    from epnn_tpu.data import load_directory, load_molecule
+    from epnn_tpu.infer import Predictor
+
+    if args.reference_models:
+        pred = Predictor.from_reference(args.reference_models, args.reference_name)
+    else:
+        pred = Predictor.from_checkpoint(args.checkpoint)
+    if os.path.isdir(args.path):
+        mols = load_directory(args.path)
+    else:
+        mols = [load_molecule(args.path)]
+    charges = pred.predict_molecules(mols, pad_to=args.pad_to)
+    os.makedirs(args.out, exist_ok=True)
+    for m, q in zip(mols, charges):
+        np.save(os.path.join(args.out, m.name + "_pred.npy"), q)
+        print(f"{m.name}: n={m.natoms} Q={m.total_charge:+.1f} "
+              f"sum(q)={q.sum():+.5f}")
+    print(f"wrote {len(mols)} prediction files to {args.out}")
+
+
+def cmd_import_ckpt(args):
+    from epnn_tpu.io import import_checkpoint, save_params
+
+    params, cfg = import_checkpoint(args.prefix, e_dim=args.e_dim)
+    save_params(args.out, params, cfg)
+    from epnn_tpu.models import count_params
+
+    print(f"imported {count_params(params)} params "
+          f"(T={cfg.T}, n_elems={cfg.n_elems}) -> {args.out}")
+
+
+def cmd_eval_pol(args):
+    from epnn_tpu.analysis import polarization_response, split_dimer
+    from epnn_tpu.data import load_molecule
+    from epnn_tpu.infer import Predictor
+
+    if args.reference_models:
+        pred = Predictor.from_reference(args.reference_models, args.reference_name)
+    else:
+        pred = Predictor.from_checkpoint(args.checkpoint)
+    dimer = load_molecule(args.dimer)
+    monomers = None
+    if args.monomers:
+        monomers = [load_molecule(p) for p in args.monomers]
+    label = np.load(args.labels).reshape(-1) if args.labels else None
+    res = polarization_response(
+        pred, dimer, monomers=monomers, label_polarization=label,
+        pad_to=args.pad_to,
+    )
+    print(res.summary())
+
+
+def cmd_horton2npy(args):
+    from epnn_tpu.data.horton import convert_tree
+
+    written = convert_tree(args.path, args.out)
+    print(f"converted {len(written)} MBIS multipole files")
+
+
+def cmd_convert_qm9(args):
+    from epnn_tpu.data.qm9 import convert_directory
+
+    written = convert_directory(args.src, args.dst)
+    print(f"converted {len(written)} raw QM9 files -> {args.dst}")
+
+
+def cmd_bench(args):
+    from epnn_tpu.data import load_molecule, pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.utils import benchmark_fn
+
+    if args.reference_models:
+        pred = Predictor.from_reference(args.reference_models, args.reference_name)
+    else:
+        pred = Predictor.from_checkpoint(args.checkpoint)
+    mol = load_molecule(args.path)
+    table = table_for_n_elems(pred.cfg.n_elems)
+    batch = pad_molecules([mol], table)
+    stats = benchmark_fn(
+        pred.predict_batch, batch, warmup=args.warmup, iters=args.iters,
+        profile_dir=args.profile_dir,
+    )
+    stats.update(natoms=mol.natoms, name=mol.name)
+    print(json.dumps(stats))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="epnn_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train a model")
+    _add_model_args(p)
+    p.add_argument("--data", required=True)
+    p.add_argument("--out", default="runs/default")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--loss", choices=["masked_mse", "padded_mse"],
+                   default="masked_mse")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    def _ckpt_args(p):
+        p.add_argument("--checkpoint", help="native checkpoint dir")
+        p.add_argument("--reference-models",
+                       help="reference models/ dir (TF checkpoints)")
+        p.add_argument("--reference-name", default="decay_model")
+
+    p = sub.add_parser("infer", help="predict charges")
+    _ckpt_args(p)
+    p.add_argument("path", help=".xyz file or directory")
+    p.add_argument("--out", default="predictions")
+    p.add_argument("--pad-to", type=int)
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")
+    p.add_argument("prefix", help="TF checkpoint prefix")
+    p.add_argument("--out", required=True)
+    p.add_argument("--e-dim", type=int, default=48)
+    p.set_defaults(fn=cmd_import_ckpt)
+
+    p = sub.add_parser("eval-pol", help="polarization-response analysis")
+    _ckpt_args(p)
+    p.add_argument("dimer", help="dimer .xyz (with splits metadata)")
+    p.add_argument("--monomers", nargs=2,
+                   help="monomer .xyz files (else derived from the split)")
+    p.add_argument("--labels", help="label polarization .npy")
+    p.add_argument("--pad-to", type=int)
+    p.set_defaults(fn=cmd_eval_pol)
+
+    p = sub.add_parser("horton2npy", help="extract MBIS charges")
+    p.add_argument("path")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_horton2npy)
+
+    p = sub.add_parser("convert-qm9", help="raw QM9 -> loader format")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.set_defaults(fn=cmd_convert_qm9)
+
+    p = sub.add_parser("bench", help="benchmark inference")
+    _ckpt_args(p)
+    p.add_argument("path", help=".xyz file")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--profile-dir")
+    p.set_defaults(fn=cmd_bench)
+
+    return ap
+
+
+def main(argv=None):
+    # Select the JAX platform before any backend initializes.  This must go
+    # through jax.config (not env vars): some environments preimport jax with
+    # a pinned platform via sitecustomize, making JAX_PLATFORMS too late.
+    platform = os.environ.get("EPNN_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Native checkpointing (orbax) for params + optimizer state + counters.
+
+The reference only ever saves model weights on validation improvement
+(``charge_gn.py:460-462``) — optimizer state is lost, so resume-with-Adam
+is impossible there (SURVEY §5).  Here a checkpoint is the full train state:
+params, optax state, step/epoch counters, best-val metric, and the model
+config, so training resumes exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from epnn_tpu.models.config import EPNNConfig
+
+CONFIG_FILE = "config.json"
+PARAMS_FILE = "params.msgpack"
+STATE_FILE = "train_state.msgpack"
+META_FILE = "meta.json"
+
+
+def save_params(directory: str, params: Any, cfg: Optional[EPNNConfig] = None) -> None:
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    if cfg is not None:
+        with open(os.path.join(directory, CONFIG_FILE), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_config(directory: str) -> EPNNConfig:
+    with open(os.path.join(directory, CONFIG_FILE)) as f:
+        d = json.load(f)
+    d["mlp_hidden"] = tuple(d.get("mlp_hidden", (32, 32)))
+    return EPNNConfig(**d)
+
+
+def load_params(directory: str, template: Any) -> Any:
+    """Restore params into the structure of ``template``."""
+    with open(os.path.join(directory, PARAMS_FILE), "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_train_state(directory: str, state: Any, meta: Optional[dict] = None) -> None:
+    """Serialize a full train state (params + optax state + counters)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, STATE_FILE), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(state)))
+    if meta is not None:
+        meta = {k: (v.item() if isinstance(v, np.generic) else v)
+                for k, v in meta.items()}
+        with open(os.path.join(directory, META_FILE), "w") as f:
+            json.dump(meta, f, indent=2)
+
+
+def load_train_state(directory: str, template: Any) -> Any:
+    with open(os.path.join(directory, STATE_FILE), "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_meta(directory: str) -> dict:
+    path = os.path.join(directory, META_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def has_checkpoint(directory: str) -> bool:
+    return os.path.exists(os.path.join(directory, STATE_FILE)) or os.path.exists(
+        os.path.join(directory, PARAMS_FILE)
+    )

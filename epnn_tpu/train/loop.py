@@ -1,0 +1,266 @@
+"""Training loop: bucketed batching, jit'd updates, masked metrics,
+best-val checkpointing, full resume.
+
+Capability parity with the reference trainer (``charge_gn.py:412-471``) plus
+everything it lacks (SURVEY §5): minibatching instead of batch-1 Python loops,
+optimizer-state checkpointing, resume, JSONL metric logs, and optional data
+parallelism over a device mesh (``mesh`` argument; batches are sharded on the
+leading axis, gradients are averaged by XLA collectives — no hand-written
+comms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from epnn_tpu.data.dataset import MolBatch, bucket_molecules, minibatches
+from epnn_tpu.data.xyz import Molecule
+from epnn_tpu.elements import table_for_n_elems
+from epnn_tpu.featurize import rbf_edges
+from epnn_tpu.io import checkpoint as ckpt_io
+from epnn_tpu.models import EPNN, EPNNConfig, init_params
+from epnn_tpu.train import metrics as M
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/loop hyperparameters (reference defaults: Adam lr=1e-3,
+    beta1=0.9, beta2=0.999, eps=1e-7 — keras defaults at charge_gn.py:419 —
+    500 epochs, 80/20 split with seed 42)."""
+
+    learning_rate: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-7
+    epochs: int = 500
+    batch_size: int = 32
+    loss: str = "masked_mse"
+    seed: int = 0
+    val_fraction: float = 0.2
+    split_seed: int = 42
+    bucket_multiple: int = 8
+    checkpoint_dir: Optional[str] = None
+    log_path: Optional[str] = None
+    resume: bool = False
+    debug_nans: bool = False
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+
+
+def create_state(cfg: EPNNConfig, tc: TrainConfig, rng: jax.Array) -> TrainState:
+    params = init_params(cfg, rng)
+    opt = make_optimizer(tc)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _loss_fn(params, model, loss_name, x, q0, xyz, node_mask, y, weight):
+    e = rbf_edges(xyz, node_mask, e_dim=model.config.e_dim,
+                  cutoff=model.config.cutoff, eta=model.config.eta)
+    pred = model.apply(params, x, q0, e, node_mask)
+    loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
+    return loss, pred
+
+
+@functools.partial(jax.jit, static_argnames=("model", "loss_name", "opt"))
+def train_step(state: TrainState, model: EPNN, loss_name: str,
+               opt: optax.GradientTransformation,
+               x, q0, xyz, node_mask, y, weight):
+    (loss, pred), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+        state.params, model, loss_name, x, q0, xyz, node_mask, y, weight
+    )
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1)
+    mets = M.mae_sums(pred, y, node_mask, weight)
+    return new_state, loss, pred, mets
+
+
+@functools.partial(jax.jit, static_argnames=("model", "loss_name"))
+def eval_step(params, model: EPNN, loss_name: str,
+              x, q0, xyz, node_mask, y, weight):
+    loss, pred = _loss_fn(params, model, loss_name, x, q0, xyz, node_mask, y, weight)
+    mets = M.mae_sums(pred, y, node_mask, weight)
+    return loss, pred, mets
+
+
+def _batch_args(mb: MolBatch, n_real: int):
+    weight = np.zeros(mb.batch_size, np.float32)
+    weight[:n_real] = 1.0
+    return mb.x, mb.q0, mb.xyz, mb.node_mask, mb.y, weight
+
+
+class MetricAccumulator:
+    def __init__(self):
+        self.masked_sum = 0.0
+        self.masked_n = 0.0
+        self.padded_sum = 0.0
+        self.padded_n = 0.0
+        self.loss_sum = 0.0
+        self.loss_n = 0
+
+    def update(self, loss, mets):
+        ms, mn, ps, pn = (float(v) for v in mets)
+        self.masked_sum += ms
+        self.masked_n += mn
+        self.padded_sum += ps
+        self.padded_n += pn
+        self.loss_sum += float(loss)
+        self.loss_n += 1
+
+    @property
+    def masked_mae(self) -> float:
+        return self.masked_sum / max(self.masked_n, 1.0)
+
+    @property
+    def padded_mae(self) -> float:
+        return self.padded_sum / max(self.padded_n, 1.0)
+
+    @property
+    def loss(self) -> float:
+        return self.loss_sum / max(self.loss_n, 1)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: TrainState
+    best_val_masked_mae: float
+    best_val_padded_mae: float
+    history: List[Dict[str, float]]
+
+
+def train(
+    mols: Sequence[Molecule],
+    cfg: EPNNConfig,
+    tc: TrainConfig,
+    val_mols: Optional[Sequence[Molecule]] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress: bool = True,
+) -> TrainResult:
+    """Train an EPNN on a molecule list. If ``val_mols`` is None, an 80/20
+    split with ``tc.split_seed`` is used (reference behavior)."""
+    if tc.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    if val_mols is None:
+        from epnn_tpu.data.dataset import train_val_split
+
+        tr_idx, va_idx = train_val_split(len(mols), tc.val_fraction, tc.split_seed)
+        train_mols = [mols[i] for i in tr_idx]
+        val_mols = [mols[i] for i in va_idx]
+    else:
+        train_mols = list(mols)
+
+    table = table_for_n_elems(cfg.n_elems)
+    train_buckets = bucket_molecules(train_mols, table, tc.bucket_multiple)
+    val_buckets = bucket_molecules(val_mols, table, tc.bucket_multiple)
+
+    model = EPNN(cfg)
+    opt = make_optimizer(tc)
+    state = create_state(cfg, tc, jax.random.key(tc.seed))
+    start_epoch = 0
+    best = float("inf")
+    best_padded = float("inf")
+
+    if tc.resume and tc.checkpoint_dir and ckpt_io.has_checkpoint(tc.checkpoint_dir):
+        state = ckpt_io.load_train_state(tc.checkpoint_dir, state)
+        meta = ckpt_io.load_meta(tc.checkpoint_dir)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best = float(meta.get("best_val_masked_mae", best))
+        best_padded = float(meta.get("best_val_padded_mae", best_padded))
+
+    if mesh is not None:
+        from epnn_tpu.parallel.sharding import shard_state
+
+        state = shard_state(state, mesh)
+
+    rng = np.random.default_rng(tc.seed)
+    history: List[Dict[str, float]] = []
+    log_f = open(tc.log_path, "a") if tc.log_path else None
+
+    def put(mb, n_real):
+        args = _batch_args(mb, n_real)
+        if mesh is not None:
+            from epnn_tpu.parallel.sharding import shard_batch_args
+
+            args = shard_batch_args(args, mesh)
+        return args
+
+    for epoch in range(start_epoch, tc.epochs):
+        t0 = time.time()
+        acc = MetricAccumulator()
+        for pad, bucket in train_buckets.items():
+            for mb, n_real in minibatches(bucket, tc.batch_size, rng=rng):
+                state, loss, _, mets = train_step(
+                    state, model, tc.loss, opt, *put(mb, n_real)
+                )
+                acc.update(loss, mets)
+        vacc = MetricAccumulator()
+        for pad, bucket in val_buckets.items():
+            for mb, n_real in minibatches(bucket, tc.batch_size):
+                loss, _, mets = eval_step(
+                    state.params, model, tc.loss, *put(mb, n_real)
+                )
+                vacc.update(loss, mets)
+
+        row = {
+            "epoch": epoch,
+            "train_loss": acc.loss,
+            "train_masked_mae": acc.masked_mae,
+            "train_padded_mae": acc.padded_mae,
+            "val_loss": vacc.loss,
+            "val_masked_mae": vacc.masked_mae,
+            "val_padded_mae": vacc.padded_mae,
+            "seconds": time.time() - t0,
+        }
+        history.append(row)
+        if log_f:
+            log_f.write(json.dumps(row) + "\n")
+            log_f.flush()
+        if progress:
+            print(
+                f"epoch {epoch}: loss {acc.loss:.3e} "
+                f"train MAE {acc.masked_mae:.5f} val MAE {vacc.masked_mae:.5f} "
+                f"({row['seconds']:.1f}s)",
+                flush=True,
+            )
+
+        improved = vacc.masked_mae < best
+        if improved:
+            best = vacc.masked_mae
+            best_padded = vacc.padded_mae
+        if tc.checkpoint_dir:
+            ckpt_io.save_train_state(
+                tc.checkpoint_dir, state,
+                meta={"epoch": epoch, "best_val_masked_mae": best,
+                      "best_val_padded_mae": best_padded, "step": int(state.step)},
+            )
+            if improved:
+                ckpt_io.save_params(
+                    os.path.join(tc.checkpoint_dir, "best"), state.params, cfg
+                )
+
+    if log_f:
+        log_f.close()
+    return TrainResult(state=state, best_val_masked_mae=best,
+                       best_val_padded_mae=best_padded, history=history)

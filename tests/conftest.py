@@ -1,18 +1,24 @@
 """Test configuration.
 
 Tests run on a virtual 8-device CPU mesh (SURVEY §4: the JAX-standard way to
-exercise multi-chip sharding without a pod) — set up *before* jax is imported.
-Real-TPU benchmarking lives in bench.py, not here.
+exercise multi-chip sharding without a pod).  This environment preimports jax
+via a sitecustomize hook with the TPU-tunnel platform pinned, so plain env
+vars are too late — the platform must be flipped through jax.config before
+the first backend use.  Real-TPU benchmarking lives in bench.py, not here.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("EPNN_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

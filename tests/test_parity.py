@@ -1,0 +1,177 @@
+"""Golden-parity tests against the reference's shipped artifacts.
+
+Artifact provenance (established empirically, resolving SURVEY §8 Q13):
+
+* ``models/model_systems/{test,train}_pred_charges.npy`` and
+  ``protein/preds.npy`` are reproduced to ≤1e-5 e by **decay_model_weights**
+  running the committed hard-gate code path at padded width 41 (resp. 2220).
+  The "decay" in the name is historical; the soft-envelope variant does NOT
+  reproduce any shipped artifact.
+* ``models/model_systems/test_preds.npy`` (GLN/GLU monomers) and
+  ``pol_data/monomer_preds.npy`` disagree with each other by 0.076 e and
+  with every shipped checkpoint by ≥0.13 e — they come from unshipped
+  weights and are NOT reproducible; the polarization analysis regenerates
+  monomer predictions instead (epnn_tpu.analysis.polarization).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+MODELS_DIR = os.path.join(REFERENCE_DIR, "models")
+MS_DIR = os.path.join(MODELS_DIR, "model_systems")
+
+PARITY_TOL = 1e-5
+N_SUBSET = int(os.environ.get("EPNN_PARITY_SUBSET", "64"))
+FULL = os.environ.get("EPNN_SLOW_TESTS", "") == "1"
+
+
+@pytest.fixture(scope="module")
+def decay():
+    from epnn_tpu.io.tf_import import import_reference_model
+
+    params, cfg = import_reference_model(MODELS_DIR, "decay_model")
+    return params, cfg
+
+
+def _predict(params, cfg, mols, pad_to, use_blocked=False):
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.featurize import rbf_edges_np
+    from epnn_tpu.models import EPNN
+
+    table = table_for_n_elems(cfg.n_elems)
+    batch = pad_molecules(mols, table, pad_to=pad_to)
+    if use_blocked:
+        from epnn_tpu.ops import forward_blocked, fuse_params
+
+        fused = fuse_params(params, cfg)
+        return np.asarray(
+            forward_blocked(
+                fused, batch.x, batch.q0, batch.xyz, batch.node_mask, cfg,
+                block=min(128, pad_to),
+            )
+        )
+    e = np.zeros((len(mols), pad_to, pad_to, cfg.e_dim), np.float32)
+    for i, m in enumerate(mols):
+        ei, _ = rbf_edges_np(m.xyz, e_dim=cfg.e_dim)
+        e[i, : m.natoms, : m.natoms] = ei
+    apply = jax.jit(EPNN(cfg).apply)
+    return np.asarray(apply(params, batch.x, batch.q0, e, batch.node_mask))
+
+
+class TestImport:
+    def test_import_all_checkpoints(self):
+        from epnn_tpu.io.tf_import import import_reference_model
+        from epnn_tpu.models import count_params
+
+        expected = {"model": (74_677, 10, 5), "model2": (46_515, 9, 3),
+                    "decay_model": (74_037, 9, 5)}
+        for name, (n_params, n_elems, t) in expected.items():
+            params, cfg = import_reference_model(MODELS_DIR, name)
+            assert count_params(params) == n_params
+            assert cfg.n_elems == n_elems
+            assert cfg.T == t
+            assert cfg.mask_messages is False  # reference quirk preserved
+
+    def test_roundtrip_native_checkpoint(self, tmp_path, decay):
+        import jax
+
+        from epnn_tpu.io import checkpoint as ckpt
+
+        params, cfg = decay
+        ckpt.save_params(str(tmp_path), params, cfg)
+        cfg2 = ckpt.load_config(str(tmp_path))
+        assert cfg2 == cfg
+        params2 = ckpt.load_params(str(tmp_path), params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGoldenMixedVal:
+    def test_val_predictions(self, decay, mixed_dir):
+        from epnn_tpu.data.xyz import load_molecule
+
+        params, cfg = decay
+        val_names = np.load(
+            os.path.join(MS_DIR, "val_names.npy"), allow_pickle=True
+        )
+        golden = np.load(os.path.join(MS_DIR, "test_pred_charges.npy"))
+        k = len(val_names) if FULL else N_SUBSET
+        mols = [
+            load_molecule(os.path.join(mixed_dir, str(n) + ".xyz"))
+            for n in val_names[:k]
+        ]
+        q = _predict(params, cfg, mols, pad_to=41)
+        assert np.abs(q - golden[:k]).max() < PARITY_TOL
+
+    def test_val_predictions_blocked_path(self, decay, mixed_dir):
+        """The fused/blocked path must hit the same golden numbers."""
+        from epnn_tpu.data.xyz import load_molecule
+
+        params, cfg = decay
+        val_names = np.load(
+            os.path.join(MS_DIR, "val_names.npy"), allow_pickle=True
+        )
+        golden = np.load(os.path.join(MS_DIR, "test_pred_charges.npy"))
+        k = min(N_SUBSET, 32)
+        mols = [
+            load_molecule(os.path.join(mixed_dir, str(n) + ".xyz"))
+            for n in val_names[:k]
+        ]
+        q = _predict(params, cfg, mols, pad_to=41, use_blocked=True)
+        assert np.abs(q - golden[:k]).max() < PARITY_TOL
+
+    def test_train_predictions_close(self, decay, mixed_dir):
+        """train_pred_charges.npy is NOT exactly reproducible from any
+        checkpoint: the reference dumps the predictions returned by
+        train_step *during* the epoch (charge_gn.py:451,465), so row i was
+        computed with weights after i optimizer updates.  Assert loose
+        agreement with the post-epoch weights only."""
+        from epnn_tpu.data.xyz import load_molecule
+
+        params, cfg = decay
+        names = np.load(os.path.join(MS_DIR, "train_names.npy"), allow_pickle=True)
+        golden = np.load(os.path.join(MS_DIR, "train_pred_charges.npy"))
+        k = min(N_SUBSET, 32)
+        mols = [
+            load_molecule(os.path.join(mixed_dir, str(n) + ".xyz"))
+            for n in names[:k]
+        ]
+        q = _predict(params, cfg, mols, pad_to=41)
+        assert np.abs(q - golden[:k]).mean() < 5e-3
+
+    def test_reported_val_mae_matches_baseline(self):
+        """Recompute BASELINE.md's MAE numbers from the shipped artifacts."""
+        pred = np.load(os.path.join(MS_DIR, "test_pred_charges.npy"))
+        lab = np.load(os.path.join(MS_DIR, "test_lab_charges.npy"))
+        padded_mae = np.abs(pred - lab).mean()
+        assert abs(padded_mae - 0.00768) < 2e-4
+        mask = lab != 0.0
+        masked_mae = np.abs(pred - lab)[mask].mean()
+        assert abs(masked_mae - 0.01513) < 3e-4
+
+
+@pytest.mark.skipif(not FULL, reason="set EPNN_SLOW_TESTS=1 for protein parity")
+class TestGoldenProtein:
+    def test_protein_predictions(self, decay, protein_dir):
+        from epnn_tpu.data.xyz import load_molecule
+
+        params, cfg = decay
+        mol = load_molecule(os.path.join(protein_dir, "6qlp_capped.xyz"))
+        assert mol.natoms == 2220
+        q = _predict(params, cfg, [mol], pad_to=2220, use_blocked=True)
+        golden = np.load(os.path.join(protein_dir, "preds.npy")).reshape(-1)
+        assert np.abs(q[0] - golden).max() < PARITY_TOL
+        assert abs(q.sum() - 2.0) < 1e-5  # net charge +2, conserved

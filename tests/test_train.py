@@ -1,0 +1,72 @@
+"""Training-loop tests: loss decreases, metrics are masked, resume works."""
+
+import numpy as np
+import pytest
+
+from epnn_tpu.models import EPNNConfig
+from epnn_tpu.train import TrainConfig, train
+
+
+@pytest.fixture(scope="module")
+def toy_train_mols():
+    from epnn_tpu.data.xyz import Molecule
+
+    g = np.random.default_rng(3)
+    mols = []
+    for i in range(24):
+        n = int(g.integers(3, 12))
+        symbols = list(g.choice(["H", "C", "N", "O"], size=n))
+        xyz = g.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+        q_total = float(g.integers(-1, 2))
+        labels = g.normal(0, 0.2, size=n).astype(np.float32)
+        labels += (q_total - labels.sum()) / n
+        mols.append(Molecule(name=f"m{i}", symbols=symbols, xyz=xyz,
+                             total_charge=q_total, labels=labels))
+    return mols
+
+
+SMALL = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+
+
+def test_loss_decreases(toy_train_mols):
+    tc = TrainConfig(epochs=8, batch_size=8, seed=1)
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    first = res.history[0]["train_loss"]
+    last = res.history[-1]["train_loss"]
+    assert last < first * 0.9, (first, last)
+    assert np.isfinite(res.best_val_masked_mae)
+
+
+def test_checkpoint_and_resume(toy_train_mols, tmp_path):
+    ckpt = str(tmp_path / "run")
+    tc = TrainConfig(epochs=3, batch_size=8, seed=1, checkpoint_dir=ckpt)
+    res1 = train(toy_train_mols, SMALL, tc, progress=False)
+
+    tc2 = TrainConfig(epochs=6, batch_size=8, seed=1, checkpoint_dir=ckpt,
+                      resume=True)
+    res2 = train(toy_train_mols, SMALL, tc2, progress=False)
+    # resumed run continues from epoch 3
+    assert res2.history[0]["epoch"] == 3
+    assert len(res2.history) == 3
+    assert res2.best_val_masked_mae <= res1.best_val_masked_mae + 1e-9
+
+
+def test_best_params_saved(toy_train_mols, tmp_path):
+    from epnn_tpu.infer import Predictor
+
+    ckpt = str(tmp_path / "run")
+    tc = TrainConfig(epochs=2, batch_size=8, seed=1, checkpoint_dir=ckpt)
+    train(toy_train_mols, SMALL, tc, progress=False)
+    pred = Predictor.from_checkpoint(ckpt + "/best")
+    charges = pred.predict_molecules(toy_train_mols[:3])
+    assert len(charges) == 3
+    for m, q in zip(toy_train_mols[:3], charges):
+        assert q.shape == (m.natoms,)
+        # conservation survives training
+        np.testing.assert_allclose(q.sum(), m.total_charge, atol=1e-4)
+
+
+def test_padded_loss_option(toy_train_mols):
+    tc = TrainConfig(epochs=2, batch_size=8, loss="padded_mse", seed=1)
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    assert np.isfinite(res.history[-1]["train_loss"])
