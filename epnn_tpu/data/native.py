@@ -56,6 +56,19 @@ def available() -> bool:
 
 _MAX_ATOMS = 65536
 
+# scratch buffers reused across calls (allocating 1 MB per molecule dominates
+# bulk parsing of thousands of small files otherwise)
+_SCRATCH_COORDS: Optional[np.ndarray] = None
+_SCRATCH_SYMS: Optional[np.ndarray] = None
+
+
+def _scratch():
+    global _SCRATCH_COORDS, _SCRATCH_SYMS
+    if _SCRATCH_COORDS is None:
+        _SCRATCH_COORDS = np.empty((_MAX_ATOMS, 3), dtype=np.float32)
+        _SCRATCH_SYMS = np.zeros(_MAX_ATOMS * 4, dtype=np.uint8)
+    return _SCRATCH_COORDS, _SCRATCH_SYMS
+
 
 def parse_xyz_file(path: str):
     """Parse one .xyz via the native library. Returns a Molecule or None."""
@@ -64,22 +77,21 @@ def parse_xyz_file(path: str):
     lib = _load()
     if lib is None:
         return None
+    coords, syms = _scratch()
     natoms = ctypes.c_int(0)
     q = ctypes.c_double(0.0)
-    coords = np.empty((_MAX_ATOMS, 3), dtype=np.float32)
-    symbuf = ctypes.create_string_buffer(_MAX_ATOMS * 4)
     rc = lib.epnn_parse_xyz(
         path.encode(),
         ctypes.byref(natoms),
         ctypes.byref(q),
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        symbuf,
+        syms.ctypes.data_as(ctypes.c_char_p),
         _MAX_ATOMS,
     )
     if rc != 0:
         return None
     n = natoms.value
-    raw = symbuf.raw[: n * 4]
+    raw = syms[: n * 4].tobytes()
     symbols = [raw[i * 4:(i + 1) * 4].rstrip(b"\x00").decode() for i in range(n)]
     name = os.path.basename(path)
     if name.endswith(".xyz"):

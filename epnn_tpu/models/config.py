@@ -48,6 +48,8 @@ class EPNNConfig:
     is_near_tol: float = 1e-5
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16'
     highest_precision: bool = True   # fp32-highest matmuls (parity-safe)
+    matmul_precision: str = ""       # '' (use highest_precision) | 'default'
+                                     # | 'high' (bf16x3) | 'highest' (bf16x6)
 
     @property
     def atom_feat_dim(self) -> int:

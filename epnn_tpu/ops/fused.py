@@ -39,6 +39,17 @@ from epnn_tpu.models.config import EPNNConfig
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _resolve_precision(cfg):
+    name = getattr(cfg, "matmul_precision", "") or (
+        "highest" if cfg.highest_precision else "default"
+    )
+    return {
+        "default": None,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 @dataclasses.dataclass(frozen=True)
 class PairMLPWeights:
     """One pair MLP with its first layer split into [a_i | a_j | e] slices."""
@@ -154,6 +165,177 @@ def _pad_rows(arr: jax.Array, block: int) -> jax.Array:
     return arr
 
 
+def build_neighbors(
+    xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """(idx, nbr_mask), each (N, k): candidate pairs within the cutoff.
+
+    The candidate set {d < cutoff} is a strict superset of the reference's
+    is-near gate (rbf can underflow the 1e-5 tolerance just inside the
+    cutoff), and *everything* outside it has exactly-zero edge features
+    (cosine envelope C = 0 at d >= cutoff), which is what makes the
+    near/far split exact.  Requires k >= the true max neighbor count —
+    enforce with :func:`max_neighbor_count` outside jit (top_k silently
+    drops pairs otherwise, breaking antisymmetry).
+    """
+    n = xyz.shape[0]
+    d2 = jnp.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    cand = (d2 < cutoff * cutoff) & ~eye
+    cand &= (node_mask[:, None] > 0) & (node_mask[None, :] > 0)
+    score = jnp.where(cand, -d2, -jnp.inf)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, (vals > -jnp.inf).astype(xyz.dtype)
+
+
+def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
+    """Host-side exact max neighbor count (for choosing a safe static k)."""
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float64)
+    mask = np.asarray(node_mask) > 0
+    best = 0
+    for s in range(0, len(xyz), 512):
+        rows = slice(s, min(s + 512, len(xyz)))
+        d2 = ((xyz[rows, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        near = (d2 < cutoff * cutoff) & mask[None, :] & mask[rows, None]
+        for r in range(near.shape[0]):
+            near[r, s + r] = False  # exclude self
+        best = max(best, int(near.sum(1).max()) if near.size else 0)
+    return best
+
+
+def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig):
+    """RBF + gate for gathered neighbor pairs. xyz_i: (N,3), xyz_nbr: (N,K,3)."""
+    d2 = jnp.sum((xyz_i[:, None, :] - xyz_nbr) ** 2, axis=-1)
+    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    d = jnp.where(d2 > 0.0, d, 0.0)
+    c = (jnp.cos(jnp.pi * d / cfg.cutoff) + 1.0) * 0.5
+    c = jnp.where(d >= cfg.cutoff, 0.0, c)
+    c = jnp.where(d <= 0.0, 1.0, c)
+    c = c * nbr_mask
+    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=jnp.float32)
+    rbf = c[:, :, None] * jnp.exp(-cfg.eta * (d[:, :, None] - mu) ** 2)
+    gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
+            != cfg.is_near_tol).astype(rbf.dtype)
+    return rbf, gate
+
+
+def _forward_single_nbr(
+    fused: FusedParams,
+    x: jax.Array,
+    q0: jax.Array,
+    xyz: jax.Array,
+    node_mask: jax.Array,
+    cfg: EPNNConfig,
+    block: int,
+    k: int,
+) -> jax.Array:
+    """Neighbor-split forward: exact same math as :func:`_forward_single`
+    (up to fp summation order) at O(N·k) edge work instead of O(N²).
+
+    Key identity: beyond the cutoff the RBF features are exactly zero, so a
+    far pair's first-layer activation is ``relu(pi_i + pj_j + b1)`` — no
+    featurization, no epart matmul.  Each message round therefore splits:
+
+      Σ_j hid(full)_ij = Σ_j hid(nofeat)_ij                (dense, cheap)
+                       − Σ_{near j} hid(nofeat)_ij         (gathered, O(Nk))
+                       + Σ_{near j} hid(full)_ij           (gathered, O(Nk))
+
+    and the electron-passing rounds are gate-limited to near pairs, so they
+    run entirely on the gathered O(N·k) set.  Antisymmetry stays bitwise
+    (both orderings of a near pair are evaluated from identical projections
+    on both rows), so conservation is unaffected.
+    """
+    n = x.shape[0]
+    nb = -(-n // block)
+    prec = _resolve_precision(cfg)
+
+    idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
+    xyz_nbr = xyz[idx]                                     # (N, K, 3)
+    rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz_nbr, nbr_mask, cfg)
+    gate_nbr = gate_nbr * nbr_mask
+
+    pairm = node_mask[:, None] * node_mask[None, :]
+    if cfg.mask_messages:
+        msg_count = jnp.sum(pairm, axis=1)
+    else:
+        msg_count = jnp.full((n,), float(n), x.dtype)
+
+    pairm_blocks = _pad_rows(pairm, block).reshape(nb, block, n)
+
+    h = jnp.zeros((n, cfg.h_dim), x.dtype)
+    q = q0
+    nm = node_mask[:, None]
+
+    def atom_inputs(h, q):
+        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+
+    def to_blocks(arr):
+        return _pad_rows(arr, block).reshape(nb, block, -1)
+
+    def mids_chain(hid, w):
+        for wm, bm in w.mids:
+            hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+        return hid
+
+    def message_round(carry, w: PairMLPWeights):
+        h, q = carry
+        a = atom_inputs(h, q)
+        pi = jnp.dot(a, w.w1_i, precision=prec)
+        pj = jnp.dot(a, w.w1_j, precision=prec)
+
+        # dense no-feature part: Σ_j over ALL pairs with e = 0
+        def dense_scan(carry2, inp):
+            pairm_i, pi_i = inp
+            hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + w.b1)
+            hid = mids_chain(hid, w)
+            if cfg.mask_messages:
+                hid = hid * pairm_i[:, :, None]
+            return carry2, jnp.sum(hid, axis=1)
+
+        _, dsum = jax.lax.scan(dense_scan, None, (pairm_blocks, to_blocks(pi)))
+        dense_sum = dsum.reshape(nb * block, -1)[:n]
+
+        # gathered near part: with features, minus the no-feature double count
+        pj_nbr = pj[idx]                                   # (N, K, H1)
+        epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)   # (N, K, H1)
+        base = (pi[:, None, :] + pj_nbr) + w.b1
+        hid_full = mids_chain(jax.nn.relu(base + epart), w)
+        hid_nofeat = mids_chain(jax.nn.relu(base), w)
+        near_corr = jnp.sum(
+            (hid_full - hid_nofeat) * nbr_mask[:, :, None], axis=1
+        )
+
+        hsum = dense_sum + near_corr
+        messages = (jnp.dot(hsum, w.w_out, precision=prec)
+                    + msg_count[:, None] * w.b_out)
+        upd_in = jnp.concatenate([h, messages], axis=-1) * nm
+        h = _apply_mlp(fused.update, upd_in, prec) * nm
+        return (h, q), None
+
+    (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
+
+    # electron passing: gathered pairs only (the gate is zero off the near set)
+    def pass_round(q, w: PairMLPWeights):
+        a = atom_inputs(h, q)
+        pi = jnp.dot(a, w.w1_i, precision=prec)
+        pj = jnp.dot(a, w.w1_j, precision=prec)
+        pi_nbr = pi[idx]
+        pj_nbr = pj[idx]
+        epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
+        hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart + w.b1)
+        hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart + w.b1)
+        hid_n = mids_chain(hid_n, w)
+        hid_t = mids_chain(hid_t, w)
+        dsum = jnp.sum(0.5 * gate_nbr[:, :, None] * (hid_n - hid_t), axis=1)
+        dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
+        return q + dq, None
+
+    q, _ = jax.lax.scan(pass_round, q, fused.passes)
+    return q * node_mask
+
+
 def _forward_single(
     fused: FusedParams,
     x: jax.Array,          # (N, n_elems)
@@ -165,7 +347,7 @@ def _forward_single(
 ) -> jax.Array:
     n = x.shape[0]
     nb = -(-n // block)
-    prec = HIGHEST if cfg.highest_precision else None
+    prec = _resolve_precision(cfg)
 
     eye = jnp.eye(n, dtype=x.dtype)
     pairm = node_mask[:, None] * node_mask[None, :]   # message mask (diag kept,
@@ -186,6 +368,16 @@ def _forward_single(
     def to_blocks(arr):
         return _pad_rows(arr, block).reshape(nb, block, -1)
 
+    # The output layer commutes with the j-reduction (it is affine):
+    #   Σ_j mask_ij · (hid_ij @ W_out + b_out)
+    #     = (Σ_j mask_ij · hid_ij) @ W_out + (Σ_j mask_ij) · b_out
+    # so the per-pair (·, 32) @ (32, out) matmuls — catastrophically
+    # MXU-padded at out=1 — collapse to one post-reduction matmul per round.
+    if cfg.mask_messages:
+        msg_count = jnp.sum(pairm, axis=1)            # Σ_j mask_ij per atom
+    else:
+        msg_count = jnp.full((n,), float(n), x.dtype)  # reference Q10: all N
+
     # ---- message rounds (scan over the round-stacked untied MLPs) ----
     def message_round(carry, w: PairMLPWeights):
         h, q = carry
@@ -200,15 +392,16 @@ def _forward_single(
             hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + epart + w.b1)
             for wm, bm in w.mids:
                 hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
-            m = jnp.dot(hid, w.w_out, precision=prec) + w.b_out  # (B, N, msg)
             if cfg.mask_messages:
-                m = m * pairm_i[:, :, None]
-            return carry2, jnp.sum(m, axis=1)                       # Σ_j
+                hid = hid * pairm_i[:, :, None]
+            return carry2, jnp.sum(hid, axis=1)               # Σ_j pre-W_out
 
-        _, msgs = jax.lax.scan(
+        _, hsum = jax.lax.scan(
             msg_scan, None, (xyz_blocks, valid_blocks, pairm_blocks, to_blocks(pi))
         )
-        messages = msgs.reshape(nb * block, -1)[:n]
+        hsum = hsum.reshape(nb * block, -1)[:n]
+        messages = (jnp.dot(hsum, w.w_out, precision=prec)
+                    + msg_count[:, None] * w.b_out)
         upd_in = jnp.concatenate([h, messages], axis=-1) * nm
         h = _apply_mlp(fused.update, upd_in, prec) * nm
         return (h, q), None
@@ -216,6 +409,8 @@ def _forward_single(
     (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
 
     # ---- electron passing rounds ----
+    # b_out cancels in f_ij − f_ji, so the transfer is a pure W_out
+    # contraction of the weighted hidden difference.
     def pass_round(q, w: PairMLPWeights):
         a = atom_inputs(h, q)
         pi = jnp.dot(a, w.w1_i, precision=prec)
@@ -232,23 +427,24 @@ def _forward_single(
             for wm, bm in w.mids:
                 hid_n = jax.nn.relu(jnp.dot(hid_n, wm, precision=prec) + bm)
                 hid_t = jax.nn.relu(jnp.dot(hid_t, wm, precision=prec) + bm)
-            f_n = (jnp.dot(hid_n, w.w_out, precision=prec) + w.b_out)[..., 0]
-            f_t = (jnp.dot(hid_t, w.w_out, precision=prec) + w.b_out)[..., 0]
-            transfer = 0.5 * (f_n - f_t) * valid_i * gate
-            return carry2, jnp.sum(transfer, axis=1)
+            weight = (valid_i * gate)[:, :, None]
+            diff = jnp.sum(0.5 * weight * (hid_n - hid_t), axis=1)  # (B, H)
+            return carry2, diff
 
-        _, dq = jax.lax.scan(
+        _, dsum = jax.lax.scan(
             pass_scan, None,
             (xyz_blocks, valid_blocks, to_blocks(pi), to_blocks(pj)),
         )
-        return q + dq.reshape(nb * block)[:n], None
+        dsum = dsum.reshape(nb * block, -1)[:n]
+        dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
+        return q + dq, None
 
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
 
     return q * node_mask
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block"))
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "neighbor_k"))
 def forward_blocked(
     fused: FusedParams,
     x: jax.Array,          # (B, N, n_elems)
@@ -257,14 +453,25 @@ def forward_blocked(
     node_mask: jax.Array,  # (B, N)
     cfg: EPNNConfig,
     block: int = 128,
+    neighbor_k: int | None = None,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
     Equivalent to ``EPNN(cfg).apply(params, x, q0, rbf_edges(xyz, mask), mask)``
     up to fp32 association noise, but with O(B·block·N) peak memory instead
     of O(B·N²·(2F+E)).
+
+    With ``neighbor_k`` set (must be ≥ the true max neighbor count within the
+    cutoff — see :func:`max_neighbor_count`), edge featurization and electron
+    passing run on gathered O(N·k) near pairs only; identical results, much
+    less work on spatially sparse systems (proteins: k≈32 vs N=2220).
     """
-    single = functools.partial(_forward_single, cfg=cfg, block=block)
+    if neighbor_k is not None:
+        single = functools.partial(
+            _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k
+        )
+    else:
+        single = functools.partial(_forward_single, cfg=cfg, block=block)
     return jax.vmap(single, in_axes=(None, 0, 0, 0, 0))(
         fused, x, q0, xyz, node_mask
     )

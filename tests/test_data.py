@@ -137,3 +137,31 @@ class TestReferenceData:
         mol = load_molecule(os.path.join(protein_dir, "6qlp_capped.xyz"))
         assert mol.natoms == 2220
         assert mol.total_charge == 2.0
+
+
+class TestNativeParser:
+    def test_matches_python_parser(self, tmp_path):
+        from epnn_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native library not built (make -C native)")
+        p = tmp_path / "m.xyz"
+        p.write_text(SAMPLE_XYZ)
+        mol_n = native.parse_xyz_file(str(p))
+        mol_p = parse_xyz_text(SAMPLE_XYZ, name="m")
+        assert mol_n.symbols == mol_p.symbols
+        assert mol_n.total_charge == mol_p.total_charge
+        np.testing.assert_array_equal(mol_n.xyz, mol_p.xyz)
+
+    def test_native_bulk_matches(self, mixed_dir):
+        from epnn_tpu.data import native
+        from epnn_tpu.data.xyz import load_directory
+
+        if not native.available():
+            pytest.skip("native library not built (make -C native)")
+        mols_native = load_directory(mixed_dir, use_native=True)[:100]
+        mols_py = load_directory(mixed_dir, use_native=False)[:100]
+        for a, b in zip(mols_native, mols_py):
+            assert a.name == b.name and a.symbols == b.symbols
+            assert a.total_charge == b.total_charge
+            np.testing.assert_array_equal(a.xyz, b.xyz)

@@ -72,3 +72,40 @@ def test_padded_rows_do_not_leak(rng):
     xyz2[:, 10:] = 77.7
     q2 = np.asarray(forward_blocked(fused, x, q0, xyz2, mask, cfg, block=8))
     np.testing.assert_allclose(q1, q2, atol=1e-6)
+
+
+class TestNeighborPath:
+    """Neighbor-split path (epnn_tpu.ops.fused._forward_single_nbr)."""
+
+    @pytest.mark.parametrize("mask_messages", [True, False])
+    def test_matches_dense_path(self, rng, mask_messages):
+        cfg = EPNNConfig(mask_messages=mask_messages)
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=2, n=24, n_real=17)
+        qd = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8))
+        qn = np.asarray(
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=24)
+        )
+        # identical math, different summation order; scale-relative bound
+        scale = np.abs(qd).max() + 1.0
+        assert np.abs(qn - qd).max() < 1e-5 * scale
+
+    def test_conservation(self, rng):
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=2, n=24, n_real=20)
+        qn = np.asarray(
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=20)
+        )
+        scale = np.abs(qn).sum(1) + 1.0
+        assert np.all(np.abs(qn.sum(1) - q_total) < 2e-6 * scale)
+
+    def test_max_neighbor_count(self, rng):
+        from epnn_tpu.ops.fused import max_neighbor_count
+
+        xyz = np.zeros((5, 3), np.float32)
+        xyz[:, 0] = [0.0, 1.0, 2.0, 10.0, 11.0]
+        mask = np.ones(5, np.float32)
+        # cutoff 3: atom1 sees atoms 0,2 (d=1) -> max 2
+        assert max_neighbor_count(xyz, mask, 3.0) == 2
+        mask2 = mask.copy()
+        mask2[2] = 0.0
+        assert max_neighbor_count(xyz, mask2, 3.0) == 1

@@ -1,0 +1,108 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.ops import forward_blocked, fuse_params
+from epnn_tpu.parallel import make_mesh, shard_batch_args, shard_state
+from epnn_tpu.parallel.atom_shard import forward_atom_sharded
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SMALL = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+
+
+@needs_devices
+class TestAtomSharding:
+    def test_matches_blocked_forward(self, rng):
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        fused = fuse_params(params, cfg)
+        n = 32  # divisible by 8
+        x = rng.normal(size=(1, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-4, 4, size=(1, n, 3)).astype(np.float32)
+        mask = np.ones((1, n), np.float32)
+        q0 = np.full((1, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        q_sharded = np.asarray(
+            forward_atom_sharded(fused, x[0], q0[0], xyz[0], mask[0], cfg, mesh)
+        )
+        q_blocked = np.asarray(
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=4)
+        )[0]
+        np.testing.assert_allclose(q_sharded, q_blocked, atol=2e-5)
+
+    def test_conservation_sharded(self, rng):
+        cfg = SMALL
+        fused = fuse_params(init_params(cfg, jax.random.key(1)), cfg)
+        n = 64
+        x = rng.normal(size=(n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        mask = np.ones((n,), np.float32)
+        q0 = np.full((n,), -2.0 / n, np.float32)
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        q = np.asarray(forward_atom_sharded(fused, x, q0, xyz, mask, cfg, mesh))
+        scale = np.abs(q).sum() + 1.0
+        assert abs(q.sum() + 2.0) < 2e-6 * scale
+
+
+@needs_devices
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self, rng):
+        from epnn_tpu.models import EPNN
+        from epnn_tpu.train import TrainConfig, create_state, make_optimizer, train_step
+
+        cfg = SMALL
+        tc = TrainConfig()
+        model = EPNN(cfg)
+        opt = make_optimizer(tc)
+        b, n = 16, 8
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-3, 3, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(size=(b, n)).astype(np.float32)
+        w = np.ones((b,), np.float32)
+
+        state0 = create_state(cfg, tc, jax.random.key(0))
+        _, loss_single, _, _ = train_step(
+            state0, model, tc.loss, opt, x, q0, xyz, mask, y, w
+        )
+
+        mesh = make_mesh(n_data=8, n_atoms=1)
+        state_dp = shard_state(create_state(cfg, tc, jax.random.key(0)), mesh)
+        args = shard_batch_args((x, q0, xyz, mask, y, w), mesh)
+        state_dp, loss_dp, _, _ = train_step(
+            state_dp, model, tc.loss, opt, *args
+        )
+        np.testing.assert_allclose(float(loss_dp), float(loss_single), rtol=1e-5)
+
+    def test_indivisible_batch_rejected(self, rng):
+        mesh = make_mesh(n_data=8, n_atoms=1)
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_batch_args((np.zeros((13, 4)),), mesh)
+
+
+@needs_devices
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    q = np.asarray(jax.jit(fn)(*args))
+    assert q.shape == (2, 128)
+    assert np.isfinite(q).all()
+    # random-init magnitudes are huge at N=128; conservation is exact up to
+    # fp32 summation noise relative to |q|
+    err = np.abs(q.sum(1) - 1.0)
+    assert np.all(err < 1e-6 * (np.abs(q).sum(1) + 1.0))
