@@ -32,6 +32,7 @@ from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from epnn_tpu.featurize import MU_START
 from epnn_tpu.models.config import EPNNConfig
@@ -230,6 +231,7 @@ def _forward_single_nbr(
     cfg: EPNNConfig,
     block: int,
     k: int,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -279,23 +281,54 @@ def _forward_single_nbr(
             hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
         return hid
 
+    # Pallas path for the dense no-feature reduction: pad the atom axis to
+    # the kernel tile lcm; the pair mask vector is node_mask in clean mode
+    # and a "row is one of the original N" indicator in reference-compat
+    # mode (the compat sum runs over the original padded width, SURVEY §8
+    # Q10 — never over kernel padding).
+    pallas_ok = use_pallas
+    if pallas_ok:
+        from epnn_tpu.ops.pallas_kernels import dense_message_rowsum
+
+        bi, bj = (128, 256) if n >= 256 else (8, 8)
+        lcm = np.lcm(bi, bj)
+        n_pad = int(-(-n // lcm) * lcm)
+        if cfg.mask_messages:
+            col_vec = jnp.pad(node_mask, (0, n_pad - n))
+        else:
+            col_vec = jnp.pad(jnp.ones((n,), x.dtype), (0, n_pad - n))
+        prec_name = getattr(cfg, "matmul_precision", "") or (
+            "highest" if cfg.highest_precision else "default"
+        )
+
     def message_round(carry, w: PairMLPWeights):
         h, q = carry
         a = atom_inputs(h, q)
         pi = jnp.dot(a, w.w1_i, precision=prec)
         pj = jnp.dot(a, w.w1_j, precision=prec)
 
-        # dense no-feature part: Σ_j over ALL pairs with e = 0
-        def dense_scan(carry2, inp):
-            pairm_i, pi_i = inp
-            hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + w.b1)
-            hid = mids_chain(hid, w)
-            if cfg.mask_messages:
-                hid = hid * pairm_i[:, :, None]
-            return carry2, jnp.sum(hid, axis=1)
+        if pallas_ok and len(w.mids) == 1:
+            (w2, b2), = w.mids
+            dense_sum = dense_message_rowsum(
+                jnp.pad(pi, ((0, n_pad - n), (0, 0))),
+                jnp.pad(pj, ((0, n_pad - n), (0, 0))),
+                col_vec, w.b1, w2, b2,
+                block_i=bi, block_j=bj, masked=True, precision=prec_name,
+            )[:n]
+        else:
+            # dense no-feature part: Σ_j over ALL pairs with e = 0
+            def dense_scan(carry2, inp):
+                pairm_i, pi_i = inp
+                hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + w.b1)
+                hid = mids_chain(hid, w)
+                if cfg.mask_messages:
+                    hid = hid * pairm_i[:, :, None]
+                return carry2, jnp.sum(hid, axis=1)
 
-        _, dsum = jax.lax.scan(dense_scan, None, (pairm_blocks, to_blocks(pi)))
-        dense_sum = dsum.reshape(nb * block, -1)[:n]
+            _, dsum = jax.lax.scan(
+                dense_scan, None, (pairm_blocks, to_blocks(pi))
+            )
+            dense_sum = dsum.reshape(nb * block, -1)[:n]
 
         # gathered near part: with features, minus the no-feature double count
         pj_nbr = pj[idx]                                   # (N, K, H1)
@@ -444,7 +477,9 @@ def _forward_single(
     return q * node_mask
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block", "neighbor_k"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "neighbor_k", "use_pallas")
+)
 def forward_blocked(
     fused: FusedParams,
     x: jax.Array,          # (B, N, n_elems)
@@ -454,6 +489,7 @@ def forward_blocked(
     cfg: EPNNConfig,
     block: int = 128,
     neighbor_k: int | None = None,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
@@ -468,7 +504,8 @@ def forward_blocked(
     """
     if neighbor_k is not None:
         single = functools.partial(
-            _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k
+            _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
+            use_pallas=use_pallas,
         )
     else:
         single = functools.partial(_forward_single, cfg=cfg, block=block)

@@ -175,3 +175,45 @@ class TestGoldenProtein:
         golden = np.load(os.path.join(protein_dir, "preds.npy")).reshape(-1)
         assert np.abs(q[0] - golden).max() < PARITY_TOL
         assert abs(q.sum() - 2.0) < 1e-5  # net charge +2, conserved
+
+
+class TestBundleReader:
+    """Pure-Python TensorBundle reader vs TensorFlow, bit for bit."""
+
+    def test_reads_all_checkpoints(self):
+        from epnn_tpu.io.bundle_reader import list_variables, read_bundle
+
+        expected = {"model_weights": 66, "model2_weights": 42,
+                    "decay_model_weights": 66}
+        for name, n in expected.items():
+            prefix = os.path.join(MODELS_DIR, name)
+            tensors = read_bundle(prefix)
+            assert len(tensors) == n
+            shapes = list_variables(prefix)
+            for k, v in tensors.items():
+                assert shapes[k] == v.shape
+
+    def test_bitwise_vs_tensorflow(self):
+        tf = pytest.importorskip("tensorflow")
+        from epnn_tpu.io.bundle_reader import read_bundle
+
+        prefix = os.path.join(MODELS_DIR, "decay_model_weights")
+        reader = tf.train.load_checkpoint(prefix)
+        ours = read_bundle(prefix)
+        for nm in reader.get_variable_to_shape_map():
+            if nm == "_CHECKPOINTABLE_OBJECT_GRAPH":
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(reader.get_tensor(nm)), ours[nm]
+            )
+
+    def test_snappy_roundtrip_helpers(self):
+        from epnn_tpu.io.bundle_reader import snappy_decompress
+
+        # literal + overlapping copy: "abcabcabc..." pattern
+        # varint len 9, literal(3) 'abc', copy offset 3 len 6
+        raw = bytes([9]) + bytes([0b0000_1000]) + b"abc" + bytes(
+            [0b0000_1001, 3]
+        )
+        # tag kind1: len=((tag>>2)&7)+4 = 6, offset = ((tag>>5)<<8)|next = 3
+        assert snappy_decompress(raw) == b"abcabcabc"
