@@ -1,13 +1,25 @@
 """Headline benchmark: whole-protein (Galectin-3C, 2,220 atoms) inference
 latency on one TPU chip.
 
-The reference never recorded a number for this (SURVEY §6) — its infer.py
-only prints timings and crashes as shipped.  BASELINE.md's north-star target
-is <10 ms/graph on one v5e chip, so ``vs_baseline`` is reported as
-10 ms / measured ms (>1 means beating the target).
+The reference publishes no number for this (SURVEY §6; its infer.py crashes
+as shipped), so the comparison point is BASELINE.md's north-star target of
+<10 ms/graph on one v5e chip: ``vs_baseline = 10 ms / measured ms`` (>1 beats
+the target).
 
-Prints ONE JSON line. Falls back to a synthetic 2,220-atom system when the
-reference data mount is absent (same shapes, same work).
+Two modes are measured in one process (first-in-process timings are inflated
+on tunneled backends and are discarded):
+
+* **fast** (headline): default matmul precision (bf16 passes).  Charge
+  conservation stays architecturally exact and the masked val MAE vs labels
+  is unchanged (0.01519 vs 0.01513 e on the mixed val set), but per-atom
+  agreement with the reference's shipped predictions is ~1e-2 e.
+* **parity** : fp32-highest matmuls — bit-comparable to the reference
+  artifacts (≤1e-5 e), reported in the extras.
+
+Latency methodology: ``jax.block_until_ready`` can return early on tunneled
+TPU backends, so each measurement times a serialized dependency chain (every
+iteration's q0 carries a zero-weighted dependency on the previous output)
+terminated by a host readback.
 """
 
 from __future__ import annotations
@@ -40,7 +52,6 @@ def _protein_molecule():
     rng = np.random.default_rng(0)
     symbols = list(rng.choice(["H", "C", "N", "O", "S"], size=N_PROTEIN,
                               p=[0.5, 0.3, 0.1, 0.09, 0.01]))
-    # ~protein density: 2220 atoms in a ~28 A box
     xyz = rng.uniform(0, 28.0, size=(N_PROTEIN, 3)).astype(np.float32)
     return Molecule(name="synthetic2220", symbols=symbols, xyz=xyz,
                     total_charge=2.0), False
@@ -49,16 +60,19 @@ def _protein_molecule():
 def main():
     import jax
 
-    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.dataset import pad_molecules, round_up
     from epnn_tpu.elements import table_for_n_elems
     from epnn_tpu.models import PRESETS, init_params
     from epnn_tpu.ops import forward_blocked, fuse_params
+    from epnn_tpu.ops.fused import max_neighbor_count
 
     mol, real_data = _protein_molecule()
 
     models_dir = os.path.join(REFERENCE_DIR, "models")
     golden = None
-    if real_data and os.path.exists(os.path.join(models_dir, "decay_model_weights.index")):
+    if real_data and os.path.exists(
+        os.path.join(models_dir, "decay_model_weights.index")
+    ):
         from epnn_tpu.io.tf_import import import_reference_model
 
         params, cfg = import_reference_model(models_dir, "decay_model")
@@ -73,45 +87,55 @@ def main():
     batch = pad_molecules([mol], table, pad_to=N_PROTEIN)
     fused = jax.device_put(fuse_params(params, cfg))
     block = int(os.environ.get("EPNN_BENCH_BLOCK", "256"))
-    args = [jax.device_put(a) for a in
-            (batch.x, batch.q0, batch.xyz, batch.node_mask)]
-
-    x_d, q0_d, xyz_d, mask_d = args
-
-    def fn(q0_in):
-        return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, cfg, block=block)
-
-    q = np.asarray(fn(q0_d))[0]  # compile + warmup (readback = true sync)
-    np.asarray(fn(q0_d))
-
-    # Measurement methodology: on the tunneled TPU backend
-    # jax.block_until_ready can return before execution finishes, so latency
-    # is measured over a serialized chain — each iteration's q0 carries a
-    # zero-weighted dependency on the previous output (numerics unchanged) —
-    # terminated by a host readback, which is a hard sync.
+    k = round_up(
+        max_neighbor_count(batch.xyz[0], batch.node_mask[0], cfg.cutoff) + 4, 8
+    )
+    x_d, q0_d, xyz_d, mask_d = (
+        jax.device_put(a) for a in (batch.x, batch.q0, batch.xyz, batch.node_mask)
+    )
     iters = int(os.environ.get("EPNN_BENCH_ITERS", "20"))
-    q0_in = q0_d
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(q0_in)
-        q0_in = q0_d + 0.0 * out[:, :1]
-    np.asarray(out)
-    ms = float((time.perf_counter() - t0) / iters * 1e3)
+
+    def measure(c):
+        def fn(q0_in):
+            return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
+                                   block=block, neighbor_k=k)
+
+        q = np.asarray(fn(q0_d))[0]  # compile (readback = true sync)
+        np.asarray(fn(q0_d))
+        q0_in = q0_d
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(q0_in)
+            q0_in = q0_d + 0.0 * out[:, :1]
+        np.asarray(out)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        return ms, q
+
+    # discard the first in-process measurement (tunnel warm-up inflation)
+    measure(cfg.replace(matmul_precision="default"))
+
+    fast_ms, q_fast = measure(cfg.replace(matmul_precision="default"))
+    parity_ms, q_parity = measure(cfg.replace(matmul_precision="highest"))
 
     extra = {
         "device": str(jax.devices()[0]),
         "iters": iters,
-        "conservation_error": float(abs(q.sum() - mol.total_charge)),
+        "neighbor_k": k,
         "real_protein": real_data,
+        "conservation_error": float(abs(q_fast.sum() - mol.total_charge)),
+        "parity_grade_ms": round(parity_ms, 3),
     }
     if golden is not None:
-        extra["parity_max_abs_diff"] = float(np.abs(q - golden).max())
+        extra["fast_vs_reference_preds"] = float(np.abs(q_fast - golden).max())
+        extra["parity_vs_reference_preds"] = float(
+            np.abs(q_parity - golden).max()
+        )
 
     print(json.dumps({
         "metric": "protein_2220atom_inference_ms",
-        "value": round(ms, 3),
+        "value": round(fast_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 4),
+        "vs_baseline": round(BASELINE_MS / fast_ms, 4),
         **extra,
     }))
 

@@ -47,9 +47,17 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, directory: str, **kw) -> "Predictor":
+        import os
+
         from epnn_tpu.io import checkpoint as ckpt_io
         from epnn_tpu.models import init_params
 
+        if not os.path.isdir(directory) or not ckpt_io.has_checkpoint(directory):
+            raise FileNotFoundError(
+                f"no epnn_tpu checkpoint at {directory!r} (expected "
+                f"{ckpt_io.PARAMS_FILE} + {ckpt_io.CONFIG_FILE}; create one "
+                "with `python -m epnn_tpu import-ckpt` or by training)"
+            )
         cfg = ckpt_io.load_config(directory)
         template = init_params(cfg, jax.random.key(0))
         params = ckpt_io.load_params(directory, template)

@@ -153,7 +153,10 @@ def init_params(cfg: EPNNConfig, rng: jax.Array, n: int = 8):
     q0 = jnp.zeros((1, n), jnp.float32)
     e = jnp.zeros((1, n, n, cfg.e_dim), jnp.float32)
     mask = jnp.ones((1, n), jnp.float32)
-    return model.init(rng, x, q0, e, mask)
+    kwargs = {}
+    if cfg.pass_weighting == "soft_envelope":
+        kwargs["soft_env"] = jnp.zeros((1, n, n), jnp.float32)
+    return model.init(rng, x, q0, e, mask, **kwargs)
 
 
 def count_params(params) -> int:

@@ -128,6 +128,26 @@ def fuse_params(params: Any, cfg: EPNNConfig) -> FusedParams:
     )
 
 
+def _packed_mids(hid, w, prec, pack_to: int = 1):
+    """Apply the mid Dense layers with pair rows packed into block-diagonal
+    matmuls: (..., J, h) @ (h, h) becomes (..., J/p, p*h) @ kron(I_p, W) —
+    per-element identical math (each h-segment multiplies its own W copy),
+    but the MXU runs at full K=N=128 tile width instead of 4x-padded 32.
+    Falls back to the plain chain when shapes don't divide."""
+    *lead, j, h = hid.shape
+    pack = max(1, pack_to // h)
+    if pack == 1 or j % pack:
+        for wm, bm in w.mids:
+            hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+        return hid
+    hp = hid.reshape(*lead, j // pack, pack * h)
+    for wm, bm in w.mids:
+        wp = jnp.kron(jnp.eye(pack, dtype=wm.dtype), wm)
+        bp = jnp.tile(bm, pack)
+        hp = jax.nn.relu(jnp.dot(hp, wp, precision=prec) + bp)
+    return hp.reshape(*lead, j, h)
+
+
 def _apply_mlp(layers, x, prec=HIGHEST):
     for w, b in layers[:-1]:
         x = jax.nn.relu(jnp.dot(x, w, precision=prec) + b)
@@ -154,6 +174,8 @@ def _rbf_block(xyz_i, xyz_all, valid_pair, cfg: EPNNConfig):
     # the reference's is-near gate (charge_gn.py:90-94): any channel > tol
     gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
             != cfg.is_near_tol).astype(rbf.dtype)
+    if cfg.pass_weighting == "soft_envelope":
+        gate = c  # decay-weighted passing instead of the hard gate
     return rbf, gate
 
 
@@ -219,6 +241,8 @@ def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig):
     rbf = c[:, :, None] * jnp.exp(-cfg.eta * (d[:, :, None] - mu) ** 2)
     gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
             != cfg.is_near_tol).astype(rbf.dtype)
+    if cfg.pass_weighting == "soft_envelope":
+        gate = c
     return rbf, gate
 
 
@@ -232,6 +256,7 @@ def _forward_single_nbr(
     block: int,
     k: int,
     use_pallas: bool = False,
+    pack_to: int = 1,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -264,8 +289,6 @@ def _forward_single_nbr(
     else:
         msg_count = jnp.full((n,), float(n), x.dtype)
 
-    pairm_blocks = _pad_rows(pairm, block).reshape(nb, block, n)
-
     h = jnp.zeros((n, cfg.h_dim), x.dtype)
     q = q0
     nm = node_mask[:, None]
@@ -275,11 +298,6 @@ def _forward_single_nbr(
 
     def to_blocks(arr):
         return _pad_rows(arr, block).reshape(nb, block, -1)
-
-    def mids_chain(hid, w):
-        for wm, bm in w.mids:
-            hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
-        return hid
 
     # Pallas path for the dense no-feature reduction: pad the atom axis to
     # the kernel tile lcm; the pair mask vector is node_mask in clean mode
@@ -301,10 +319,16 @@ def _forward_single_nbr(
             "highest" if cfg.highest_precision else "default"
         )
 
+    # j-reduction vector: rides the MXU as a matvec instead of a VPU
+    # reduce; in clean mode it carries the column mask (row mask is applied
+    # downstream by the node-masked update), in compat mode all original
+    # columns count (SURVEY §8 Q10)
+    jvec = node_mask if cfg.mask_messages else jnp.ones((n,), x.dtype)
+
     def message_round(carry, w: PairMLPWeights):
         h, q = carry
         a = atom_inputs(h, q)
-        pi = jnp.dot(a, w.w1_i, precision=prec)
+        pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1  # b1 folded once/atom
         pj = jnp.dot(a, w.w1_j, precision=prec)
 
         if pallas_ok and len(w.mids) == 1:
@@ -317,25 +341,22 @@ def _forward_single_nbr(
             )[:n]
         else:
             # dense no-feature part: Σ_j over ALL pairs with e = 0
-            def dense_scan(carry2, inp):
-                pairm_i, pi_i = inp
-                hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + w.b1)
-                hid = mids_chain(hid, w)
-                if cfg.mask_messages:
-                    hid = hid * pairm_i[:, :, None]
-                return carry2, jnp.sum(hid, axis=1)
+            def dense_scan(carry2, pi_i):
+                hid = jax.nn.relu(pi_i[:, None, :] + pj[None, :, :])
+                hid = _packed_mids(hid, w, prec, pack_to)
+                return carry2, jnp.einsum(
+                    "n,bnh->bh", jvec, hid, precision=prec
+                )
 
-            _, dsum = jax.lax.scan(
-                dense_scan, None, (pairm_blocks, to_blocks(pi))
-            )
+            _, dsum = jax.lax.scan(dense_scan, None, to_blocks(pi))
             dense_sum = dsum.reshape(nb * block, -1)[:n]
 
         # gathered near part: with features, minus the no-feature double count
         pj_nbr = pj[idx]                                   # (N, K, H1)
         epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)   # (N, K, H1)
-        base = (pi[:, None, :] + pj_nbr) + w.b1
-        hid_full = mids_chain(jax.nn.relu(base + epart), w)
-        hid_nofeat = mids_chain(jax.nn.relu(base), w)
+        base = pi[:, None, :] + pj_nbr
+        hid_full = _packed_mids(jax.nn.relu(base + epart), w, prec, pack_to)
+        hid_nofeat = _packed_mids(jax.nn.relu(base), w, prec, pack_to)
         near_corr = jnp.sum(
             (hid_full - hid_nofeat) * nbr_mask[:, :, None], axis=1
         )
@@ -352,15 +373,15 @@ def _forward_single_nbr(
     # electron passing: gathered pairs only (the gate is zero off the near set)
     def pass_round(q, w: PairMLPWeights):
         a = atom_inputs(h, q)
-        pi = jnp.dot(a, w.w1_i, precision=prec)
+        pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
         pj = jnp.dot(a, w.w1_j, precision=prec)
         pi_nbr = pi[idx]
         pj_nbr = pj[idx]
         epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
-        hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart + w.b1)
-        hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart + w.b1)
-        hid_n = mids_chain(hid_n, w)
-        hid_t = mids_chain(hid_t, w)
+        hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart)
+        hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart)
+        hid_n = _packed_mids(hid_n, w, prec, pack_to)
+        hid_t = _packed_mids(hid_t, w, prec, pack_to)
         dsum = jnp.sum(0.5 * gate_nbr[:, :, None] * (hid_n - hid_t), axis=1)
         dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
         return q + dq, None
@@ -478,7 +499,8 @@ def _forward_single(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block", "neighbor_k", "use_pallas")
+    jax.jit,
+    static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -490,6 +512,7 @@ def forward_blocked(
     block: int = 128,
     neighbor_k: int | None = None,
     use_pallas: bool = False,
+    pack_to: int = 1,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
@@ -505,7 +528,7 @@ def forward_blocked(
     if neighbor_k is not None:
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, pack_to=pack_to,
         )
     else:
         single = functools.partial(_forward_single, cfg=cfg, block=block)

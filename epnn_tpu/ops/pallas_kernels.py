@@ -92,9 +92,10 @@ def dense_message_rowsum(
     assert n % block_i == 0 and n % block_j == 0, (n, block_i, block_j)
     if interpret is None:
         interpret = not _on_tpu()
+    # Mosaic rejects Precision.HIGH; HIGHEST is the fp32-accurate tier there
     prec = {
         "default": None,
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
 

@@ -40,6 +40,10 @@ class TrainConfig:
     500 epochs, 80/20 split with seed 42)."""
 
     learning_rate: float = 1e-3
+    lr_schedule: str = "constant"   # 'constant' | 'cosine'
+    lr_final_fraction: float = 0.05  # cosine floor as a fraction of peak
+    warmup_steps: int = 0
+    total_steps: Optional[int] = None  # cosine horizon (derived if None)
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-7
@@ -54,6 +58,10 @@ class TrainConfig:
     log_path: Optional[str] = None
     resume: bool = False
     debug_nans: bool = False
+    #: dump train/val prediction + label + name arrays next to the best
+    #: checkpoint on every improvement (the reference's artifact protocol,
+    #: charge_gn.py:433-434,465-468 — what model_systems/ contains)
+    dump_predictions: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -63,7 +71,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    return optax.adam(tc.learning_rate, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+    if tc.lr_schedule == "cosine":
+        total = tc.total_steps or 100_000
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if tc.warmup_steps else tc.learning_rate,
+            peak_value=tc.learning_rate,
+            warmup_steps=tc.warmup_steps,
+            decay_steps=total,
+            end_value=tc.learning_rate * tc.lr_final_fraction,
+        )
+    else:
+        lr = tc.learning_rate
+    return optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
 
 
 def create_state(cfg: EPNNConfig, tc: TrainConfig, rng: jax.Array) -> TrainState:
@@ -111,34 +130,62 @@ def _batch_args(mb: MolBatch, n_real: int):
 
 
 class MetricAccumulator:
+    """Accumulates metric *device values* and converts to host floats only
+    when read — per-step float() would force a device sync per step, which
+    is latency-bound on tunneled backends."""
+
     def __init__(self):
-        self.masked_sum = 0.0
-        self.masked_n = 0.0
-        self.padded_sum = 0.0
-        self.padded_n = 0.0
-        self.loss_sum = 0.0
-        self.loss_n = 0
+        self._mets = []
+        self._losses = []
 
     def update(self, loss, mets):
-        ms, mn, ps, pn = (float(v) for v in mets)
-        self.masked_sum += ms
-        self.masked_n += mn
-        self.padded_sum += ps
-        self.padded_n += pn
-        self.loss_sum += float(loss)
-        self.loss_n += 1
+        self._mets.append(mets)
+        self._losses.append(loss)
+
+    def _reduced(self):
+        import numpy as _np
+
+        m = _np.asarray(jax.device_get(self._mets), dtype=_np.float64)
+        return m.sum(axis=0) if len(m) else _np.zeros(4)
 
     @property
     def masked_mae(self) -> float:
-        return self.masked_sum / max(self.masked_n, 1.0)
+        ms, mn, _, _ = self._reduced()
+        return float(ms / max(mn, 1.0))
 
     @property
     def padded_mae(self) -> float:
-        return self.padded_sum / max(self.padded_n, 1.0)
+        _, _, ps, pn = self._reduced()
+        return float(ps / max(pn, 1.0))
 
     @property
     def loss(self) -> float:
-        return self.loss_sum / max(self.loss_n, 1)
+        if not self._losses:
+            return 0.0
+        return float(np.mean(jax.device_get(self._losses)))
+
+
+def _dump_prediction_artifacts(out_dir, params, cfg, train_mols, val_mols):
+    """Best-checkpoint prediction dumps, mirroring the reference's
+    model_systems/ artifact set (padded (nmol, natom) arrays + name lists)."""
+    from epnn_tpu.infer import Predictor
+
+    pred = Predictor(params=params, cfg=cfg)
+    art = os.path.join(out_dir, "artifacts")
+    os.makedirs(art, exist_ok=True)
+    for split, mols in (("train", train_mols), ("val", val_mols)):
+        width = max(m.natoms for m in mols)
+        charges = pred.predict_molecules(mols)
+        preds = np.zeros((len(mols), width), np.float32)
+        labs = np.zeros((len(mols), width), np.float32)
+        for i, (m, q) in enumerate(zip(mols, charges)):
+            preds[i, : m.natoms] = q
+            if m.labels is not None:
+                labs[i, : m.natoms] = m.labels
+        np.save(os.path.join(art, f"{split}_pred_charges.npy"), preds)
+        np.save(os.path.join(art, f"{split}_lab_charges.npy"), labs)
+        np.save(os.path.join(art, f"{split}_names.npy"),
+                np.array([m.name for m in mols]), allow_pickle=True)
 
 
 @dataclasses.dataclass
@@ -259,6 +306,11 @@ def train(
                 ckpt_io.save_params(
                     os.path.join(tc.checkpoint_dir, "best"), state.params, cfg
                 )
+                if tc.dump_predictions:
+                    _dump_prediction_artifacts(
+                        tc.checkpoint_dir, state.params, cfg,
+                        train_mols, val_mols,
+                    )
 
     if log_f:
         log_f.close()

@@ -109,3 +109,43 @@ class TestNeighborPath:
         mask2 = mask.copy()
         mask2[2] = 0.0
         assert max_neighbor_count(xyz, mask2, 3.0) == 1
+
+
+def test_soft_envelope_paths_agree(rng):
+    """The decay-weighted passing variant (SURVEY §8 Q13) must agree across
+    dense / blocked / neighbor paths and still conserve charge."""
+    from epnn_tpu.featurize import rbf_edges, soft_envelope_np
+    from epnn_tpu.models import EPNN, init_params
+
+    cfg = EPNNConfig(pass_weighting="soft_envelope")
+    params = init_params(cfg, jax.random.key(0))
+    fused = fuse_params(params, cfg)
+    b, n = 1, 16
+    x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+    xyz = rng.uniform(-3, 3, size=(b, n, 3)).astype(np.float32)
+    mask = np.ones((b, n), np.float32)
+    q0 = np.full((b, n), 1.0 / n, np.float32)
+    e = np.asarray(rbf_edges(xyz, mask))
+    env = np.stack([soft_envelope_np(xyz[i]).astype(np.float32)
+                    for i in range(b)])
+    qd = np.asarray(EPNN(cfg).apply(params, x, q0, e, mask, soft_env=env))
+    qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8))
+    qn = np.asarray(
+        forward_blocked(fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=15)
+    )
+    scale = np.abs(qd).max() + 1.0
+    assert np.abs(qd - qb).max() < 1e-5 * scale
+    assert np.abs(qd - qn).max() < 1e-5 * scale
+    assert abs(qb.sum() - 1.0) < 2e-6 * (np.abs(qb).sum() + 1)
+
+
+def test_pack_to_invariance(rng):
+    """Block-diagonal packed mid matmuls must not change results."""
+    cfg = EPNNConfig()
+    _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=24, n_real=24)
+    q1 = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                                    neighbor_k=20, pack_to=128))
+    q2 = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                                    neighbor_k=20, pack_to=1))
+    scale = np.abs(q1).max() + 1.0
+    assert np.abs(q1 - q2).max() < 1e-5 * scale

@@ -70,3 +70,24 @@ def test_padded_loss_option(toy_train_mols):
     tc = TrainConfig(epochs=2, batch_size=8, loss="padded_mse", seed=1)
     res = train(toy_train_mols, SMALL, tc, progress=False)
     assert np.isfinite(res.history[-1]["train_loss"])
+
+
+def test_prediction_artifact_dumps(toy_train_mols, tmp_path):
+    import os
+
+    ckpt = str(tmp_path / "run")
+    tc = TrainConfig(epochs=1, batch_size=8, seed=1, checkpoint_dir=ckpt,
+                     dump_predictions=True)
+    train(toy_train_mols, SMALL, tc, progress=False)
+    art = os.path.join(ckpt, "artifacts")
+    preds = np.load(os.path.join(art, "val_pred_charges.npy"))
+    labs = np.load(os.path.join(art, "val_lab_charges.npy"))
+    names = np.load(os.path.join(art, "val_names.npy"), allow_pickle=True)
+    assert preds.shape == labs.shape
+    assert len(names) == preds.shape[0]
+    # each row's predictions sum to the molecule's net charge
+    name_to_mol = {m.name: m for m in toy_train_mols}
+    for i, nm in enumerate(names):
+        np.testing.assert_allclose(
+            preds[i].sum(), name_to_mol[str(nm)].total_charge, atol=1e-3
+        )
