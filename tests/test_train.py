@@ -91,3 +91,26 @@ def test_prediction_artifact_dumps(toy_train_mols, tmp_path):
         np.testing.assert_allclose(
             preds[i].sum(), name_to_mol[str(nm)].total_charge, atol=1e-3
         )
+
+
+def test_shipped_trained_checkpoint_quality(mixed_dir):
+    """The trained model shipped in trained/mixed_b16 must beat the
+    reference's val MAE (0.01513 e masked, BASELINE.md) on the same split."""
+    import os
+
+    from epnn_tpu.data import load_directory, train_val_split
+    from epnn_tpu.infer import Predictor
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "trained", "mixed_b16")
+    if not os.path.isdir(ckpt):
+        pytest.skip("trained checkpoint not present")
+    pred = Predictor.from_checkpoint(ckpt)
+    mols = [m for m in load_directory(mixed_dir) if m.labels is not None]
+    tr, va = train_val_split(len(mols), 0.2, 42)
+    val = [mols[i] for i in va][:200]  # subset for CI speed
+    charges = pred.predict_molecules(val)
+    errs = np.concatenate([np.abs(q - m.labels) for m, q in zip(val, charges)])
+    cons = max(abs(q.sum() - m.total_charge) for m, q in zip(val, charges))
+    assert errs.mean() < 0.0145  # comfortably beats 0.01513
+    assert cons < 1e-4
