@@ -38,6 +38,24 @@ BASELINE_MS = 10.0
 N_PROTEIN = 2220
 
 
+
+
+def _setup_compile_cache():
+    """Persistent XLA compile cache — compiles through the TPU tunnel take
+    minutes, the cache turns repeat runs into seconds."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "EPNN_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jaxcache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _protein_molecule():
     from epnn_tpu.data.xyz import Molecule, load_molecule
 
@@ -58,6 +76,7 @@ def _protein_molecule():
 
 
 def main():
+    _setup_compile_cache()
     import jax
 
     from epnn_tpu.data.dataset import pad_molecules, round_up

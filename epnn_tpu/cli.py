@@ -248,6 +248,16 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    cache_dir = os.environ.get("EPNN_COMPILE_CACHE", ".cache/jaxcache")
+    if cache_dir and cache_dir != "0":
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.abspath(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -73,6 +73,26 @@ def load_meta(directory: str) -> dict:
         return json.load(f)
 
 
+def save_train_state_orbax(directory: str, state: Any) -> None:
+    """Orbax backend: sharding-aware, async-capable checkpointing for
+    multi-host/pod runs (the msgpack format above is single-host).  The two
+    formats coexist; orbax writes into ``<directory>/orbax``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, "orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state_orbax(directory: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, "orbax"))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=jax.device_get(template))
+
+
 def has_checkpoint(directory: str) -> bool:
     return os.path.exists(os.path.join(directory, STATE_FILE)) or os.path.exists(
         os.path.join(directory, PARAMS_FILE)

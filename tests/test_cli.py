@@ -1,0 +1,64 @@
+"""CLI smoke tests (in-process, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from epnn_tpu.cli import build_parser, main
+
+
+def test_parser_covers_all_commands():
+    ap = build_parser()
+    sub = next(a for a in ap._actions if hasattr(a, "choices") and a.choices)
+    assert set(sub.choices) == {
+        "train", "infer", "import-ckpt", "eval-pol", "horton2npy",
+        "convert-qm9", "bench",
+    }
+
+
+def test_convert_qm9_cli(tmp_path):
+    src = tmp_path / "raw"
+    dst = tmp_path / "conv"
+    src.mkdir()
+    (src / "a.xyz").write_text("1\ngdb 1 2 3\nC\t0.0\t0.0\t0.0\t-0.1\n")
+    main(["convert-qm9", str(src), str(dst)])
+    assert (dst / "a.xyz").read_text().startswith("1\n0 0\n")
+
+
+def test_horton2npy_cli(tmp_path):
+    d = tmp_path / "mtp"
+    d.mkdir()
+    (d / "x-mtp.txt").write_text(
+        "number of atoms: 1\nnumber of fields: 9\nMultipoles\n---\n"
+        "0 0 0 | -0.25 0.0\n"
+    )
+    main(["horton2npy", str(d)])
+    np.testing.assert_allclose(np.load(d / "x-mtp.npy"), [-0.25])
+
+
+def test_train_and_infer_cli(tmp_path, toy_molecules):
+    data = tmp_path / "data"
+    data.mkdir()
+    for m in toy_molecules:
+        lines = [str(m.natoms), f"{m.total_charge:g} 1"]
+        for s, xyz in zip(m.symbols, m.xyz):
+            lines.append(f"{s} {xyz[0]} {xyz[1]} {xyz[2]}")
+        (data / f"{m.name}.xyz").write_text("\n".join(lines) + "\n")
+        np.save(data / f"{m.name}.npy", m.labels)
+    out = tmp_path / "run"
+    main([
+        "train", "--data", str(data) + "/", "--out", str(out),
+        "--epochs", "2", "--batch-size", "4", "--rounds", "1",
+        "--h-dim", "8", "--e-dim", "8", "--msg-dim", "8", "--layers", "8",
+    ])
+    assert (out / "best" / "params.msgpack").exists()
+
+    preds = tmp_path / "preds"
+    main(["infer", "--checkpoint", str(out / "best"), str(data), "--out",
+          str(preds)])
+    files = sorted(os.listdir(preds))
+    assert len(files) == len(toy_molecules)
+    q = np.load(preds / files[0])
+    assert np.isfinite(q).all()

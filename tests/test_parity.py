@@ -217,3 +217,20 @@ class TestBundleReader:
         )
         # tag kind1: len=((tag>>2)&7)+4 = 6, offset = ((tag>>5)<<8)|next = 3
         assert snappy_decompress(raw) == b"abcabcabc"
+
+
+def test_orbax_roundtrip(tmp_path, decay):
+    import jax
+
+    from epnn_tpu.io import checkpoint as ckpt
+    from epnn_tpu.train import TrainConfig, create_state
+
+    params, cfg = decay
+    tc = TrainConfig()
+    state = create_state(cfg, tc, jax.random.key(0))
+    state = state.replace(params=params)
+    ckpt.save_train_state_orbax(str(tmp_path), state)
+    restored = ckpt.load_train_state_orbax(str(tmp_path), state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
