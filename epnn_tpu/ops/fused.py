@@ -257,6 +257,7 @@ def _forward_single_nbr(
     k: int,
     use_pallas: bool = False,
     pack_to: int = 1,
+    remat: bool = False,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -368,6 +369,8 @@ def _forward_single_nbr(
         h = _apply_mlp(fused.update, upd_in, prec) * nm
         return (h, q), None
 
+    if remat:
+        message_round = jax.checkpoint(message_round)
     (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
 
     # electron passing: gathered pairs only (the gate is zero off the near set)
@@ -398,6 +401,7 @@ def _forward_single(
     node_mask: jax.Array,  # (N,)
     cfg: EPNNConfig,
     block: int,
+    remat: bool = False,
 ) -> jax.Array:
     n = x.shape[0]
     nb = -(-n // block)
@@ -460,6 +464,8 @@ def _forward_single(
         h = _apply_mlp(fused.update, upd_in, prec) * nm
         return (h, q), None
 
+    if remat:
+        message_round = jax.checkpoint(message_round)
     (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
 
     # ---- electron passing rounds ----
@@ -493,6 +499,8 @@ def _forward_single(
         dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
         return q + dq, None
 
+    if remat:
+        pass_round = jax.checkpoint(pass_round)
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
 
     return q * node_mask
@@ -500,7 +508,8 @@ def _forward_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to"),
+    static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
+                     "remat"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -513,6 +522,7 @@ def forward_blocked(
     neighbor_k: int | None = None,
     use_pallas: bool = False,
     pack_to: int = 1,
+    remat: bool = False,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
@@ -528,10 +538,12 @@ def forward_blocked(
     if neighbor_k is not None:
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
-            use_pallas=use_pallas, pack_to=pack_to,
+            use_pallas=use_pallas, pack_to=pack_to, remat=remat,
         )
     else:
-        single = functools.partial(_forward_single, cfg=cfg, block=block)
+        single = functools.partial(
+            _forward_single, cfg=cfg, block=block, remat=remat
+        )
     return jax.vmap(single, in_axes=(None, 0, 0, 0, 0))(
         fused, x, q0, xyz, node_mask
     )

@@ -149,3 +149,102 @@ def test_pack_to_invariance(rng):
                                     neighbor_k=20, pack_to=1))
     scale = np.abs(q1).max() + 1.0
     assert np.abs(q1 - q2).max() < 1e-5 * scale
+
+
+class TestEdgeCases:
+    def test_single_atom_molecule(self, rng):
+        """One atom: no pairs, no transfers — q stays exactly q0 = Q."""
+        cfg = EPNNConfig()
+        params, fused, *_ = build(rng, cfg, b=1, n=8, n_real=8)
+        x = np.zeros((1, 1, cfg.n_elems), np.float32)
+        x[0, 0, 0] = 8.0
+        x[0, 0, 4] = 1.0
+        xyz = np.zeros((1, 1, 3), np.float32)
+        mask = np.ones((1, 1), np.float32)
+        q0 = np.full((1, 1), -1.0, np.float32)
+        q = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=1))
+        np.testing.assert_allclose(q, q0, atol=1e-6)
+
+    def test_two_atoms(self, rng):
+        cfg = EPNNConfig()
+        _, fused, *_ = build(rng, cfg, b=1, n=8, n_real=8)
+        x = rng.normal(size=(1, 2, cfg.n_elems)).astype(np.float32)
+        xyz = np.array([[[0, 0, 0], [1.2, 0, 0]]], np.float32)
+        mask = np.ones((1, 2), np.float32)
+        q0 = np.full((1, 2), 0.5, np.float32)
+        qd = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=2))
+        qn = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=2,
+                                        neighbor_k=1))
+        np.testing.assert_allclose(qd.sum(), 1.0, atol=1e-4)
+        scale = np.abs(qd).max() + 1
+        assert np.abs(qd - qn).max() < 1e-5 * scale
+
+    def test_all_atoms_beyond_cutoff(self, rng):
+        """No pair within 3 A: no charge moves, q == q0 exactly per atom?
+        No — messages still flow (global), but transfers are all gated off,
+        so q == q0."""
+        cfg = EPNNConfig()
+        _, fused, *_ = build(rng, cfg, b=1, n=8, n_real=8)
+        x = rng.normal(size=(1, 4, cfg.n_elems)).astype(np.float32)
+        xyz = (np.arange(4, dtype=np.float32) * 10.0)[None, :, None] * np.array(
+            [1, 0, 0], np.float32
+        )
+        mask = np.ones((1, 4), np.float32)
+        q0 = np.array([[0.5, -0.25, 0.5, 0.25]], np.float32)
+        q = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=4))
+        np.testing.assert_allclose(q, q0, atol=1e-6)
+        qn = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=4,
+                                        neighbor_k=2))
+        np.testing.assert_allclose(qn, q0, atol=1e-6)
+
+
+class TestGradients:
+    """The fused paths are fully differentiable — big-graph training works
+    without the dense O(N^2 (2F+E)) tensors (remat bounds activation memory
+    at round boundaries)."""
+
+    def test_grads_match_dense_model(self, rng):
+        import jax.numpy as jnp
+
+        from epnn_tpu.featurize import rbf_edges
+        from epnn_tpu.models import EPNN, init_params
+
+        cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        fused = fuse_params(params, cfg)
+        b, n = 2, 16
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-3, 3, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(size=(b, n)).astype(np.float32)
+
+        def loss_fused(q0, remat):
+            q = forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                                neighbor_k=15, remat=remat)
+            return jnp.mean((q - y) ** 2)
+
+        def loss_dense(q0):
+            e = rbf_edges(xyz, mask, e_dim=cfg.e_dim)
+            q = EPNN(cfg).apply(params, x, q0, e, mask)
+            return jnp.mean((q - y) ** 2)
+
+        gd = np.asarray(jax.grad(loss_dense)(q0))
+        for remat in (False, True):
+            gf = np.asarray(jax.grad(lambda z: loss_fused(z, remat))(q0))
+            np.testing.assert_allclose(gf, gd, atol=1e-5)
+
+    def test_param_grads_finite(self, rng):
+        import jax.numpy as jnp
+
+        cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=16, n_real=16)
+
+        def loss(f):
+            q = forward_blocked(f, x, q0, xyz, mask, cfg, block=8,
+                                neighbor_k=15, remat=True)
+            return jnp.mean(q ** 2)
+
+        g = jax.grad(loss)(fused)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
