@@ -106,3 +106,54 @@ def test_graft_entry_compiles():
     # fp32 summation noise relative to |q|
     err = np.abs(q.sum(1) - 1.0)
     assert np.all(err < 1e-6 * (np.abs(q).sum(1) + 1.0))
+
+
+@needs_devices
+class TestRingSharding:
+    """Ring-circulated pair grid (ppermute over the atoms axis) — the
+    nothing-replicated variant for graphs beyond one chip's memory."""
+
+    def test_matches_blocked_forward(self, rng):
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded
+
+        cfg = SMALL
+        fused = fuse_params(init_params(cfg, jax.random.key(0)), cfg)
+        n = 32
+        x = rng.normal(size=(1, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-4, 4, size=(1, n, 3)).astype(np.float32)
+        mask = np.ones((1, n), np.float32)
+        q0 = np.full((1, n), -2.0 / n, np.float32)
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        q_ring = np.asarray(
+            forward_ring_sharded(fused, x[0], q0[0], xyz[0], mask[0], cfg, mesh)
+        )
+        q_blocked = np.asarray(
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=4)
+        )[0]
+        scale = np.abs(q_blocked).max() + 1.0
+        assert np.abs(q_ring - q_blocked).max() < 1e-5 * scale
+        assert abs(q_ring.sum() + 2.0) < 2e-6 * (np.abs(q_ring).sum() + 1)
+
+    def test_with_padding_and_compat(self, rng):
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded
+
+        cfg = SMALL.replace(mask_messages=False)
+        fused = fuse_params(init_params(cfg, jax.random.key(2)), cfg)
+        n, nr = 40, 33
+        x = rng.normal(size=(1, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-4, 4, size=(1, n, 3)).astype(np.float32)
+        mask = np.zeros((1, n), np.float32)
+        mask[:, :nr] = 1
+        x[:, nr:] = 0
+        xyz[:, nr:] = 0
+        q0 = mask / nr
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        q_ring = np.asarray(
+            forward_ring_sharded(fused, x[0], q0[0], xyz[0], mask[0], cfg, mesh)
+        )
+        q_blocked = np.asarray(
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8)
+        )[0]
+        scale = np.abs(q_blocked).max() + 1.0
+        assert np.abs(q_ring - q_blocked).max() < 1e-5 * scale
+        assert np.all(q_ring[nr:] == 0.0)
