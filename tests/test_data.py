@@ -165,3 +165,49 @@ class TestNativeParser:
             assert a.name == b.name and a.symbols == b.symbols
             assert a.total_charge == b.total_charge
             np.testing.assert_array_equal(a.xyz, b.xyz)
+
+
+class TestCompatShim:
+    """epnn_tpu.compat.gen_padded_init_state vs the reference loader."""
+
+    def test_matches_reference_loader(self, tmp_path, toy_molecules):
+        import sys
+
+        from conftest import REFERENCE_DIR, reference_available
+
+        if not reference_available():
+            pytest.skip("reference repo not mounted")
+        d = tmp_path / "mols"
+        d.mkdir()
+        for m in toy_molecules:
+            lines = [str(m.natoms), f"{m.total_charge:g} 1"]
+            for s, xyz in zip(m.symbols, m.xyz):
+                lines.append(f"{s} {float(xyz[0])!r} {float(xyz[1])!r} "
+                             f"{float(xyz[2])!r}")
+            (d / f"{m.name}.xyz").write_text("\n".join(lines) + "\n")
+            np.save(d / f"{m.name}.npy", m.labels)
+
+        from epnn_tpu.compat import gen_padded_init_state
+
+        ours = gen_padded_init_state(str(d) + "/", h_dim=8, e_dim=16)
+
+        sys.path.insert(0, REFERENCE_DIR)
+        try:
+            import charge_gn
+        except Exception as exc:
+            pytest.skip(f"cannot import reference: {exc}")
+        finally:
+            sys.path.pop(0)
+        theirs = charge_gn.gen_padded_init_state(str(d) + "/", 8, 16)
+
+        labels = ["x", "h", "q", "e", "Q", "y", "mask"]
+        our_names = [str(n) for n in ours[7]]
+        their_names = [str(n) for n in theirs[7]]
+        order = [their_names.index(n) for n in our_names]
+        for lab, a, b in zip(labels, ours[:7], theirs[:7]):
+            b = np.asarray(b)
+            if b.ndim >= 1 and b.shape[0] == len(order):
+                b = b[order]
+            np.testing.assert_allclose(
+                np.asarray(a), b, atol=1e-5, err_msg=lab
+            )
