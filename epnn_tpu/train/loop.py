@@ -47,6 +47,7 @@ class TrainConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-7
+    grad_clip_norm: Optional[float] = None  # optax global-norm clipping
     epochs: int = 500
     batch_size: int = 32
     loss: str = "masked_mse"
@@ -82,7 +83,10 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         lr = tc.learning_rate
-    return optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+    opt = optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+    if tc.grad_clip_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), opt)
+    return opt
 
 
 def create_state(cfg: EPNNConfig, tc: TrainConfig, rng: jax.Array) -> TrainState:
