@@ -234,3 +234,35 @@ def test_orbax_roundtrip(tmp_path, decay):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestBundleReaderRobustness:
+    def test_truncated_index_raises(self, tmp_path):
+        from epnn_tpu.io.bundle_reader import BundleError, read_bundle
+
+        src = os.path.join(MODELS_DIR, "model_weights.index")
+        data = open(src, "rb").read()
+        bad = tmp_path / "trunc"
+        (tmp_path / "trunc.index").write_bytes(data[: len(data) // 2])
+        with pytest.raises((BundleError, Exception)):
+            read_bundle(str(bad))
+
+    def test_bad_magic_raises(self, tmp_path):
+        from epnn_tpu.io.bundle_reader import BundleError, read_bundle
+
+        src = os.path.join(MODELS_DIR, "model_weights.index")
+        data = bytearray(open(src, "rb").read())
+        data[-1] ^= 0xFF
+        (tmp_path / "bad.index").write_bytes(bytes(data))
+        with pytest.raises(BundleError, match="magic"):
+            read_bundle(str(tmp_path / "bad"))
+
+    def test_missing_shard_raises(self, tmp_path):
+        import shutil
+
+        from epnn_tpu.io.bundle_reader import BundleError, read_bundle
+
+        shutil.copy(os.path.join(MODELS_DIR, "model_weights.index"),
+                    tmp_path / "m.index")
+        with pytest.raises(BundleError, match="shard"):
+            read_bundle(str(tmp_path / "m"))
