@@ -10,7 +10,7 @@ analysis tooling, and single-chip-to-pod scaling.
 
 __version__ = "0.1.0"
 
-from epnn_tpu import data, models
+from epnn_tpu import compat, data, models
 from epnn_tpu.elements import INFER_TABLE, TRAIN_TABLE, ElementTable, table_for_n_elems
 from epnn_tpu.featurize import rbf_edges, rbf_edges_np
 
@@ -18,6 +18,7 @@ __all__ = [
     "ElementTable",
     "INFER_TABLE",
     "TRAIN_TABLE",
+    "compat",
     "data",
     "models",
     "rbf_edges",

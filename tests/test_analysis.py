@@ -70,3 +70,25 @@ def test_far_monomers_conserve_separately(tiny_predictor):
     pol = res.pred_polarization
     assert abs(pol[:4].sum()) < 1e-4   # monomer A total conserved
     assert abs(pol[4:].sum()) < 1e-4   # monomer B total conserved
+
+
+def test_predictor_dispatch_boundary(tiny_predictor, rng):
+    """Dense vs blocked dispatch must agree at the boundary."""
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+
+    g = np.random.default_rng(9)
+    n = 12
+    mol = Molecule(name="d", symbols=["C"] * n,
+                   xyz=g.uniform(-3, 3, (n, 3)).astype(np.float32),
+                   total_charge=1.0)
+    table = table_for_n_elems(tiny_predictor.cfg.n_elems)
+    batch = pad_molecules([mol], table, pad_to=16)
+    tiny_predictor.force_mode = "dense"
+    qd = tiny_predictor.predict_batch(batch)
+    tiny_predictor.force_mode = "blocked"
+    qb = tiny_predictor.predict_batch(batch)
+    tiny_predictor.force_mode = None
+    np.testing.assert_allclose(qd, qb, atol=1e-4)
+    np.testing.assert_allclose(qd.sum(), 1.0, atol=1e-5)
