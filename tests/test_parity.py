@@ -53,12 +53,17 @@ def _predict(params, cfg, mols, pad_to, use_blocked=False):
     batch = pad_molecules(mols, table, pad_to=pad_to)
     if use_blocked:
         from epnn_tpu.ops import forward_blocked, fuse_params
+        from epnn_tpu.ops.fused import max_neighbor_count
 
         fused = fuse_params(params, cfg)
+        k = None
+        if pad_to > 256:  # big graphs: exact neighbor split (CPU-feasible)
+            k = -(-(max_neighbor_count(
+                batch.xyz[0], batch.node_mask[0], cfg.cutoff) + 4) // 8) * 8
         return np.asarray(
             forward_blocked(
                 fused, batch.x, batch.q0, batch.xyz, batch.node_mask, cfg,
-                block=min(128, pad_to),
+                block=min(128, pad_to), neighbor_k=k,
             )
         )
     e = np.zeros((len(mols), pad_to, pad_to, cfg.e_dim), np.float32)
@@ -163,7 +168,6 @@ class TestGoldenMixedVal:
         assert abs(masked_mae - 0.01513) < 3e-4
 
 
-@pytest.mark.skipif(not FULL, reason="set EPNN_SLOW_TESTS=1 for protein parity")
 class TestGoldenProtein:
     def test_protein_predictions(self, decay, protein_dir):
         from epnn_tpu.data.xyz import load_molecule
