@@ -84,9 +84,21 @@ class Predictor:
         if mode == "dense":
             q = self._dense(batch.x, batch.q0, batch.xyz, batch.node_mask)
         else:
+            # exact neighbor split: k from the batch's true max neighbor
+            # count, rounded up so repeated shapes reuse the compiled program
+            from epnn_tpu.data.dataset import round_up
+            from epnn_tpu.ops.fused import max_neighbor_count
+
+            k = max(
+                max_neighbor_count(batch.xyz[b], batch.node_mask[b],
+                                   self.cfg.cutoff)
+                for b in range(batch.batch_size)
+            )
+            k = min(round_up(k + 4, 8), batch.padded_atoms - 1)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
+                neighbor_k=max(k, 1),
             )
         return np.asarray(q)
 
