@@ -188,6 +188,12 @@ def _pad_rows(arr: jax.Array, block: int) -> jax.Array:
     return arr
 
 
+#: above this atom count, neighbor selection runs blockwise (the one-shot
+#: (N, N) distance matrix would cost O(N^2) HBM - 1.3 GB fp32 at N~18K)
+_NEIGHBOR_BLOCK_THRESHOLD = 4096
+_NEIGHBOR_BLOCK = 1024
+
+
 def build_neighbors(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -200,15 +206,38 @@ def build_neighbors(
     near/far split exact.  Requires k >= the true max neighbor count —
     enforce with :func:`max_neighbor_count` outside jit (top_k silently
     drops pairs otherwise, breaking antisymmetry).
+
+    Selection is blockwise above ``_NEIGHBOR_BLOCK_THRESHOLD`` atoms: each
+    row block scores its (block, N) distance slice and top-ks locally, so
+    peak memory is O(block·N) instead of O(N²).
     """
     n = xyz.shape[0]
-    d2 = jnp.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-    eye = jnp.eye(n, dtype=bool)
-    cand = (d2 < cutoff * cutoff) & ~eye
-    cand &= (node_mask[:, None] > 0) & (node_mask[None, :] > 0)
-    score = jnp.where(cand, -d2, -jnp.inf)
-    vals, idx = jax.lax.top_k(score, k)
-    return idx, (vals > -jnp.inf).astype(xyz.dtype)
+
+    def block_neighbors(start, xyz_rows, mask_rows):
+        d2 = jnp.sum((xyz_rows[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+        rows = start + jnp.arange(xyz_rows.shape[0])
+        not_self = rows[:, None] != jnp.arange(n)[None, :]
+        cand = (d2 < cutoff * cutoff) & not_self
+        cand &= (mask_rows[:, None] > 0) & (node_mask[None, :] > 0)
+        score = jnp.where(cand, -d2, -jnp.inf)
+        vals, idx = jax.lax.top_k(score, k)
+        return idx, (vals > -jnp.inf).astype(xyz.dtype)
+
+    if n <= _NEIGHBOR_BLOCK_THRESHOLD:
+        return block_neighbors(0, xyz, node_mask)
+
+    blk = _NEIGHBOR_BLOCK
+    nb = -(-n // blk)
+    xyz_b = _pad_rows(xyz, blk).reshape(nb, blk, 3)
+    mask_b = _pad_rows(node_mask, blk).reshape(nb, blk)
+    starts = jnp.arange(nb) * blk
+
+    def scan_fn(carry, inp):
+        start, xr, mr = inp
+        return carry, block_neighbors(start, xr, mr)
+
+    _, (idx, nmask) = jax.lax.scan(scan_fn, None, (starts, xyz_b, mask_b))
+    return idx.reshape(nb * blk, k)[:n], nmask.reshape(nb * blk, k)[:n]
 
 
 def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:

@@ -292,3 +292,23 @@ def test_finetune_through_fused_path(rng, mixed_dir):
         f = optax.apply_updates(f, updates)
         losses.append(float(l))
     assert losses[-1] < losses[0], losses
+
+
+def test_blockwise_neighbor_builder(rng):
+    """Blockwise and one-shot neighbor selection return the same sets."""
+    import epnn_tpu.ops.fused as F
+
+    n = 300
+    xyz = rng.uniform(0, (n / 0.1) ** (1 / 3), size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[280:] = 0
+    idx1, m1 = map(np.asarray, F.build_neighbors(xyz, mask, 3.0, 24))
+    old_thr, old_blk = F._NEIGHBOR_BLOCK_THRESHOLD, F._NEIGHBOR_BLOCK
+    try:
+        F._NEIGHBOR_BLOCK_THRESHOLD, F._NEIGHBOR_BLOCK = 64, 128
+        idx2, m2 = map(np.asarray, F.build_neighbors(xyz, mask, 3.0, 24))
+    finally:
+        F._NEIGHBOR_BLOCK_THRESHOLD, F._NEIGHBOR_BLOCK = old_thr, old_blk
+    for i in range(n):
+        assert (set(idx1[i][m1[i] > 0].tolist())
+                == set(idx2[i][m2[i] > 0].tolist())), i
