@@ -363,10 +363,12 @@ def _forward_single_nbr(
 
         if pallas_ok and len(w.mids) == 1:
             (w2, b2), = w.mids
+            # pi already carries b1 (folded once per atom above) — the
+            # kernel's first layer is bias-free by contract
             dense_sum = dense_message_rowsum(
                 jnp.pad(pi, ((0, n_pad - n), (0, 0))),
                 jnp.pad(pj, ((0, n_pad - n), (0, 0))),
-                col_vec, w.b1, w2, b2,
+                col_vec, w2, b2,
                 block_i=bi, block_j=bj, masked=True, precision=prec_name,
             )[:n]
         else:

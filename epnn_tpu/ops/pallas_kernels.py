@@ -3,7 +3,11 @@
 After the neighbor split (epnn_tpu.ops.fused), the one remaining O(N²) hot
 op is the featureless message reduction of each GNN round:
 
-    out_i = Σ_j mask_ij · relu(relu(pi_i + pj_j + b1) @ W2 + b2)
+    out_i = Σ_j mask_ij · relu(relu(pi_i + pj_j) @ W2 + b2)
+
+(``pi`` carries the first-layer bias folded in by the caller — the kernel
+adds nothing to the first layer, which keeps its contract independent of
+the caller's bias convention.)
 
 This kernel tiles the (N × N) pair grid onto a (row-block × col-block) grid,
 builds the first-layer activations for one tile directly in VMEM from the
@@ -35,14 +39,14 @@ def _on_tpu() -> bool:
         return False
 
 
-def _msg_kernel(pi_ref, pj_ref, nmi_ref, nmj_ref, b1_ref, w2_ref, b2_ref,
+def _msg_kernel(pi_ref, pj_ref, nmi_ref, nmj_ref, w2_ref, b2_ref,
                 out_ref, *, masked: bool, prec):
     j = pl.program_id(1)
     pi = pi_ref[:]            # (BI, H)
     pj = pj_ref[:]            # (BJ, H)
     bi, h = pi.shape
     bj = pj.shape[0]
-    hid1 = jax.nn.relu(pi[:, None, :] + pj[None, :, :] + b1_ref[:][None, :, :])
+    hid1 = jax.nn.relu(pi[:, None, :] + pj[None, :, :])
     hid1 = hid1.reshape(bi * bj, h)
     hid2 = jax.nn.relu(
         jnp.dot(hid1, w2_ref[:], preferred_element_type=jnp.float32,
@@ -70,10 +74,9 @@ def _msg_kernel(pi_ref, pj_ref, nmi_ref, nmj_ref, b1_ref, w2_ref, b2_ref,
                               "interpret")
 )
 def dense_message_rowsum(
-    pi: jax.Array,           # (N, H) row projections (already includes W1_i)
+    pi: jax.Array,           # (N, H) row projections, first-layer bias folded in
     pj: jax.Array,           # (N, H) col projections
     node_mask: jax.Array,    # (N,)
-    b1: jax.Array,           # (H,)
     w2: jax.Array,           # (H, H)
     b2: jax.Array,           # (H,)
     block_i: int = 128,
@@ -82,11 +85,13 @@ def dense_message_rowsum(
     precision: str = "default",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Σ_j mask_ij · relu(relu(pi_i + pj_j + b1) @ W2 + b2) as (N, H).
+    """Σ_j mask_ij · relu(relu(pi_i + pj_j) @ W2 + b2) as (N, H).
 
-    N must be padded to lcm(block_i, block_j) by the caller (padded rows have
-    node_mask 0; in unmasked/compat mode the caller arranges the padded width
-    to equal the reference's, so including them is the point).
+    ``pi`` must already include the first-layer bias (fold it in once per
+    atom — the kernel adds no bias to the first layer).  N must be padded to
+    lcm(block_i, block_j) by the caller (padded rows have node_mask 0; in
+    unmasked/compat mode the caller arranges the padded width to equal the
+    reference's, so including them is the point).
     """
     n, h = pi.shape
     assert n % block_i == 0 and n % block_j == 0, (n, block_i, block_j)
@@ -114,8 +119,6 @@ def dense_message_rowsum(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_j, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((h, h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), lambda i, j: (0, 0),
@@ -125,12 +128,13 @@ def dense_message_rowsum(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
         interpret=interpret,
-    )(pi, pj, nm2, nm2, b1[None, :], w2, b2[None, :])
+    )(pi, pj, nm2, nm2, w2, b2[None, :])
 
 
-def dense_message_rowsum_reference(pi, pj, node_mask, b1, w2, b2, masked=True):
-    """NumPy-oracle for the kernel (used by tests)."""
-    hid1 = np.maximum(pi[:, None, :] + pj[None, :, :] + b1, 0.0)
+def dense_message_rowsum_reference(pi, pj, node_mask, w2, b2, masked=True):
+    """NumPy-oracle for the kernel (used by tests).  Note: intentionally
+    independent of any bias convention — ``pi`` carries the folded b1."""
+    hid1 = np.maximum(pi[:, None, :] + pj[None, :, :], 0.0)
     hid2 = np.maximum(hid1 @ w2 + b2, 0.0)
     if masked:
         pair = node_mask[:, None] * node_mask[None, :]

@@ -12,6 +12,13 @@ from epnn_tpu.ops import forward_blocked, fuse_params
 
 def build(rng, cfg, b=2, n=20, n_real=13, seed=0):
     params = init_params(cfg, jax.random.key(seed))
+    # Flax inits Dense biases to zero, which lets bias-handling bugs in the
+    # decomposed paths cancel out undetected (round-1 post-mortem: the
+    # use_pallas b1 double-add was invisible for exactly this reason).
+    # Perturb every 1-D leaf so biases are load-bearing in all path tests.
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.3 if a.ndim == 1 else a, params
+    )
     fused = fuse_params(params, cfg)
     x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
     xyz = rng.uniform(-4, 4, size=(b, n, 3)).astype(np.float32)
@@ -31,8 +38,10 @@ def test_matches_dense_model(rng, mask_messages):
     e = np.asarray(rbf_edges(xyz, mask))
     q_dense = np.asarray(EPNN(cfg).apply(params, x, q0, e, mask))
     q_block = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=7))
-    # split-first-layer association noise only
-    np.testing.assert_allclose(q_block, q_dense, atol=1e-4)
+    # split-first-layer association noise only (scale-relative: the
+    # bias-perturbed params produce O(50) charges)
+    scale = np.abs(q_dense).max() + 1.0
+    assert np.abs(q_block - q_dense).max() < 1e-5 * scale
 
 
 def test_block_size_invariance(rng):
@@ -77,23 +86,29 @@ def test_padded_rows_do_not_leak(rng):
 class TestNeighborPath:
     """Neighbor-split path (epnn_tpu.ops.fused._forward_single_nbr)."""
 
+    @pytest.mark.parametrize("use_pallas", [False, True])
     @pytest.mark.parametrize("mask_messages", [True, False])
-    def test_matches_dense_path(self, rng, mask_messages):
+    def test_matches_dense_path(self, rng, mask_messages, use_pallas):
         cfg = EPNNConfig(mask_messages=mask_messages)
         _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=2, n=24, n_real=17)
         qd = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8))
         qn = np.asarray(
-            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=24)
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                            neighbor_k=24, use_pallas=use_pallas)
         )
         # identical math, different summation order; scale-relative bound
+        # (biases are perturbed in build(), so this would have caught the
+        # round-1 b1 double-add in the Pallas integration)
         scale = np.abs(qd).max() + 1.0
         assert np.abs(qn - qd).max() < 1e-5 * scale
 
-    def test_conservation(self, rng):
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_conservation(self, rng, use_pallas):
         cfg = EPNNConfig()
         _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=2, n=24, n_real=20)
         qn = np.asarray(
-            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=20)
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                            neighbor_k=20, use_pallas=use_pallas)
         )
         scale = np.abs(qn).sum(1) + 1.0
         assert np.all(np.abs(qn.sum(1) - q_total) < 2e-6 * scale)
