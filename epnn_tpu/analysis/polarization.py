@@ -60,16 +60,22 @@ def split_dimer(dimer: Molecule, split: Optional[int] = None,
                 charges: Optional[Sequence[float]] = None):
     """Split a dimer into two monomer Molecules at ``split``.
 
-    Monomer net charges must be supplied (they are not derivable from the
-    dimer file); if omitted, each monomer gets the dimer's total assigned
-    proportionally — callers doing quantitative work should pass them.
+    Monomer net charges are REQUIRED: they are physical inputs (integer
+    charges of each isolated monomer — the reference probe used −1/0,
+    ``pol_data/pol_test.py``) and are not derivable from the dimer file.
+    Guessing them (e.g. proportionally by atom count) yields non-integer
+    monomer charges and quantitative-looking but physically meaningless
+    polarization output, so it is an error, not a default.
     """
     split = split if split is not None else dimer.split
     if split is None:
         raise ValueError(f"{dimer.name}: no split index available")
     if charges is None:
-        frac = split / dimer.natoms
-        charges = (dimer.total_charge * frac, dimer.total_charge * (1 - frac))
+        raise ValueError(
+            f"{dimer.name}: monomer net charges are required to split a "
+            "dimer (pass charges=(q_monoA, q_monoB), or provide monomer "
+            ".xyz files whose headers carry the charges)"
+        )
     mono_a = Molecule(
         name=dimer.name + "_monoA",
         symbols=dimer.symbols[:split],

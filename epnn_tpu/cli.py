@@ -36,8 +36,12 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--eta", type=float, default=2.0)
     p.add_argument("--reference-compat", action="store_true",
                    help="reproduce the reference's unmasked GNN messages")
-    p.add_argument("--preset", choices=["model", "model2", "decay_model"],
-                   help="use a shipped-checkpoint architecture preset")
+    p.add_argument("--preset",
+                   choices=["model", "model2", "decay_model", "model_clean",
+                            "model2_clean", "decay_model_clean"],
+                   help="architecture preset: reference-named presets carry "
+                        "the checkpoint's exact semantics (unmasked messages); "
+                        "*_clean variants use pairwise-masked messages")
 
 
 def _model_config(args):
@@ -129,9 +133,17 @@ def cmd_eval_pol(args):
     monomers = None
     if args.monomers:
         monomers = [load_molecule(p) for p in args.monomers]
+    elif args.monomer_charges is None:
+        raise SystemExit(
+            "eval-pol: monomer net charges are physical inputs — pass "
+            "--monomers <a.xyz> <b.xyz> (headers carry the charges) or "
+            "--monomer-charges qA qB to split the dimer"
+        )
     label = np.load(args.labels).reshape(-1) if args.labels else None
     res = polarization_response(
-        pred, dimer, monomers=monomers, label_polarization=label,
+        pred, dimer, monomers=monomers,
+        monomer_charges=args.monomer_charges,
+        label_polarization=label,
         pad_to=args.pad_to,
     )
     print(res.summary())
@@ -213,7 +225,10 @@ def build_parser() -> argparse.ArgumentParser:
     _ckpt_args(p)
     p.add_argument("dimer", help="dimer .xyz (with splits metadata)")
     p.add_argument("--monomers", nargs=2,
-                   help="monomer .xyz files (else derived from the split)")
+                   help="monomer .xyz files (headers carry the net charges)")
+    p.add_argument("--monomer-charges", nargs=2, type=float,
+                   help="monomer net charges (required when splitting the "
+                        "dimer without --monomers)")
     p.add_argument("--labels", help="label polarization .npy")
     p.add_argument("--pad-to", type=int)
     p.set_defaults(fn=cmd_eval_pol)

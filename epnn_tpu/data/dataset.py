@@ -30,7 +30,7 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity semantics (hashable/weakref-able)
 class MolBatch:
     """A padded batch of molecules. All arrays are NumPy; jit consumes them.
 
@@ -159,7 +159,10 @@ def minibatches(
             if drop_remainder:
                 return
             pad_count = batch_size - len(idx)
-            idx = np.concatenate([idx, order[:pad_count]])
+            # np.resize tiles, so buckets smaller than batch_size still fill
+            # a full fixed-shape batch (a short batch would recompile under
+            # jit and break divisibility under a data-parallel mesh)
+            idx = np.concatenate([idx, np.resize(order, pad_count)])
         yield batch.select(idx), batch_size - pad_count
 
 

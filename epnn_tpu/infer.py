@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 import jax
 import numpy as np
 
-from epnn_tpu.data.dataset import MolBatch, bucket_molecules, pad_molecules
+from epnn_tpu.data.dataset import MolBatch, pad_molecules
 from epnn_tpu.data.xyz import Molecule
 from epnn_tpu.elements import table_for_n_elems
 from epnn_tpu.featurize import rbf_edges
@@ -44,6 +44,35 @@ class Predictor:
         self._model = EPNN(self.cfg)
         self._fused = fuse_params(self.params, self.cfg)
         self._dense = jax.jit(self._apply_dense)
+        # safe static neighbor_k per batch object (the exact scan is an
+        # O(N²/512) host loop — repeated inference on the same batch must
+        # not pay it every call); WeakValueDictionary-style id keying is
+        # unsafe (ids recycle), so key on the object itself via a weak map
+        import weakref
+
+        self._k_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def _neighbor_k(self, batch: MolBatch) -> int:
+        """Exact safe neighbor_k for a batch, cached per batch object and
+        rounded up so repeated shapes reuse the compiled program."""
+        try:
+            return self._k_cache[batch]
+        except (KeyError, TypeError):
+            pass
+        from epnn_tpu.data.dataset import round_up
+        from epnn_tpu.ops.fused import max_neighbor_count
+
+        k = max(
+            max_neighbor_count(batch.xyz[b], batch.node_mask[b],
+                               self.cfg.cutoff)
+            for b in range(batch.batch_size)
+        )
+        k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
+        try:
+            self._k_cache[batch] = k
+        except TypeError:
+            pass
+        return k
 
     @classmethod
     def from_checkpoint(cls, directory: str, **kw) -> "Predictor":
@@ -84,17 +113,7 @@ class Predictor:
         if mode == "dense":
             q = self._dense(batch.x, batch.q0, batch.xyz, batch.node_mask)
         else:
-            # exact neighbor split: k from the batch's true max neighbor
-            # count, rounded up so repeated shapes reuse the compiled program
-            from epnn_tpu.data.dataset import round_up
-            from epnn_tpu.ops.fused import max_neighbor_count
-
-            k = max(
-                max_neighbor_count(batch.xyz[b], batch.node_mask[b],
-                                   self.cfg.cutoff)
-                for b in range(batch.batch_size)
-            )
-            k = min(round_up(k + 4, 8), batch.padded_atoms - 1)
+            k = self._neighbor_k(batch)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
@@ -105,15 +124,23 @@ class Predictor:
     def predict_molecules(
         self, mols: Sequence[Molecule], pad_to: Optional[int] = None
     ) -> List[np.ndarray]:
-        """Per-molecule charge arrays (each trimmed to its real atoms)."""
+        """Per-molecule charge arrays (each trimmed to its real atoms).
+
+        Results are tracked by input position, not molecule name — duplicate
+        names (caller-constructed, or identical file stems from different
+        directories) must each get their own prediction.
+        """
+        from epnn_tpu.data.dataset import round_up
+
         table = table_for_n_elems(self.cfg.n_elems)
-        results: dict[str, np.ndarray] = {}
-        if pad_to is not None:
-            buckets = {pad_to: pad_molecules(mols, table, pad_to=pad_to)}
-        else:
-            buckets = bucket_molecules(mols, table)
-        for _, batch in buckets.items():
+        results: List[Optional[np.ndarray]] = [None] * len(mols)
+        groups: dict[int, List[int]] = {}
+        for i, m in enumerate(mols):
+            key = pad_to if pad_to is not None else round_up(max(m.natoms, 1), 8)
+            groups.setdefault(key, []).append(i)
+        for key, idxs in sorted(groups.items()):
+            batch = pad_molecules([mols[i] for i in idxs], table, pad_to=key)
             q = self.predict_batch(batch)
-            for i, name in enumerate(batch.names):
-                results[name] = q[i, : batch.natoms[i]]
-        return [results[m.name] for m in mols]
+            for row, i in enumerate(idxs):
+                results[i] = q[row, : batch.natoms[row]]
+        return results

@@ -120,7 +120,10 @@ def import_checkpoint(prefix: str, e_dim: int = 48) -> Tuple[dict, EPNNConfig]:
     # infer hyperparameters from shapes
     update_layers = sorted(params["update"])
     h_dim = params["update"][update_layers[-1]]["bias"].shape[0]
-    msg_dim = params["message_0"][update_layers[-1]]["bias"].shape[0]
+    # msg_dim comes from the message MLP's OWN last layer — indexing it with
+    # the update MLP's depth would break if the two ever differ
+    msg_last = max(params["message_0"], key=lambda k: int(k.split("_")[1]))
+    msg_dim = params["message_0"][msg_last]["bias"].shape[0]
     pair_in = params["message_0"]["dense_0"]["kernel"].shape[0]
     n_elems = (pair_in - e_dim) // 2 - h_dim - 1
     hidden = tuple(

@@ -70,13 +70,22 @@ def reference_compat(cfg: EPNNConfig) -> EPNNConfig:
     return cfg.replace(mask_messages=False)
 
 
-#: Presets matching the three shipped checkpoints (SURVEY §2.5).
+#: Presets matching the three shipped checkpoints (SURVEY §2.5).  The
+#: reference-named presets carry ``mask_messages=False`` — the exact
+#: semantics the checkpoints were trained with (unmasked GNN message sums,
+#: SURVEY §8 Q10) and what tf_import infers — so a config built from the
+#: preset matches one built from the checkpoint.  The ``*_clean`` variants
+#: are the same architectures with pairwise-masked messages (the
+#: padding-width-independent default for training new models).
 PRESETS = {
     # charge_gn.py __main__ — 9-element table + Z slot, T=5
-    "model": EPNNConfig(n_elems=10, T=5),
+    "model": EPNNConfig(n_elems=10, T=5, mask_messages=False),
     # smaller variant: 8-element table, T=3
-    "model2": EPNNConfig(n_elems=9, T=3),
-    # decay variant: 8-element table, T=5 (pass weighting resolved by parity
-    # testing in tests/test_parity.py; hard gate unless proven otherwise)
-    "decay_model": EPNNConfig(n_elems=9, T=5),
+    "model2": EPNNConfig(n_elems=9, T=3, mask_messages=False),
+    # decay variant: 8-element table, T=5 (hard gate — resolved by parity
+    # testing in tests/test_parity.py; 'decay' in the name is historical)
+    "decay_model": EPNNConfig(n_elems=9, T=5, mask_messages=False),
+    "model_clean": EPNNConfig(n_elems=10, T=5),
+    "model2_clean": EPNNConfig(n_elems=9, T=3),
+    "decay_model_clean": EPNNConfig(n_elems=9, T=5),
 }

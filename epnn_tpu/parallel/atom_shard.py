@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from epnn_tpu.models.config import EPNNConfig
 from epnn_tpu.ops.fused import (
@@ -39,7 +39,7 @@ from epnn_tpu.ops.fused import (
 from epnn_tpu.parallel.sharding import ATOM_AXIS
 
 
-def _row_sums(w: PairMLPWeights, rows_slice, pi_rows, pj_rows, xyz_rows,
+def _row_sums(w: PairMLPWeights, pi_rows, pj_rows, xyz_rows,
               valid_rows, pairm_rows, pi_full, pj_full, xyz_full, cfg,
               prec, want_transfer: bool):
     """Pair-grid row-block computation shared by message and pass rounds."""
@@ -87,13 +87,13 @@ def forward_atom_sharded(
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, rows, rows, rep, rows, rows, rep, rep, rep),
+        in_specs=(rep, rows, rows, rows, rows, rep, rep, rep),
         out_specs=rows,
-        check_rep=False,
+        check_vma=False,
     )
-    def message_rows(w, pi_rows, xyz_rows, pj_full, valid_rows, pairm_rows,
-                     pi_full, pj_full2, xyz_full):
-        return _row_sums(w, None, pi_rows, None, xyz_rows, valid_rows,
+    def message_rows(w, pi_rows, xyz_rows, valid_rows, pairm_rows,
+                     pi_full, pj_full, xyz_full):
+        return _row_sums(w, pi_rows, None, xyz_rows, valid_rows,
                          pairm_rows, pi_full, pj_full, xyz_full, cfg, prec,
                          want_transfer=False)
 
@@ -101,11 +101,11 @@ def forward_atom_sharded(
         shard_map, mesh=mesh,
         in_specs=(rep, rows, rows, rows, rows, rep, rep, rep),
         out_specs=rows,
-        check_rep=False,
+        check_vma=False,
     )
     def pass_rows(w, pi_rows, pj_rows, xyz_rows, valid_rows,
                   pi_full, pj_full, xyz_full):
-        return _row_sums(w, None, pi_rows, pj_rows, xyz_rows, valid_rows,
+        return _row_sums(w, pi_rows, pj_rows, xyz_rows, valid_rows,
                          None, pi_full, pj_full, xyz_full, cfg, prec,
                          want_transfer=True)
 
@@ -121,7 +121,7 @@ def forward_atom_sharded(
         a = atom_inputs(h, q)
         pi = jnp.dot(a, w.w1_i, precision=prec)
         pj = jnp.dot(a, w.w1_j, precision=prec)
-        messages = message_rows(w, pi, xyz, pj, valid, pairm, pi, pj, xyz)
+        messages = message_rows(w, pi, xyz, valid, pairm, pi, pj, xyz)
         upd_in = jnp.concatenate([h, messages], axis=-1) * nm
         h = _apply_mlp(fused.update, upd_in, prec) * nm
         return (h, q), None

@@ -30,7 +30,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from epnn_tpu.featurize import MU_START
 from epnn_tpu.models.config import EPNNConfig
@@ -85,7 +85,7 @@ def forward_ring_sharded(
         shard_map, mesh=mesh,
         in_specs=(rep, rows, rows, rows, rows, rows),
         out_specs=rows,
-        check_rep=False,
+        check_vma=False,
     )
     def fwd(fused, x_d, q0_d, xyz_d, mask_d, gidx_d):
         axis_size = jax.lax.axis_size(ATOM_AXIS)

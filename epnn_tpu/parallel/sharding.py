@@ -69,18 +69,3 @@ def shard_batch_args(args: Tuple, mesh: Mesh) -> Tuple:
             )
         out.append(jax.device_put(a, sh))
     return tuple(out)
-
-
-def pad_batch_to_devices(args: Tuple, weight_index: int, n_shards: int) -> Tuple:
-    """Pad the leading axis to a multiple of the data-axis size; padded rows
-    get zero sample weight so metrics/gradients ignore them."""
-    b = args[0].shape[0]
-    rem = (-b) % n_shards
-    if rem == 0:
-        return args
-    out = []
-    for i, a in enumerate(args):
-        a = np.asarray(a)
-        pad = np.zeros((rem,) + a.shape[1:], a.dtype)
-        out.append(np.concatenate([a, pad], axis=0))
-    return tuple(out)

@@ -42,6 +42,24 @@ def test_split_requires_index():
         split_dimer(m)
 
 
+def test_split_requires_charges(dimer):
+    """Monomer net charges are physical inputs — guessing them produces
+    meaningless polarization numbers, so omitting them is an error."""
+    with pytest.raises(ValueError, match="charges"):
+        split_dimer(dimer)
+
+
+def test_duplicate_names_get_distinct_predictions(tiny_predictor):
+    g = np.random.default_rng(11)
+    mk = lambda q: Molecule(
+        name="same", symbols=["C", "H", "H"],
+        xyz=g.uniform(-1, 1, (3, 3)).astype(np.float32), total_charge=q)
+    a, b = mk(0.0), mk(1.0)
+    qa, qb = tiny_predictor.predict_molecules([a, b])
+    assert abs(qa.sum() - 0.0) < 1e-4
+    assert abs(qb.sum() - 1.0) < 1e-4
+
+
 def test_polarization_response(tiny_predictor, dimer):
     label = np.zeros(dimer.natoms, np.float32)
     res = polarization_response(

@@ -136,6 +136,26 @@ class TestParamCounts:
         assert count_params(params) == expected
 
 
+def test_shipped_json_configs_match_presets():
+    """configs/*.json are the on-disk form of the presets; they must never
+    drift (a stale mask_messages here was the round-1 footgun)."""
+    import dataclasses
+    import json
+    import os
+
+    from epnn_tpu.models import EPNNConfig
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    for name, preset in PRESETS.items():
+        path = os.path.join(cfg_dir, f"{name}.json")
+        assert os.path.exists(path), path
+        with open(path) as f:
+            d = json.load(f)
+        d["mlp_hidden"] = tuple(d["mlp_hidden"])
+        assert EPNNConfig(**d) == preset, name
+
+
 class TestDtypePolicy:
     def test_bfloat16_forward_runs_and_conserves(self, rng):
         cfg = EPNNConfig(compute_dtype="bfloat16", highest_precision=False)

@@ -88,6 +88,19 @@ class TestImport:
             assert cfg.T == t
             assert cfg.mask_messages is False  # reference quirk preserved
 
+    def test_presets_match_imported_configs(self):
+        """A config built from the named preset must be identical to one
+        inferred from the corresponding checkpoint — otherwise a user who
+        builds 'decay_model' from the preset silently gets different
+        predictions from one who imports the checkpoint (round-1 footgun:
+        presets carried mask_messages=True, parity requires False)."""
+        from epnn_tpu.io.tf_import import import_reference_model
+        from epnn_tpu.models import PRESETS
+
+        for name in ("model", "model2", "decay_model"):
+            _, cfg = import_reference_model(MODELS_DIR, name)
+            assert PRESETS[name] == cfg, name
+
     def test_roundtrip_native_checkpoint(self, tmp_path, decay):
         import jax
 
