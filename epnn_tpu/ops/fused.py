@@ -155,28 +155,44 @@ def _apply_mlp(layers, x, prec=HIGHEST):
     return jnp.dot(x, w, precision=prec) + b
 
 
-def _rbf_block(xyz_i, xyz_all, valid_pair, cfg: EPNNConfig):
-    """(B, N, e_dim) RBF features + (B, N) is-near gate for one row block.
+def rbf_and_gate(d2, cmask, cfg: EPNNConfig, dtype=jnp.float32):
+    """Shared pair featurization: RBF edge features + electron-pass gate.
 
-    Matches epnn_tpu.featurize.rbf_edges semantics, including the off-
-    diagonal coincident-atom rule and the forced-zero diagonal (handled by
-    ``valid_pair`` which the caller builds with the diagonal cleared).
+    The ONE implementation of the envelope/RBF/gate math used by every
+    decomposed path (blocked, neighbor-gathered, ring-sharded) — mirrors
+    :func:`epnn_tpu.featurize.rbf_edges` semantics (cosine envelope with the
+    coincident-atom rule, reference ``charge_gn.py:122-163``) and the
+    reference's is-near gate (``charge_gn.py:90-94``).
+
+    Args:
+      d2: squared pair distances, any shape (...,).
+      cmask: multiplied into the envelope; carries pair validity AND the
+        forced-zero diagonal/self rule (callers clear self pairs here).
+      dtype: dtype of the returned gate/rbf (mu grid is built in it).
+
+    Returns ``(rbf, gate)`` with shapes ``d2.shape + (e_dim,)`` / ``d2.shape``.
     """
-    d2 = jnp.sum((xyz_i[:, None, :] - xyz_all[None, :, :]) ** 2, axis=-1)
     d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
     d = jnp.where(d2 > 0.0, d, 0.0)
     c = (jnp.cos(jnp.pi * d / cfg.cutoff) + 1.0) * 0.5
     c = jnp.where(d >= cfg.cutoff, 0.0, c)
     c = jnp.where(d <= 0.0, 1.0, c)
-    c = c * valid_pair
-    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=jnp.float32)
-    rbf = c[:, :, None] * jnp.exp(-cfg.eta * (d[:, :, None] - mu) ** 2)
-    # the reference's is-near gate (charge_gn.py:90-94): any channel > tol
+    c = c * cmask
+    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=dtype)
+    rbf = c[..., None] * jnp.exp(-cfg.eta * (d[..., None] - mu) ** 2)
+    # hard gate: any RBF channel above the tolerance (charge_gn.py:90-94)
     gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
-            != cfg.is_near_tol).astype(rbf.dtype)
+            != cfg.is_near_tol).astype(dtype)
     if cfg.pass_weighting == "soft_envelope":
         gate = c  # decay-weighted passing instead of the hard gate
     return rbf, gate
+
+
+def _rbf_block(xyz_i, xyz_all, valid_pair, cfg: EPNNConfig):
+    """(B, N, e_dim) RBF features + (B, N) gate for one row block against all
+    atoms (``valid_pair`` is built by the caller with the diagonal cleared)."""
+    d2 = jnp.sum((xyz_i[:, None, :] - xyz_all[None, :, :]) ** 2, axis=-1)
+    return rbf_and_gate(d2, valid_pair, cfg)
 
 
 def _pad_rows(arr: jax.Array, block: int) -> jax.Array:
@@ -260,19 +276,7 @@ def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
 def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig):
     """RBF + gate for gathered neighbor pairs. xyz_i: (N,3), xyz_nbr: (N,K,3)."""
     d2 = jnp.sum((xyz_i[:, None, :] - xyz_nbr) ** 2, axis=-1)
-    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
-    d = jnp.where(d2 > 0.0, d, 0.0)
-    c = (jnp.cos(jnp.pi * d / cfg.cutoff) + 1.0) * 0.5
-    c = jnp.where(d >= cfg.cutoff, 0.0, c)
-    c = jnp.where(d <= 0.0, 1.0, c)
-    c = c * nbr_mask
-    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=jnp.float32)
-    rbf = c[:, :, None] * jnp.exp(-cfg.eta * (d[:, :, None] - mu) ** 2)
-    gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
-            != cfg.is_near_tol).astype(rbf.dtype)
-    if cfg.pass_weighting == "soft_envelope":
-        gate = c
-    return rbf, gate
+    return rbf_and_gate(d2, nbr_mask, cfg)
 
 
 def _forward_single_nbr(

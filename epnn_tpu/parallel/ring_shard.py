@@ -32,31 +32,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from epnn_tpu.featurize import MU_START
 from epnn_tpu.models.config import EPNNConfig
-from epnn_tpu.ops.fused import FusedParams, PairMLPWeights, _apply_mlp, _resolve_precision
+from epnn_tpu.ops.fused import (
+    FusedParams,
+    PairMLPWeights,
+    _apply_mlp,
+    _resolve_precision,
+    rbf_and_gate,
+)
 from epnn_tpu.parallel.sharding import ATOM_AXIS
 
 
 def _pair_terms(xyz_i, xyz_j, same, valid, cfg, dtype):
     """RBF features + gate for a (rows, cols) block; ``same`` marks diagonal
     (self) pairs, ``valid`` masks pairs with a padded endpoint (their edges
-    are exactly zero, matching the zero-padded precomputed-e contract).
-    Mirrors epnn_tpu.featurize semantics."""
+    are exactly zero, matching the zero-padded precomputed-e contract)."""
     d2 = jnp.sum((xyz_i[:, None, :] - xyz_j[None, :, :]) ** 2, axis=-1)
-    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
-    d = jnp.where(d2 > 0.0, d, 0.0)
-    c = (jnp.cos(jnp.pi * d / cfg.cutoff) + 1.0) * 0.5
-    c = jnp.where(d >= cfg.cutoff, 0.0, c)
-    c = jnp.where(d <= 0.0, 1.0, c)
-    c = jnp.where(same, 0.0, c) * valid
-    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=dtype)
-    rbf = c[:, :, None] * jnp.exp(-cfg.eta * (d[:, :, None] - mu) ** 2)
-    gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
-            != cfg.is_near_tol).astype(dtype)
-    if cfg.pass_weighting == "soft_envelope":
-        gate = c
-    return rbf, gate
+    cmask = jnp.where(same, 0.0, valid)
+    return rbf_and_gate(d2, cmask, cfg, dtype)
 
 
 def forward_ring_sharded(
