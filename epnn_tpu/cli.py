@@ -67,11 +67,17 @@ def cmd_train(args):
     cfg = _model_config(args)
     mols = [m for m in load_directory(args.data) if m.labels is not None]
     print(f"{len(mols)} labeled systems from {args.data}")
+    if args.init_from:
+        # fine-tune: the checkpoint's config wins (arch must match weights)
+        from epnn_tpu.io import load_config
+
+        cfg = load_config(args.init_from)
     tc = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         loss=args.loss, seed=args.seed, checkpoint_dir=args.out,
         log_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
-        resume=args.resume,
+        resume=args.resume, init_from=args.init_from,
+        dense_max_atoms=args.dense_max_atoms,
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -92,10 +98,20 @@ def cmd_infer(args):
     from epnn_tpu.data import load_directory, load_molecule
     from epnn_tpu.infer import Predictor
 
+    kw = {}
+    shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
+    if shard:
+        from epnn_tpu.parallel import make_mesh
+
+        kw["mesh"] = make_mesh(n_data=1, n_atoms=shard)
+        kw["shard_mode"] = "ring" if getattr(args, "ring_shard", 0) else "atom"
+        print(f"sharding the atom axis over {shard} devices "
+              f"({kw['shard_mode']} layout)")
     if args.reference_models:
-        pred = Predictor.from_reference(args.reference_models, args.reference_name)
+        pred = Predictor.from_reference(args.reference_models,
+                                        args.reference_name, **kw)
     else:
-        pred = Predictor.from_checkpoint(args.checkpoint)
+        pred = Predictor.from_checkpoint(args.checkpoint, **kw)
     if os.path.isdir(args.path):
         mols = load_directory(args.path)
     else:
@@ -199,6 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="masked_mse")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from",
+                   help="fine-tune: initialize params (and config) from a "
+                        "native checkpoint dir (e.g. from import-ckpt)")
+    p.add_argument("--dense-max-atoms", type=int, default=256,
+                   help="buckets padded wider than this train through the "
+                        "blockwise fused path (no dense pair tensors)")
     p.add_argument("--data-parallel", action="store_true")
     p.set_defaults(fn=cmd_train)
 
@@ -213,6 +235,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("path", help=".xyz file or directory")
     p.add_argument("--out", default="predictions")
     p.add_argument("--pad-to", type=int)
+    p.add_argument("--atom-shard", type=int, default=0, metavar="N",
+                   help="shard each graph's pair grid over N devices "
+                        "(replicated projections)")
+    p.add_argument("--ring-shard", type=int, default=0, metavar="N",
+                   help="shard atoms over N devices with ring ppermute "
+                        "circulation (nothing replicated)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")

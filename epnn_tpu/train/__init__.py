@@ -4,9 +4,11 @@ from epnn_tpu.train.loop import (
     TrainState,
     create_state,
     eval_step,
+    eval_step_fused,
     make_optimizer,
     train,
     train_step,
+    train_step_fused,
 )
 from epnn_tpu.train.metrics import LOSSES, mae_sums, masked_mse, padded_mse
 
@@ -17,10 +19,12 @@ __all__ = [
     "TrainState",
     "create_state",
     "eval_step",
+    "eval_step_fused",
     "mae_sums",
     "make_optimizer",
     "masked_mse",
     "padded_mse",
     "train",
     "train_step",
+    "train_step_fused",
 ]

@@ -58,11 +58,23 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     log_path: Optional[str] = None
     resume: bool = False
+    #: initialize params from a params-only checkpoint dir (fresh optimizer)
+    #: — the fine-tune entry point, e.g. an import-ckpt'd reference model
+    init_from: Optional[str] = None
     debug_nans: bool = False
     #: dump train/val prediction + label + name arrays next to the best
     #: checkpoint on every improvement (the reference's artifact protocol,
     #: charge_gn.py:433-434,465-468 — what model_systems/ contains)
     dump_predictions: bool = False
+    #: buckets padded wider than this train through the blockwise fused path
+    #: (remat'd, neighbor-split) instead of the dense model — the dense loss
+    #: materializes (B, N, N, e_dim) edge tensors and O(N²·pair_feat)
+    #: activations, which is HBM-catastrophic at protein scale (the
+    #: reference trains dense-only, charge_gn.py:393-402, and cannot go
+    #: there at all).  Mirrors Predictor's inference dispatch.
+    dense_max_atoms: int = 256
+    #: row-block size for the fused training path
+    fused_block: int = 256
 
 
 class TrainState(struct.PyTreeNode):
@@ -123,6 +135,50 @@ def train_step(state: TrainState, model: EPNN, loss_name: str,
 def eval_step(params, model: EPNN, loss_name: str,
               x, q0, xyz, node_mask, y, weight):
     loss, pred = _loss_fn(params, model, loss_name, x, q0, xyz, node_mask, y, weight)
+    mets = M.mae_sums(pred, y, node_mask, weight)
+    return loss, pred, mets
+
+
+def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
+                   x, q0, xyz, node_mask, y, weight):
+    """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
+    dense pair tensors, remat bounds activation memory at round boundaries.
+    fuse_params is a pure (differentiable) restructuring, so gradients flow
+    back to the same flax params pytree the dense path trains."""
+    from epnn_tpu.ops import forward_blocked, fuse_params
+
+    fused = fuse_params(params, cfg)
+    pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
+                           block=block, neighbor_k=neighbor_k, remat=True)
+    loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
+    return loss, pred
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "loss_name", "opt", "block", "neighbor_k")
+)
+def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
+                     opt: optax.GradientTransformation, block: int,
+                     neighbor_k: int, x, q0, xyz, node_mask, y, weight):
+    (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
+        state.params, cfg, loss_name, block, neighbor_k,
+        x, q0, xyz, node_mask, y, weight
+    )
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1)
+    mets = M.mae_sums(pred, y, node_mask, weight)
+    return new_state, loss, pred, mets
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "loss_name", "block", "neighbor_k")
+)
+def eval_step_fused(params, cfg: EPNNConfig, loss_name: str, block: int,
+                    neighbor_k: int, x, q0, xyz, node_mask, y, weight):
+    loss, pred = _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
+                                x, q0, xyz, node_mask, y, weight)
     mets = M.mae_sums(pred, y, node_mask, weight)
     return loss, pred, mets
 
@@ -229,6 +285,10 @@ def train(
     model = EPNN(cfg)
     opt = make_optimizer(tc)
     state = create_state(cfg, tc, jax.random.key(tc.seed))
+    if tc.init_from:
+        state = state.replace(
+            params=ckpt_io.load_params(tc.init_from, state.params)
+        )
     start_epoch = 0
     best = float("inf")
     best_padded = float("inf")
@@ -257,21 +317,63 @@ def train(
             args = shard_batch_args(args, mesh)
         return args
 
+    # Big-graph buckets train through the fused path with an exact static
+    # neighbor_k, computed once per bucket (host-side scan).
+    from epnn_tpu.data.dataset import round_up
+
+    n_dev = mesh.shape["data"] if mesh is not None else 1
+    fused_k: Dict[int, int] = {}
+
+    def bucket_plan(pad: int, bucket: MolBatch):
+        """(batch_size, neighbor_k or None) for one bucket."""
+        bs = min(tc.batch_size, round_up(bucket.batch_size, n_dev))
+        bs = max(bs - bs % n_dev, n_dev) if n_dev > 1 else bs
+        if pad <= tc.dense_max_atoms:
+            return bs, None
+        key = id(bucket)  # train/val buckets can share a pad width but
+        # hold different geometries — k must be per bucket object
+        if key not in fused_k:
+            from epnn_tpu.ops.fused import max_neighbor_count
+
+            k = max(
+                max_neighbor_count(bucket.xyz[b], bucket.node_mask[b],
+                                   cfg.cutoff)
+                for b in range(bucket.batch_size)
+            )
+            fused_k[key] = max(min(round_up(k + 4, 8), pad - 1), 1)
+        return bs, fused_k[key]
+
+    fused_block = tc.fused_block
+
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         acc = MetricAccumulator()
         for pad, bucket in train_buckets.items():
-            for mb, n_real in minibatches(bucket, tc.batch_size, rng=rng):
-                state, loss, _, mets = train_step(
-                    state, model, tc.loss, opt, *put(mb, n_real)
-                )
+            bs, k = bucket_plan(pad, bucket)
+            for mb, n_real in minibatches(bucket, bs, rng=rng):
+                if k is None:
+                    state, loss, _, mets = train_step(
+                        state, model, tc.loss, opt, *put(mb, n_real)
+                    )
+                else:
+                    state, loss, _, mets = train_step_fused(
+                        state, cfg, tc.loss, opt, min(fused_block, pad), k,
+                        *put(mb, n_real)
+                    )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()
         for pad, bucket in val_buckets.items():
-            for mb, n_real in minibatches(bucket, tc.batch_size):
-                loss, _, mets = eval_step(
-                    state.params, model, tc.loss, *put(mb, n_real)
-                )
+            bs, k = bucket_plan(pad, bucket)
+            for mb, n_real in minibatches(bucket, bs):
+                if k is None:
+                    loss, _, mets = eval_step(
+                        state.params, model, tc.loss, *put(mb, n_real)
+                    )
+                else:
+                    loss, _, mets = eval_step_fused(
+                        state.params, cfg, tc.loss, min(fused_block, pad), k,
+                        *put(mb, n_real)
+                    )
                 vacc.update(loss, mets)
 
         row = {

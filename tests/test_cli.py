@@ -62,3 +62,43 @@ def test_train_and_infer_cli(tmp_path, toy_molecules):
     assert len(files) == len(toy_molecules)
     q = np.load(preds / files[0])
     assert np.isfinite(q).all()
+
+    # fine-tune from the run's best checkpoint through the fused big-graph
+    # path (--dense-max-atoms below the bucket width forces the dispatch)
+    out2 = tmp_path / "run2"
+    main([
+        "train", "--data", str(data) + "/", "--out", str(out2),
+        "--epochs", "1", "--batch-size", "4",
+        "--init-from", str(out / "best"), "--dense-max-atoms", "4",
+    ])
+    assert (out2 / "best" / "params.msgpack").exists()
+
+
+def test_cli_finetune_80atom_fragment(tmp_path, protein_dir):
+    """CLI fine-tune of the imported decay model on the reference's labeled
+    80-atom fragment (protein.tar.gz:6QLP_184_186.*), routed through the
+    fused path: loss must decrease with bounded (no dense pair) memory."""
+    import shutil
+
+    from conftest import REFERENCE_DIR
+
+    main(["import-ckpt",
+          os.path.join(REFERENCE_DIR, "models", "decay_model_weights"),
+          "--out", str(tmp_path / "decay")])
+    data = tmp_path / "frag"
+    data.mkdir()
+    # two copies so the trainer's 80/20 split has both a train and a val mol
+    for stem in ("6QLP_184_186", "frag_copy"):
+        for ext in (".xyz", ".npy"):
+            shutil.copy(os.path.join(protein_dir, "6QLP_184_186" + ext),
+                        data / (stem + ext))
+    out = tmp_path / "ft"
+    main([
+        "train", "--data", str(data) + "/", "--out", str(out),
+        "--epochs", "3", "--batch-size", "1", "--lr", "1e-4",
+        "--init-from", str(tmp_path / "decay"), "--dense-max-atoms", "64",
+    ])
+    rows = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert rows[-1]["train_loss"] < rows[0]["train_loss"], rows
+    # fine-tuning from trained weights: starts at a low loss already
+    assert rows[0]["train_loss"] < 1e-2

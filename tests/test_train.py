@@ -66,6 +66,65 @@ def test_best_params_saved(toy_train_mols, tmp_path):
         np.testing.assert_allclose(q.sum(), m.total_charge, atol=1e-4)
 
 
+def test_big_graph_routes_through_fused_path(toy_train_mols):
+    """Buckets padded wider than dense_max_atoms must train through the
+    blockwise fused path (no dense pair tensors) via the PUBLIC train() API,
+    with decreasing loss — the reference trains dense-only and cannot do
+    protein-scale training at all (charge_gn.py:393-402)."""
+    from epnn_tpu.data.xyz import Molecule
+    import epnn_tpu.train.loop as L
+
+    g = np.random.default_rng(8)
+    mols = []
+    for i in range(6):
+        n = int(g.integers(20, 28))  # pads to 24/32 — above dense_max=16
+        symbols = list(g.choice(["H", "C", "N", "O"], size=n))
+        xyz = g.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        labels = g.normal(0, 0.2, size=n).astype(np.float32)
+        labels -= labels.sum() / n
+        mols.append(Molecule(name=f"big{i}", symbols=symbols, xyz=xyz,
+                             total_charge=0.0, labels=labels))
+
+    calls = {"dense": 0, "fused": 0}
+    orig_dense, orig_fused = L.train_step, L.train_step_fused
+
+    def spy_dense(*a, **kw):
+        calls["dense"] += 1
+        return orig_dense(*a, **kw)
+
+    def spy_fused(*a, **kw):
+        calls["fused"] += 1
+        return orig_fused(*a, **kw)
+
+    L.train_step, L.train_step_fused = spy_dense, spy_fused
+    try:
+        tc = TrainConfig(epochs=6, batch_size=4, seed=1, dense_max_atoms=16)
+        res = train(mols, SMALL, tc, progress=False)
+    finally:
+        L.train_step, L.train_step_fused = orig_dense, orig_fused
+
+    assert calls["fused"] > 0 and calls["dense"] == 0, calls
+    first = res.history[0]["train_loss"]
+    last = res.history[-1]["train_loss"]
+    assert last < first * 0.9, (first, last)
+    assert np.isfinite(res.best_val_masked_mae)
+
+
+def test_init_from_finetunes(toy_train_mols, tmp_path):
+    """init_from starts from an existing params checkpoint (fresh optimizer):
+    the fine-tune entry point for imported reference models."""
+    ckpt = str(tmp_path / "pre")
+    tc = TrainConfig(epochs=2, batch_size=8, seed=1, checkpoint_dir=ckpt)
+    res1 = train(toy_train_mols, SMALL, tc, progress=False)
+
+    tc2 = TrainConfig(epochs=1, batch_size=8, seed=2,
+                      init_from=ckpt + "/best")
+    res2 = train(toy_train_mols, SMALL, tc2, progress=False)
+    # starting from trained params, the very first epoch must already be
+    # far below a from-scratch first epoch
+    assert res2.history[0]["train_loss"] < res1.history[0]["train_loss"] * 0.5
+
+
 def test_padded_loss_option(toy_train_mols):
     tc = TrainConfig(epochs=2, batch_size=8, loss="padded_mse", seed=1)
     res = train(toy_train_mols, SMALL, tc, progress=False)
@@ -91,6 +150,47 @@ def test_prediction_artifact_dumps(toy_train_mols, tmp_path):
         np.testing.assert_allclose(
             preds[i].sum(), name_to_mol[str(nm)].total_charge, atol=1e-3
         )
+
+
+def test_protein_scale_training(protein_dir):
+    """Fine-tune the imported decay model on the 2,220-atom protein through
+    the PUBLIC trainer: the bucket (pad 2224) routes through the fused/remat
+    path, so no (N, N, 48) edge tensor or O(N² · 164) activation ever
+    materializes — the memory wall that makes this impossible in the
+    reference (charge_gn.py:393-402).  Labels: the reference's own shipped
+    predictions (protein/preds.npy), a self-distillation smoke."""
+    import os
+
+    if os.environ.get("EPNN_SLOW_TESTS") != "1":
+        pytest.skip("slow: set EPNN_SLOW_TESTS=1 (protein backward on CPU)")
+
+    from conftest import REFERENCE_DIR
+    from epnn_tpu.data.xyz import load_molecule
+    from epnn_tpu.io.tf_import import import_reference_model
+    from epnn_tpu.io import checkpoint as ckpt_io
+
+    params, cfg = import_reference_model(
+        os.path.join(REFERENCE_DIR, "models"), "decay_model")
+    mol = load_molecule(os.path.join(protein_dir, "6qlp_capped.xyz"))
+    preds = np.load(
+        os.path.join(protein_dir, "preds.npy")).reshape(-1).astype(np.float32)
+    # perturb so there is something to learn (the imported weights reproduce
+    # their own predictions to ~1e-13 MSE — nothing to descend otherwise)
+    g = np.random.default_rng(0)
+    noise = g.normal(0, 0.02, size=preds.shape).astype(np.float32)
+    mol.labels = preds + noise - noise.mean()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt_io.save_params(d, params, cfg)
+        tc = TrainConfig(epochs=3, batch_size=1, learning_rate=1e-4,
+                         init_from=d, dense_max_atoms=256)
+        res = train([mol], cfg, tc, val_mols=[mol], progress=False)
+    losses = [r["train_loss"] for r in res.history]
+    assert losses[-1] < losses[0], losses
+    # imported weights start near their own (perturbed) predictions
+    assert losses[0] < 1e-3, losses
 
 
 def test_shipped_trained_checkpoint_quality(mixed_dir):
