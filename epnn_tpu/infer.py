@@ -35,10 +35,24 @@ DENSE_MAX_ATOMS = 256
 
 @dataclasses.dataclass
 class Predictor:
+    """High-level inference front end.
+
+    ``mesh`` switches on multi-chip execution: with a
+    :class:`jax.sharding.Mesh` carrying ``data``/``atoms`` axes (see
+    :func:`epnn_tpu.parallel.make_mesh`), each graph's pair grid shards over
+    the ``atoms`` axis and the batch over ``data``.  ``shard_mode`` picks
+    the layout: ``'atom'`` (replicated per-atom projections, pair work
+    sharded — the default) or ``'ring'`` (nothing replicated; atom blocks
+    circulate over ICI via ppermute — for graphs whose per-atom state
+    exceeds one chip).
+    """
+
     params: dict
     cfg: EPNNConfig
     block: int = 256
     force_mode: Optional[str] = None  # None | 'dense' | 'blocked'
+    mesh: Optional[jax.sharding.Mesh] = None
+    shard_mode: str = "atom"          # 'atom' | 'ring'
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -105,8 +119,42 @@ class Predictor:
                       cutoff=self.cfg.cutoff, eta=self.cfg.eta)
         return self._model.apply(self.params, x, q0, e, node_mask)
 
+    def _predict_batch_sharded(self, batch: MolBatch) -> np.ndarray:
+        """Multi-chip path: pad B to the data axis and N to the atoms axis,
+        run the sharded forward, trim back."""
+        from epnn_tpu.parallel.sharding import ATOM_AXIS, DATA_AXIS
+
+        n_at = self.mesh.shape[ATOM_AXIS]
+        n_dp = self.mesh.shape.get(DATA_AXIS, 1)
+        b, n = batch.x.shape[:2]
+        bp, np_ = -(-b // n_dp) * n_dp, -(-n // n_at) * n_at
+
+        def pad(a):
+            width = [(0, bp - b), (0, np_ - n)] + [(0, 0)] * (a.ndim - 2)
+            return np.pad(a, width)
+
+        x, q0, xyz, mask = map(pad, (batch.x, batch.q0, batch.xyz,
+                                     batch.node_mask))
+        if self.shard_mode == "ring":
+            from epnn_tpu.parallel.ring_shard import forward_ring_sharded
+
+            q = np.stack([
+                np.asarray(forward_ring_sharded(
+                    self._fused, x[i], q0[i], xyz[i], mask[i], self.cfg,
+                    self.mesh))
+                for i in range(b)
+            ])
+            return q[:, :n]
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
+
+        q = np.asarray(forward_atom_sharded_batch(
+            self._fused, x, q0, xyz, mask, self.cfg, self.mesh))
+        return q[:b, :n]
+
     def predict_batch(self, batch: MolBatch) -> np.ndarray:
         """(B, N) per-atom charges for a padded batch."""
+        if self.mesh is not None:
+            return self._predict_batch_sharded(batch)
         mode = self.force_mode or (
             "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
         )

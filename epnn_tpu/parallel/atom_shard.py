@@ -1,4 +1,4 @@
-"""Atom-axis sharded forward: one graph spread across a device mesh.
+"""Atom-axis sharded forward: graphs spread across a device mesh.
 
 This is the sequence-parallel analog for dense all-pairs GNNs (SURVEY §2.8):
 the (N × N) pair grid is partitioned into row blocks, one per device on the
@@ -9,13 +9,21 @@ updated hidden rows and (N/D,) charge deltas, which XLA all-gathers over ICI
 (the per-atom state is KB-sized — negligible next to the O(N²/D) pair work
 each device does locally).
 
+The batched entry point :func:`forward_atom_sharded_batch` composes with a
+``data`` mesh axis: the molecule batch shards over ``data`` while each
+graph's pair grid shards over ``atoms`` — a true 2-D (data × atoms) layout
+for training/serving many big graphs at once.  Inside each shard the
+per-graph row computation is a plain ``vmap`` over the local batch.
+
 Charge conservation survives the sharding exactly: both pair orderings of
 every (i, j) are evaluated on the device that owns row i, from projections
 that are bitwise-identical on the device that owns row j (replicated inputs,
 same ops), so the global transfer matrix stays exactly antisymmetric.
 
-Used for graphs whose pair work exceeds one chip (N ≫ 10⁴) and validated on
-the virtual CPU mesh in tests/test_sharding.py.
+Everything here is differentiable (shard_map + psum transpose), which is
+what :func:`make_sharded_train_step` uses to train on graphs whose pair
+grid exceeds one chip.  Validated on the virtual CPU mesh in
+tests/test_sharding.py and exercised by __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -36,7 +44,7 @@ from epnn_tpu.ops.fused import (
     _rbf_block,
     HIGHEST,
 )
-from epnn_tpu.parallel.sharding import ATOM_AXIS
+from epnn_tpu.parallel.sharding import ATOM_AXIS, DATA_AXIS
 
 
 def _row_sums(w: PairMLPWeights, pi_rows, pj_rows, xyz_rows,
@@ -62,59 +70,73 @@ def _row_sums(w: PairMLPWeights, pi_rows, pj_rows, xyz_rows,
     return jnp.sum(0.5 * (f_n - f_t) * valid_rows * gate, axis=1)
 
 
-def forward_atom_sharded(
+def forward_atom_sharded_batch(
     fused: FusedParams,
-    x: jax.Array,          # (N, n_elems) — single graph, N divisible by mesh
-    q0: jax.Array,         # (N,)
-    xyz: jax.Array,        # (N, 3)
-    node_mask: jax.Array,  # (N,)
+    x: jax.Array,          # (B, N, n_elems); B % data axis == 0
+    q0: jax.Array,         # (B, N);          N % atoms axis == 0
+    xyz: jax.Array,        # (B, N, 3)
+    node_mask: jax.Array,  # (B, N)
     cfg: EPNNConfig,
     mesh: Mesh,
 ) -> jax.Array:
-    """Single-graph forward with the atom axis sharded over ``mesh``."""
-    n = x.shape[0]
-    n_dev = mesh.shape[ATOM_AXIS]
-    if n % n_dev:
-        raise ValueError(f"N={n} not divisible by atom axis {n_dev}")
+    """Batched forward on a 2-D (data × atoms) mesh: the batch shards over
+    ``data``, each graph's pair-grid rows shard over ``atoms``."""
+    b, n = x.shape[:2]
+    n_at = mesh.shape[ATOM_AXIS]
+    n_dp = mesh.shape.get(DATA_AXIS, 1)
+    if n % n_at:
+        raise ValueError(f"N={n} not divisible by atoms axis {n_at}")
+    if b % n_dp:
+        raise ValueError(f"B={b} not divisible by data axis {n_dp}")
     prec = HIGHEST if cfg.highest_precision else None
 
     eye = jnp.eye(n, dtype=x.dtype)
-    pairm = node_mask[:, None] * node_mask[None, :]
-    valid = pairm * (1.0 - eye)
+    pairm = node_mask[:, :, None] * node_mask[:, None, :]  # diag kept (the
+    # dense model's pair_mask — self-messages flow there too)
+    valid = pairm * (1.0 - eye)                            # RBF diag zero
 
+    rows = P(DATA_AXIS, ATOM_AXIS)
+    full = P(DATA_AXIS)
     rep = P()
-    rows = P(ATOM_AXIS)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, rows, rows, rows, rows, rep, rep, rep),
+        in_specs=(rep, rows, rows, rows, rows, full, full, full),
         out_specs=rows,
         check_vma=False,
     )
     def message_rows(w, pi_rows, xyz_rows, valid_rows, pairm_rows,
                      pi_full, pj_full, xyz_full):
-        return _row_sums(w, pi_rows, None, xyz_rows, valid_rows,
-                         pairm_rows, pi_full, pj_full, xyz_full, cfg, prec,
-                         want_transfer=False)
+        f = functools.partial(_row_sums, w, cfg=cfg, prec=prec,
+                              want_transfer=False, pj_rows=None)
+        return jax.vmap(
+            lambda pir, xr, vr, pr, pif, pjf, xf: f(
+                pi_rows=pir, xyz_rows=xr, valid_rows=vr, pairm_rows=pr,
+                pi_full=pif, pj_full=pjf, xyz_full=xf)
+        )(pi_rows, xyz_rows, valid_rows, pairm_rows, pi_full, pj_full, xyz_full)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, rows, rows, rows, rows, rep, rep, rep),
+        in_specs=(rep, rows, rows, rows, rows, full, full, full),
         out_specs=rows,
         check_vma=False,
     )
     def pass_rows(w, pi_rows, pj_rows, xyz_rows, valid_rows,
                   pi_full, pj_full, xyz_full):
-        return _row_sums(w, pi_rows, pj_rows, xyz_rows, valid_rows,
-                         None, pi_full, pj_full, xyz_full, cfg, prec,
-                         want_transfer=True)
+        f = functools.partial(_row_sums, w, cfg=cfg, prec=prec,
+                              want_transfer=True, pairm_rows=None)
+        return jax.vmap(
+            lambda pir, pjr, xr, vr, pif, pjf, xf: f(
+                pi_rows=pir, pj_rows=pjr, xyz_rows=xr, valid_rows=vr,
+                pi_full=pif, pj_full=pjf, xyz_full=xf)
+        )(pi_rows, pj_rows, xyz_rows, valid_rows, pi_full, pj_full, xyz_full)
 
-    h = jnp.zeros((n, cfg.h_dim), x.dtype)
+    h = jnp.zeros((b, n, cfg.h_dim), x.dtype)
     q = q0
-    nm = node_mask[:, None]
+    nm = node_mask[:, :, None]
 
     def atom_inputs(h, q):
-        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+        return jnp.concatenate([x, h, q[:, :, None]], axis=-1)
 
     def message_round(carry, w):
         h, q = carry
@@ -137,3 +159,50 @@ def forward_atom_sharded(
 
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
     return q * node_mask
+
+
+def forward_atom_sharded(
+    fused: FusedParams,
+    x: jax.Array,          # (N, n_elems) — single graph, N divisible by mesh
+    q0: jax.Array,         # (N,)
+    xyz: jax.Array,        # (N, 3)
+    node_mask: jax.Array,  # (N,)
+    cfg: EPNNConfig,
+    mesh: Mesh,
+) -> jax.Array:
+    """Single-graph forward with the atom axis sharded over ``mesh`` (the
+    mesh's ``data`` axis, if present, must have size 1)."""
+    return forward_atom_sharded_batch(
+        fused, x[None], q0[None], xyz[None], node_mask[None], cfg, mesh
+    )[0]
+
+
+def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
+                            loss_name: str = "masked_mse"):
+    """A jitted training step whose forward/backward runs atom-sharded:
+    trains on graphs whose pair grid does not fit one device.  Params stay
+    replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
+    shard_map transpose.  Returns ``step(state, x, q0, xyz, mask, y, w)``.
+    """
+    from epnn_tpu.ops import fuse_params
+    from epnn_tpu.train import metrics as M
+    from epnn_tpu.train.loop import TrainState
+    import optax
+
+    def loss_fn(params, x, q0, xyz, node_mask, y, weight):
+        fused = fuse_params(params, cfg)
+        pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
+                                          cfg, mesh)
+        return M.LOSSES[loss_name](pred, y, node_mask, weight), pred
+
+    @jax.jit
+    def step(state, x, q0, xyz, node_mask, y, weight):
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, q0, xyz, node_mask, y, weight
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss, pred
+
+    return step

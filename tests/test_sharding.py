@@ -52,6 +52,68 @@ class TestAtomSharding:
 
 
 @needs_devices
+class Test2DMesh:
+    """Batch over 'data' × pair-grid rows over 'atoms' simultaneously."""
+
+    def test_batched_forward_matches_blocked(self, rng):
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
+
+        cfg = SMALL
+        fused = fuse_params(init_params(cfg, jax.random.key(0)), cfg)
+        b, n = 4, 16
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-4, 4, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[0, 13:] = 0  # one padded graph in the batch
+        x[0, 13:] = 0
+        xyz[0, 13:] = 0
+        q0 = mask * (np.array([1.0, -1.0, 0.0, 2.0], np.float32)[:, None]
+                     / mask.sum(1)[:, None])
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        q2d = np.asarray(forward_atom_sharded_batch(
+            fused, x, q0, xyz, mask, cfg, mesh))
+        q_blk = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=4))
+        scale = np.abs(q_blk).max() + 1.0
+        assert np.abs(q2d - q_blk).max() < 1e-5 * scale
+        # conservation per graph under the 2-D sharding
+        np.testing.assert_allclose(
+            q2d.sum(1), [1.0, -1.0, 0.0, 2.0],
+            atol=2e-6 * (np.abs(q2d).sum() + 1))
+
+    def test_sharded_training_step(self, rng):
+        """Training on a graph whose pair grid is spread over the atoms axis:
+        grads flow through shard_map (psum transpose), loss decreases."""
+        import optax
+
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.train import TrainConfig, create_state
+
+        cfg = SMALL
+        tc = TrainConfig(learning_rate=3e-3)
+        state = create_state(cfg, tc, jax.random.key(0))
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        opt = __import__("optax").adam(3e-3)
+        state = state.replace(opt_state=opt.init(state.params))
+        step = make_sharded_train_step(cfg, opt, mesh)
+
+        b, n = 1, 64
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(-6, 6, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(0, 0.3, size=(b, n)).astype(np.float32)
+        w = np.ones((b,), np.float32)
+
+        losses = []
+        for _ in range(5):
+            state, loss, _ = step(state, x, q0, xyz, mask, y, w)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert np.isfinite(losses).all()
+
+
+@needs_devices
 class TestDataParallel:
     def test_dp_step_matches_single_device(self, rng):
         from epnn_tpu.models import EPNN
@@ -86,6 +148,56 @@ class TestDataParallel:
         mesh = make_mesh(n_data=8, n_atoms=1)
         with pytest.raises(ValueError, match="not divisible"):
             shard_batch_args((np.zeros((13, 4)),), mesh)
+
+
+@needs_devices
+class TestPredictorMesh:
+    """User-facing multi-chip inference: Predictor(mesh=...) and the CLI."""
+
+    @pytest.mark.parametrize("shard_mode", ["atom", "ring"])
+    def test_predictor_matches_unsharded(self, rng, shard_mode):
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        g = np.random.default_rng(4)
+        n = 21  # deliberately NOT divisible by the mesh — Predictor pads
+        mol = Molecule(name="m", symbols=["C"] * n,
+                       xyz=g.uniform(-4, 4, (n, 3)).astype(np.float32),
+                       total_charge=1.0)
+        table = table_for_n_elems(cfg.n_elems)
+        batch = pad_molecules([mol], table)
+
+        plain = Predictor(params=params, cfg=cfg)
+        q_plain = plain.predict_batch(batch)
+
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        sharded = Predictor(params=params, cfg=cfg, mesh=mesh,
+                            shard_mode=shard_mode)
+        q_shard = sharded.predict_batch(batch)
+        scale = np.abs(q_plain).max() + 1.0
+        assert np.abs(q_shard - q_plain).max() < 1e-5 * scale
+
+    def test_cli_atom_shard_flag(self, tmp_path, toy_molecules):
+        from epnn_tpu.cli import main
+        from epnn_tpu.io import checkpoint as ckpt_io
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        ckpt_io.save_params(str(tmp_path / "ck"), params, cfg)
+        m = toy_molecules[0]
+        lines = [str(m.natoms), f"{m.total_charge:g} 1"]
+        for s, xyz in zip(m.symbols, m.xyz):
+            lines.append(f"{s} {xyz[0]} {xyz[1]} {xyz[2]}")
+        (tmp_path / "m.xyz").write_text("\n".join(lines) + "\n")
+        main(["infer", "--checkpoint", str(tmp_path / "ck"),
+              str(tmp_path / "m.xyz"), "--out", str(tmp_path / "o"),
+              "--atom-shard", "8"])
+        q = np.load(tmp_path / "o" / "m_pred.npy")
+        np.testing.assert_allclose(q.sum(), m.total_charge, atol=1e-4)
 
 
 @needs_devices
