@@ -428,6 +428,98 @@ def _forward_single_nbr(
     return q * node_mask
 
 
+def _forward_single_pallas(
+    fused: FusedParams,
+    x: jax.Array,          # (N, n_elems)
+    q0: jax.Array,         # (N,)
+    xyz: jax.Array,        # (N, 3)
+    node_mask: jax.Array,  # (N,)
+    cfg: EPNNConfig,
+    remat: bool = False,
+) -> jax.Array:
+    """Dense forward where every O(N²) op runs in the fused Pallas pair
+    kernels: RBF featurization, first layer, mid layer, gate, and (for
+    electron passing) BOTH orderings + the antisymmetric reduction happen
+    in-tile (SURVEY §7 stage 5; reference hot ops charge_gn.py:62-70 and
+    101-118).  Only (N, ·) arrays ever touch HBM.
+    """
+    from epnn_tpu.ops.pallas_kernels import (
+        fused_epn_rowsum,
+        fused_message_rowsum,
+    )
+
+    n = x.shape[0]
+    prec = _resolve_precision(cfg)
+    prec_name = getattr(cfg, "matmul_precision", "") or (
+        "highest" if cfg.highest_precision else "default"
+    )
+    bi, bj = (128, 128) if n >= 128 else (8, 8)
+    lcm = int(np.lcm(bi, bj))
+    n_pad = int(-(-n // lcm) * lcm)
+
+    def pad_rows(a):
+        return jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1))
+
+    xyz_p = pad_rows(xyz)
+    mask_p = pad_rows(node_mask)
+    col_vec = pad_rows(jnp.ones((n,), x.dtype))  # compat: original width only
+
+    pairm = node_mask[:, None] * node_mask[None, :]
+    if cfg.mask_messages:
+        msg_count = jnp.sum(pairm, axis=1)
+    else:
+        msg_count = jnp.full((n,), float(n), x.dtype)
+
+    soft = cfg.pass_weighting == "soft_envelope"
+    h = jnp.zeros((n, cfg.h_dim), x.dtype)
+    q = q0
+    nm = node_mask[:, None]
+
+    def atom_inputs(h, q):
+        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+
+    def message_round(carry, w: PairMLPWeights):
+        h, q = carry
+        a = atom_inputs(h, q)
+        pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1  # b1 folded per atom
+        pj = jnp.dot(a, w.w1_j, precision=prec)
+        (w2, b2), = w.mids
+        hsum = fused_message_rowsum(
+            pad_rows(pi), pad_rows(pj), xyz_p, mask_p, col_vec,
+            w.w1_e, w2, b2, cutoff=cfg.cutoff, eta=cfg.eta,
+            tol=cfg.is_near_tol, masked=cfg.mask_messages,
+            block_i=bi, block_j=bj, precision=prec_name,
+        )[:n]
+        messages = (jnp.dot(hsum, w.w_out, precision=prec)
+                    + msg_count[:, None] * w.b_out)
+        upd_in = jnp.concatenate([h, messages], axis=-1) * nm
+        h = _apply_mlp(fused.update, upd_in, prec) * nm
+        return (h, q), None
+
+    if remat:
+        message_round = jax.checkpoint(message_round)
+    (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
+
+    def pass_round(q, w: PairMLPWeights):
+        a = atom_inputs(h, q)
+        pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
+        pj = jnp.dot(a, w.w1_j, precision=prec)
+        (w2, b2), = w.mids
+        dsum = fused_epn_rowsum(
+            pad_rows(pi), pad_rows(pj), xyz_p, mask_p,
+            w.w1_e, w2, b2, cutoff=cfg.cutoff, eta=cfg.eta,
+            tol=cfg.is_near_tol, soft_gate=soft,
+            block_i=bi, block_j=bj, precision=prec_name,
+        )[:n]
+        dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]  # b_out cancels
+        return q + dq, None
+
+    if remat:
+        pass_round = jax.checkpoint(pass_round)
+    q, _ = jax.lax.scan(pass_round, q, fused.passes)
+    return q * node_mask
+
+
 def _forward_single(
     fused: FusedParams,
     x: jax.Array,          # (N, n_elems)
@@ -569,12 +661,24 @@ def forward_blocked(
     cutoff — see :func:`max_neighbor_count`), edge featurization and electron
     passing run on gathered O(N·k) near pairs only; identical results, much
     less work on spatially sparse systems (proteins: k≈32 vs N=2220).
+
+    ``use_pallas`` without ``neighbor_k`` selects the fully fused Pallas
+    dense path (RBF + pair MLPs + antisymmetric reduction in-tile,
+    :func:`_forward_single_pallas`) — inference-only (the grid-accumulator
+    kernels have no VJP; training uses the differentiable neighbor/remat
+    path).  With ``neighbor_k`` it switches the dense no-feature message
+    reduction to the Pallas kernel.
     """
     if neighbor_k is not None:
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
             use_pallas=use_pallas, pack_to=pack_to, remat=remat,
         )
+    elif use_pallas and len(fused.messages.mids) == 1:
+        # fully fused dense path: RBF + pair MLPs + antisymmetric reduction
+        # all in the Pallas kernels (mids stacking gives (T, 1) layers —
+        # exactly one mid layer is what the kernels implement)
+        single = functools.partial(_forward_single_pallas, cfg=cfg, remat=remat)
     else:
         single = functools.partial(
             _forward_single, cfg=cfg, block=block, remat=remat

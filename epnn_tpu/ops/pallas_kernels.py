@@ -140,3 +140,290 @@ def dense_message_rowsum_reference(pi, pj, node_mask, w2, b2, masked=True):
         pair = node_mask[:, None] * node_mask[None, :]
         hid2 = hid2 * pair[:, :, None]
     return hid2.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Fused pair kernels with in-tile RBF featurization — the SURVEY §7 stage-5
+# flagship.  For one (row-block × col-block) tile of the dense pair grid
+# (reference hot ops: messages charge_gn.py:62-70, electron passing
+# charge_gn.py:101-118) the kernel:
+#
+#   1. rebuilds squared distances from coordinates (per-axis broadcast
+#      subtraction — no cancellation-prone |x|²+|y|²−2xy),
+#   2. applies the cosine envelope + Gaussian RBF + is-near gate
+#      (epnn_tpu.ops.fused.rbf_and_gate semantics) entirely in VMEM,
+#   3. contracts the RBF channels against the first-layer e-slice (MXU),
+#   4. builds the first-layer activations from the per-atom projections,
+#      for the EPN kernel in BOTH pair orderings,
+#   5. runs the mid layer (MXU), and
+#   6. accumulates row sums — for EPN the antisymmetric transfer
+#      0.5·gate·(f_ij − f_ji), whose in-tile cancellation keeps the global
+#      transfer matrix exactly antisymmetric under any block schedule.
+#
+# The (N², e_dim) edge tensor and (N², H) activations never exist in HBM:
+# per-tile HBM traffic is O(block·(H + 3)) reads + O(block_i·H) writes.
+# The final linear head commutes with the j-sum (affine), so W_out/b_out
+# are applied by the caller on the (N, H) row sums.
+# ---------------------------------------------------------------------------
+
+
+def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim, tol,
+                   soft_gate):
+    """Shared in-tile featurization.  Returns (rbf_flat (BI·BJ, e_dim),
+    gate_flat (BI·BJ, 1), pairm (BI, BJ)) for one pair tile.
+
+    xr: (BI, 3) row coords; xcT: (3, BJ) col coords (pre-transposed so the
+    kernel never transposes); mi/mj: (BI, 1)/(1, BJ) node masks; ri0/rj0:
+    global offsets of the tile for the self-pair exclusion.
+    """
+    bi = xr.shape[0]
+    bj = xcT.shape[1]
+    d2 = jnp.zeros((bi, bj), jnp.float32)
+    for k in range(3):
+        diff = xr[:, k:k + 1] - xcT[k:k + 1, :]
+        d2 = d2 + diff * diff
+    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    d = jnp.where(d2 > 0.0, d, 0.0)
+
+    c = (jnp.cos(jnp.pi * d / cutoff) + 1.0) * 0.5
+    c = jnp.where(d >= cutoff, 0.0, c)
+    c = jnp.where(d <= 0.0, 1.0, c)
+    rows = ri0 + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    cols = rj0 + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+    pairm = mi * mj                                   # (BI, BJ)
+    cmask = pairm * (rows != cols).astype(jnp.float32)
+    c = c * cmask
+
+    # mu grid from a 2-D iota (1-D iota is unsupported on TPU)
+    ch = jax.lax.broadcasted_iota(jnp.float32, (1, e_dim), 1)
+    mu = 0.1 + (cutoff - 0.1) * ch / (e_dim - 1)
+
+    c3 = c[:, :, None]
+    d3 = d[:, :, None]
+    rbf = (c3 * jnp.exp(-eta * (d3 - mu[None, :, :]) ** 2)).reshape(
+        bi * bj, e_dim
+    )
+    if soft_gate:
+        gate = c3.reshape(bi * bj, 1)
+    else:
+        gate = (jnp.max(jnp.clip(rbf, tol, 1e5), axis=-1, keepdims=True)
+                != tol).astype(jnp.float32)
+    return rbf, gate, pairm
+
+
+def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
+                out_ref, *, cutoff, eta, e_dim, tol, soft_gate, prec):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi = pi_r.shape[0]
+    bj = pi_c.shape[0]
+    h = pi_r.shape[1]
+
+    rbf, gate, _ = _tile_rbf_flat(
+        xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
+        i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
+        soft_gate=soft_gate,
+    )
+    epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
+                    precision=prec)                           # (BI·BJ, H)
+
+    # first layer, both orderings (b1 folded into pi by the caller);
+    # leading-dim collapses of (BI, BJ, H) are layout-free
+    base_n = (pi_r[:][:, None, :] + pj_c[:][None, :, :]).reshape(bi * bj, h)
+    base_t = (pj_r[:][:, None, :] + pi_c[:][None, :, :]).reshape(bi * bj, h)
+    hid_n = jax.nn.relu(base_n + epart)
+    hid_t = jax.nn.relu(base_t + epart)
+    hid_n = jax.nn.relu(jnp.dot(hid_n, w2[:], preferred_element_type=jnp.float32,
+                                precision=prec) + b2[:])
+    hid_t = jax.nn.relu(jnp.dot(hid_t, w2[:], preferred_element_type=jnp.float32,
+                                precision=prec) + b2[:])
+    diff = (0.5 * gate) * (hid_n - hid_t)
+    partial = jnp.sum(diff.reshape(bi, bj, h), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
+                    out_ref, *, cutoff, eta, e_dim, tol, masked, prec):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi = pi_r.shape[0]
+    bj = pj_c.shape[0]
+    h = pi_r.shape[1]
+
+    rbf, _, pairm = _tile_rbf_flat(
+        xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
+        i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
+        soft_gate=False,
+    )
+    epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    base = (pi_r[:][:, None, :] + pj_c[:][None, :, :]).reshape(bi * bj, h)
+    hid = jax.nn.relu(base + epart)
+    hid = jax.nn.relu(jnp.dot(hid, w2[:], preferred_element_type=jnp.float32,
+                              precision=prec) + b2[:])
+    if masked:
+        # pairwise mask incl. the diagonal (self-messages flow, matching the
+        # dense model's pair_mask — only the RBF excludes self pairs)
+        w = pairm.reshape(bi * bj, 1)
+    else:
+        # compat mode: every column of the caller's padded width counts
+        # (SURVEY §8 Q10); cvT excludes only kernel padding
+        w = (jnp.ones((bi, 1), jnp.float32)
+             * cvT[:][0:1, :]).reshape(bi * bj, 1)
+    partial = jnp.sum((hid * w).reshape(bi, bj, h), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _pair_grid_specs(n, h, e_dim, block_i, block_j, extra):
+    """BlockSpecs shared by the fused pair kernels: rows of pi/pj/xyz/mask
+    indexed by i, col-side data by j — pre-transposed (dim, N) arrays where
+    the kernel needs (1/3, BJ) slices without an in-kernel transpose."""
+    row = lambda dim: pl.BlockSpec((block_i, dim), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    col = lambda dim: pl.BlockSpec((block_j, dim), lambda i, j: (j, 0),
+                                   memory_space=pltpu.VMEM)
+    rowT = lambda dim: pl.BlockSpec((dim, block_j), lambda i, j: (0, j),
+                                    memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    return row, col, rowT, whole
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cutoff", "eta", "tol", "soft_gate", "block_i",
+                     "block_j", "precision", "interpret"),
+)
+def fused_epn_rowsum(
+    pi: jax.Array,           # (N, H) row projections, first-layer bias folded
+    pj: jax.Array,           # (N, H) col projections
+    xyz: jax.Array,          # (N, 3)
+    node_mask: jax.Array,    # (N,)
+    w1e: jax.Array,          # (e_dim, H) first-layer RBF slice
+    w2: jax.Array,           # (H, H) mid layer
+    b2: jax.Array,           # (H,)
+    cutoff: float = 3.0,
+    eta: float = 2.0,
+    tol: float = 1e-5,
+    soft_gate: bool = False,
+    block_i: int = 128,
+    block_j: int = 128,
+    precision: str = "default",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One electron-passing round's antisymmetric row sums, fully fused:
+
+        out_i = Σ_j 0.5 · gate_ij · (hid(i,j) − hid(j,i))      as (N, H)
+
+    with RBF features, gate, both pair orderings, and the mid layer computed
+    in-tile (reference ops ``charge_gn.py:101-118``).  The caller applies
+    W_out (b_out cancels in the antisymmetric difference).  N must be padded
+    to lcm(block_i, block_j); padded rows carry node_mask 0.
+    """
+    n, h = pi.shape
+    e_dim = w1e.shape[0]
+    assert n % block_i == 0 and n % block_j == 0, (n, block_i, block_j)
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+
+    nm2 = node_mask[:, None]
+    nmT = node_mask[None, :]
+    row, col, rowT, whole = _pair_grid_specs(n, h, e_dim, block_i, block_j, 0)
+    kernel = functools.partial(
+        _epn_kernel, cutoff=float(cutoff), eta=float(eta), e_dim=e_dim,
+        tol=float(tol), soft_gate=soft_gate, prec=prec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block_i, n // block_j),
+        in_specs=[
+            row(h), row(h), col(h), col(h),        # pi_r, pj_r, pi_c, pj_c
+            row(3), rowT(3),                       # xyz rows, xyzT cols
+            row(1), rowT(1),                       # mask rows, maskT cols
+            whole(e_dim, h), whole(h, h), whole(1, h),
+        ],
+        out_specs=pl.BlockSpec((block_i, h), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        interpret=interpret,
+    )(pi, pj, pi, pj, xyz, xyz.T, nm2, nmT, w1e, w2, b2[None, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cutoff", "eta", "tol", "masked", "block_i", "block_j",
+                     "precision", "interpret"),
+)
+def fused_message_rowsum(
+    pi: jax.Array,           # (N, H) row projections, first-layer bias folded
+    pj: jax.Array,           # (N, H) col projections
+    xyz: jax.Array,          # (N, 3)
+    node_mask: jax.Array,    # (N,)
+    col_vec: jax.Array,      # (N,) j-sum weights for compat mode
+    w1e: jax.Array,          # (e_dim, H)
+    w2: jax.Array,           # (H, H)
+    b2: jax.Array,           # (H,)
+    cutoff: float = 3.0,
+    eta: float = 2.0,
+    tol: float = 1e-5,
+    masked: bool = True,
+    block_i: int = 128,
+    block_j: int = 128,
+    precision: str = "default",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One GNN message round's row sums with featurization fused in-tile:
+
+        out_i = Σ_j w_ij · relu(relu(pi_i + pj_j + rbf_ij @ W1e) @ W2 + b2)
+
+    (reference ops ``charge_gn.py:62-70``).  ``masked=True`` weights by the
+    pairwise node mask (clean mode); ``masked=False`` weights by ``col_vec``
+    (reference-compat Q10: all original padded columns count, kernel padding
+    excluded).  The caller applies W_out and the Σ_j b_out term.
+    """
+    n, h = pi.shape
+    e_dim = w1e.shape[0]
+    assert n % block_i == 0 and n % block_j == 0, (n, block_i, block_j)
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+
+    nm2 = node_mask[:, None]
+    nmT = node_mask[None, :]
+    row, col, rowT, whole = _pair_grid_specs(n, h, e_dim, block_i, block_j, 0)
+    kernel = functools.partial(
+        _msg_rbf_kernel, cutoff=float(cutoff), eta=float(eta), e_dim=e_dim,
+        tol=float(tol), masked=masked, prec=prec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block_i, n // block_j),
+        in_specs=[
+            row(h), col(h),                        # pi rows, pj cols
+            row(3), rowT(3),                       # xyz rows, xyzT cols
+            row(1), rowT(1),                       # mask rows, maskT cols
+            rowT(1),                               # col_vec (transposed) cols
+            whole(e_dim, h), whole(h, h), whole(1, h),
+        ],
+        out_specs=pl.BlockSpec((block_i, h), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        interpret=interpret,
+    )(pi, pj, xyz, xyz.T, nm2, nmT, col_vec[None, :], w1e, w2, b2[None, :])

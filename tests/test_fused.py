@@ -126,6 +126,48 @@ class TestNeighborPath:
         assert max_neighbor_count(xyz, mask2, 3.0) == 1
 
 
+class TestFullyFusedPallasPath:
+    """forward_blocked(use_pallas=True) without a neighbor split: every
+    O(N²) op (RBF, pair MLPs, gate, antisymmetric reduction) runs in the
+    Pallas kernels.  Bias-perturbed params (build fixture) make any bias-
+    convention bug fatal here."""
+
+    @pytest.mark.parametrize("mask_messages", [True, False])
+    def test_matches_dense_model(self, rng, mask_messages):
+        cfg = EPNNConfig(mask_messages=mask_messages)
+        params, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=2, n=24,
+                                                   n_real=17)
+        e = np.asarray(rbf_edges(xyz, mask))
+        qd = np.asarray(EPNN(cfg).apply(params, x, q0, e, mask))
+        qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        use_pallas=True))
+        scale = np.abs(qd).max() + 1.0
+        assert np.abs(qp - qd).max() < 1e-5 * scale
+
+    def test_conservation(self, rng):
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=3, n=33,
+                                                    n_real=29)
+        qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        use_pallas=True))
+        scale = np.abs(qp).sum(1) + 1.0
+        assert np.all(np.abs(qp.sum(1) - q_total) < 2e-6 * scale)
+        assert np.all(qp[:, 29:] == 0.0)
+
+    def test_soft_envelope(self, rng):
+        cfg = EPNNConfig(pass_weighting="soft_envelope")
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=16, n_real=16)
+        qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8))
+        qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        use_pallas=True))
+        scale = np.abs(qb).max() + 1.0
+        assert np.abs(qp - qb).max() < 1e-5 * scale
+
+    # NOTE: the Pallas dense path is inference-only (the grid-accumulator
+    # kernels have no VJP; training dispatches to the differentiable
+    # neighbor/remat path — see train_step_fused).
+
+
 def test_soft_envelope_paths_agree(rng):
     """The decay-weighted passing variant (SURVEY §8 Q13) must agree across
     dense / blocked / neighbor paths and still conserve charge."""

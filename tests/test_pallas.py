@@ -6,7 +6,111 @@ import pytest
 from epnn_tpu.ops.pallas_kernels import (
     dense_message_rowsum,
     dense_message_rowsum_reference,
+    fused_epn_rowsum,
+    fused_message_rowsum,
 )
+
+
+def _np_rbf_gate(xyz, mask, cutoff=3.0, eta=2.0, e_dim=16, tol=1e-5):
+    """First-principles oracle for the in-tile featurization (mirrors the
+    reference semantics charge_gn.py:122-163, 90-94 — written independently
+    of epnn_tpu.ops.fused so a shared bug cannot hide)."""
+    n = len(xyz)
+    d = np.sqrt(((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1))
+    c = (np.cos(np.pi * d / cutoff) + 1) / 2
+    c[d >= cutoff] = 0.0
+    c[d <= 0.0] = 1.0
+    cmask = mask[:, None] * mask[None, :] * (1 - np.eye(n))
+    c = c * cmask
+    mu = np.linspace(0.1, cutoff, e_dim)
+    rbf = c[:, :, None] * np.exp(-eta * (d[:, :, None] - mu) ** 2)
+    gate = (rbf.max(-1) > tol).astype(np.float32)
+    return rbf.astype(np.float32), gate, c.astype(np.float32)
+
+
+@pytest.fixture()
+def pair_setup(rng):
+    n, h, e_dim = 24, 8, 16
+    pi = rng.normal(size=(n, h)).astype(np.float32)
+    pj = rng.normal(size=(n, h)).astype(np.float32)
+    xyz = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[19:] = 0.0
+    w1e = rng.normal(size=(e_dim, h)).astype(np.float32) * 0.3
+    w2 = rng.normal(size=(h, h)).astype(np.float32) * 0.3
+    b2 = rng.normal(size=(h,)).astype(np.float32)
+    return n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2
+
+
+class TestFusedEPNKernel:
+    """The stage-5 flagship: both orderings + gate + antisymmetric reduction
+    in-tile (reference charge_gn.py:101-118)."""
+
+    def test_matches_oracle(self, pair_setup):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        out = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, block_i=8, block_j=8))
+
+        rbf, gate, _ = _np_rbf_gate(xyz, mask, e_dim=e_dim)
+        epart = rbf @ w1e
+        hid_n = np.maximum(pi[:, None] + pj[None, :] + epart, 0)
+        hid_t = np.maximum(pi[None, :] + pj[:, None] + epart, 0)
+        hid_n = np.maximum(hid_n @ w2 + b2, 0)
+        hid_t = np.maximum(hid_t @ w2 + b2, 0)
+        expect = (0.5 * gate[:, :, None] * (hid_n - hid_t)).sum(1)
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
+
+    def test_antisymmetry_exact(self, pair_setup):
+        """Σ_i out_i @ w_out must cancel to ~0 (charge conservation)."""
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        out = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, block_i=8, block_j=8))
+        total = out.sum(0)
+        assert np.abs(total).max() < 1e-4 * (np.abs(out).sum(0).max() + 1)
+
+    def test_block_invariance(self, pair_setup):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        outs = [
+            np.asarray(fused_epn_rowsum(pi, pj, xyz, mask, w1e, w2, b2,
+                                        block_i=bi, block_j=bj))
+            for bi, bj in ((8, 8), (8, 24), (24, 24))
+        ]
+        for o in outs[1:]:
+            np.testing.assert_allclose(o, outs[0], atol=1e-4)
+
+    def test_soft_gate(self, pair_setup):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        out = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, soft_gate=True,
+            block_i=8, block_j=8))
+        rbf, _, c = _np_rbf_gate(xyz, mask, e_dim=e_dim)
+        epart = rbf @ w1e
+        hid_n = np.maximum(pi[:, None] + pj[None, :] + epart, 0)
+        hid_t = np.maximum(pi[None, :] + pj[:, None] + epart, 0)
+        hid_n = np.maximum(hid_n @ w2 + b2, 0)
+        hid_t = np.maximum(hid_t @ w2 + b2, 0)
+        expect = (0.5 * c[:, :, None] * (hid_n - hid_t)).sum(1)
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
+
+
+class TestFusedMessageKernel:
+    @pytest.mark.parametrize("masked", [True, False])
+    def test_matches_oracle(self, pair_setup, masked):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        col_vec = np.ones(n, np.float32)
+        out = np.asarray(fused_message_rowsum(
+            pi, pj, xyz, mask, col_vec, w1e, w2, b2, masked=masked,
+            block_i=8, block_j=8))
+
+        rbf, _, _ = _np_rbf_gate(xyz, mask, e_dim=e_dim)
+        epart = rbf @ w1e
+        hid = np.maximum(pi[:, None] + pj[None, :] + epart, 0)
+        hid = np.maximum(hid @ w2 + b2, 0)
+        if masked:
+            pairm = mask[:, None] * mask[None, :]  # diag kept
+            hid = hid * pairm[:, :, None]
+        expect = hid.sum(1)
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
 
 
 @pytest.mark.parametrize("masked", [True, False])
