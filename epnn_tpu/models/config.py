@@ -50,6 +50,13 @@ class EPNNConfig:
     highest_precision: bool = True   # fp32-highest matmuls (parity-safe)
     matmul_precision: str = ""       # '' (use highest_precision) | 'default'
                                      # | 'high' (bf16x3) | 'highest' (bf16x6)
+    #: mixed-precision policy for the far-field (no-feature) dense message
+    #: reduction only — the O(N²) term of the neighbor-split path.  '' uses
+    #: matmul_precision; 'bf16x3' runs a manual hi/lo split-float matmul
+    #: (three default-precision MXU passes ≈ fp32 accuracy; XLA's own
+    #: Precision.HIGH is pathologically slow on v5e).  The near-field and
+    #: electron-passing math keeps the main precision.
+    dense_matmul_precision: str = ""
 
     @property
     def atom_feat_dim(self) -> int:

@@ -51,6 +51,25 @@ def _resolve_precision(cfg):
     }[name]
 
 
+def _split_dot(x, w, dims=None):
+    """Manual bf16x3 split-float contraction: x and w are split into
+    bf16 hi + lo halves and combined as x_hi·w_hi + x_hi·w_lo + x_lo·w_hi —
+    three default-precision MXU passes with fp32 accumulation, ≈ fp32
+    accuracy at ~half the cost of HIGHEST (bf16x6) and without the
+    pathological slowness of XLA's Precision.HIGH on v5e."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if dims is None:
+        f = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    else:
+        f = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+    return f(xh, wh) + (f(xh, wl) + f(xl, wh))
+
+
 @dataclasses.dataclass(frozen=True)
 class PairMLPWeights:
     """One pair MLP with its first layer split into [a_i | a_j | e] slices."""
@@ -168,31 +187,37 @@ def rbf_and_gate(d2, cmask, cfg: EPNNConfig, dtype=jnp.float32):
       d2: squared pair distances, any shape (...,).
       cmask: multiplied into the envelope; carries pair validity AND the
         forced-zero diagonal/self rule (callers clear self pairs here).
-      dtype: dtype of the returned gate/rbf (mu grid is built in it).
+      dtype: dtype of the returned rbf/gate.  Featurization math always
+        runs in float32 (bf16 distances would smear the envelope edge);
+        only the outputs are cast, so a bfloat16 compute_dtype confines
+        itself to the MLP pipeline.
 
     Returns ``(rbf, gate)`` with shapes ``d2.shape + (e_dim,)`` / ``d2.shape``.
     """
+    d2 = d2.astype(jnp.float32)
+    cmask = cmask.astype(jnp.float32)
     d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
     d = jnp.where(d2 > 0.0, d, 0.0)
     c = (jnp.cos(jnp.pi * d / cfg.cutoff) + 1.0) * 0.5
     c = jnp.where(d >= cfg.cutoff, 0.0, c)
     c = jnp.where(d <= 0.0, 1.0, c)
     c = c * cmask
-    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=dtype)
+    mu = jnp.linspace(MU_START, cfg.cutoff, cfg.e_dim, dtype=jnp.float32)
     rbf = c[..., None] * jnp.exp(-cfg.eta * (d[..., None] - mu) ** 2)
     # hard gate: any RBF channel above the tolerance (charge_gn.py:90-94)
     gate = (jnp.max(jnp.clip(rbf, cfg.is_near_tol, 1e5), axis=-1)
-            != cfg.is_near_tol).astype(dtype)
+            != cfg.is_near_tol)
     if cfg.pass_weighting == "soft_envelope":
         gate = c  # decay-weighted passing instead of the hard gate
-    return rbf, gate
+    return rbf.astype(dtype), gate.astype(dtype)
 
 
-def _rbf_block(xyz_i, xyz_all, valid_pair, cfg: EPNNConfig):
+def _rbf_block(xyz_i, xyz_all, valid_pair, cfg: EPNNConfig,
+               dtype=jnp.float32):
     """(B, N, e_dim) RBF features + (B, N) gate for one row block against all
     atoms (``valid_pair`` is built by the caller with the diagonal cleared)."""
     d2 = jnp.sum((xyz_i[:, None, :] - xyz_all[None, :, :]) ** 2, axis=-1)
-    return rbf_and_gate(d2, valid_pair, cfg)
+    return rbf_and_gate(d2, valid_pair, cfg, dtype)
 
 
 def _pad_rows(arr: jax.Array, block: int) -> jax.Array:
@@ -273,10 +298,11 @@ def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
     return best
 
 
-def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig):
+def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig,
+                  dtype=jnp.float32):
     """RBF + gate for gathered neighbor pairs. xyz_i: (N,3), xyz_nbr: (N,K,3)."""
     d2 = jnp.sum((xyz_i[:, None, :] - xyz_nbr) ** 2, axis=-1)
-    return rbf_and_gate(d2, nbr_mask, cfg)
+    return rbf_and_gate(d2, nbr_mask, cfg, dtype)
 
 
 def _forward_single_nbr(
@@ -313,8 +339,10 @@ def _forward_single_nbr(
     prec = _resolve_precision(cfg)
 
     idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
+    nbr_mask = nbr_mask.astype(x.dtype)  # selection runs on fp32 coords
     xyz_nbr = xyz[idx]                                     # (N, K, 3)
-    rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz_nbr, nbr_mask, cfg)
+    rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz_nbr, nbr_mask, cfg,
+                                      dtype=x.dtype)
     gate_nbr = gate_nbr * nbr_mask
 
     pairm = node_mask[:, None] * node_mask[None, :]
@@ -333,12 +361,24 @@ def _forward_single_nbr(
     def to_blocks(arr):
         return _pad_rows(arr, block).reshape(nb, block, -1)
 
+    # Mixed-precision policy: the far-field (no-feature) dense reduction may
+    # run at a cheaper precision than the near-field/pass math (the config's
+    # dense_matmul_precision), including the manual bf16x3 split-float tier.
+    dense_name = getattr(cfg, "dense_matmul_precision", "")
+    if dense_name == "bf16x3":
+        prec_dense = "bf16x3"
+    elif dense_name:
+        prec_dense = {"default": None, "high": jax.lax.Precision.HIGH,
+                      "highest": jax.lax.Precision.HIGHEST}[dense_name]
+    else:
+        prec_dense = prec
+
     # Pallas path for the dense no-feature reduction: pad the atom axis to
     # the kernel tile lcm; the pair mask vector is node_mask in clean mode
     # and a "row is one of the original N" indicator in reference-compat
     # mode (the compat sum runs over the original padded width, SURVEY §8
     # Q10 — never over kernel padding).
-    pallas_ok = use_pallas
+    pallas_ok = use_pallas and prec_dense != "bf16x3"
     if pallas_ok:
         from epnn_tpu.ops.pallas_kernels import dense_message_rowsum
 
@@ -349,7 +389,7 @@ def _forward_single_nbr(
             col_vec = jnp.pad(node_mask, (0, n_pad - n))
         else:
             col_vec = jnp.pad(jnp.ones((n,), x.dtype), (0, n_pad - n))
-        prec_name = getattr(cfg, "matmul_precision", "") or (
+        prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
             "highest" if cfg.highest_precision else "default"
         )
 
@@ -379,10 +419,16 @@ def _forward_single_nbr(
             # dense no-feature part: Σ_j over ALL pairs with e = 0
             def dense_scan(carry2, pi_i):
                 hid = jax.nn.relu(pi_i[:, None, :] + pj[None, :, :])
-                hid = _packed_mids(hid, w, prec, pack_to)
-                return carry2, jnp.einsum(
-                    "n,bnh->bh", jvec, hid, precision=prec
-                )
+                if prec_dense == "bf16x3":
+                    for wm, bm in w.mids:
+                        hid = jax.nn.relu(_split_dot(hid, wm) + bm)
+                    red = _split_dot(jvec, hid,
+                                     dims=(((0,), (1,)), ((), ())))
+                else:
+                    hid = _packed_mids(hid, w, prec_dense, pack_to)
+                    red = jnp.einsum("n,bnh->bh", jvec, hid,
+                                     precision=prec_dense)
+                return carry2, red
 
             _, dsum = jax.lax.scan(dense_scan, None, to_blocks(pi))
             dense_sum = dsum.reshape(nb * block, -1)[:n]
@@ -572,7 +618,7 @@ def _forward_single(
 
         def msg_scan(carry2, inp):
             xyz_i, valid_i, pairm_i, pi_i = inp
-            rbf, _ = _rbf_block(xyz_i, xyz, valid_i, cfg)
+            rbf, _ = _rbf_block(xyz_i, xyz, valid_i, cfg, dtype=x.dtype)
             epart = jnp.dot(rbf, w.w1_e, precision=prec)      # (B, N, H1)
             hid = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + epart + w.b1)
             for wm, bm in w.mids:
@@ -605,7 +651,7 @@ def _forward_single(
 
         def pass_scan(carry2, inp):
             xyz_i, valid_i, pi_i, pj_i = inp
-            rbf, gate = _rbf_block(xyz_i, xyz, valid_i, cfg)
+            rbf, gate = _rbf_block(xyz_i, xyz, valid_i, cfg, dtype=x.dtype)
             epart = jnp.dot(rbf, w.w1_e, precision=prec)
             # f_ij: i from the row block, j over all atoms
             hid_n = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + epart + w.b1)
@@ -669,6 +715,27 @@ def forward_blocked(
     path).  With ``neighbor_k`` it switches the dense no-feature message
     reduction to the Pallas kernel.
     """
+    if cfg.compute_dtype == "bfloat16":
+        # bf16 end-to-end in the MLP pipeline: inputs, projections, hidden
+        # activations, and weights are bf16 (halving activation HBM/VMEM);
+        # featurization stays fp32 internally (rbf_and_gate) and casts its
+        # outputs, coordinates stay fp32 for distances/neighbor selection,
+        # and the result returns as fp32.  Conservation is unaffected: the
+        # antisymmetric cancellation is bitwise in any dtype.
+        bf = jnp.bfloat16
+        fused = jax.tree_util.tree_map(lambda a: a.astype(bf), fused)
+        x = x.astype(bf)
+        q0 = q0.astype(bf)
+        node_mask_c = node_mask.astype(bf)
+        out = forward_blocked(
+            fused, x, q0, xyz, node_mask_c,
+            cfg.replace(compute_dtype="float32", matmul_precision="default",
+                        highest_precision=False),
+            block=block, neighbor_k=neighbor_k, use_pallas=False,
+            pack_to=pack_to, remat=remat,
+        )
+        return out.astype(jnp.float32) * node_mask
+
     if neighbor_k is not None:
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,

@@ -196,6 +196,44 @@ def test_soft_envelope_paths_agree(rng):
     assert abs(qb.sum() - 1.0) < 2e-6 * (np.abs(qb).sum() + 1)
 
 
+def test_bf16_compute_dtype_end_to_end(rng):
+    """compute_dtype='bfloat16' runs the fused MLP pipeline in bf16:
+    close to the fp32 result (bf16 epsilon scale) and still conserving
+    (the antisymmetric cancellation is bitwise in any dtype)."""
+    # shallow config: bf16 rounding compounds exponentially through rounds
+    # with the fixture's inflated magnitudes; trained models are tamer
+    cfg32 = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2,
+                       matmul_precision="default")
+    cfg16 = cfg32.replace(compute_dtype="bfloat16")
+    _, fused, x, q0, xyz, mask, q_total = build(rng, cfg32, b=2, n=24,
+                                                n_real=20)
+    for kw in (dict(block=8), dict(block=8, neighbor_k=20)):
+        q32 = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg32, **kw))
+        q16 = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg16, **kw))
+        assert q16.dtype == np.float32
+        scale = np.abs(q32).max() + 1.0
+        assert np.abs(q16 - q32).max() < 3e-2 * scale, kw
+        cons = np.abs(q16.sum(1) - q_total)
+        assert np.all(cons < 2e-2 * (np.abs(q16).sum(1) + 1.0)), (cons, kw)
+        assert np.all(q16[:, 20:] == 0.0)
+
+
+def test_dense_matmul_precision_bf16x3(rng):
+    """The far-field split-float tier: ~fp32-accurate vs the all-HIGHEST
+    result (the manual hi/lo split carries ~16 mantissa bits twice)."""
+    cfg = EPNNConfig(matmul_precision="highest")
+    cfg_split = cfg.replace(dense_matmul_precision="bf16x3")
+    _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=2, n=24, n_real=20)
+    qh = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                                    neighbor_k=20))
+    qs = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg_split,
+                                    block=8, neighbor_k=20))
+    scale = np.abs(qh).max() + 1.0
+    assert np.abs(qs - qh).max() < 5e-5 * scale
+    cons = np.abs(qs.sum(1) - q_total)
+    assert np.all(cons < 2e-6 * (np.abs(qs).sum(1) + 1.0))
+
+
 def test_pack_to_invariance(rng):
     """Block-diagonal packed mid matmuls must not change results."""
     cfg = EPNNConfig()
