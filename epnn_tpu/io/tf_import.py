@@ -37,10 +37,18 @@ _VAR_RE = re.compile(
 def read_tf_checkpoint_raw(prefix: str) -> Dict[str, np.ndarray]:
     """Read every variable of a TF object-based checkpoint as numpy.
 
-    Prefers the dependency-free TensorBundle reader in
-    :mod:`epnn_tpu.io.bundle_reader`; falls back to TensorFlow if the pure
-    reader cannot handle the file and TF is importable.
+    Preference order: the C++ TensorBundle parser
+    (:mod:`epnn_tpu.io.bundle_native`, built via ``make -C native``), the
+    pure-Python reader (:mod:`epnn_tpu.io.bundle_reader`), then TensorFlow
+    as the always-correct heavyweight fallback.
     """
+    try:
+        from epnn_tpu.io import bundle_native
+
+        if bundle_native.available():
+            return bundle_native.read_bundle_native(prefix)
+    except Exception:
+        pass
     try:
         from epnn_tpu.io import bundle_reader
 

@@ -224,6 +224,37 @@ class TestBundleReader:
                 np.asarray(reader.get_tensor(nm)), ours[nm]
             )
 
+    def test_native_reader_bitwise_vs_python(self):
+        """The C++ TensorBundle parser (native/bundle_reader.cc) must agree
+        bit-for-bit with the Python reference reader on every checkpoint."""
+        from epnn_tpu.io import bundle_native
+        from epnn_tpu.io.bundle_reader import read_bundle
+
+        if not bundle_native.available():
+            pytest.skip("native library not built (make -C native)")
+        for name in ("model_weights", "model2_weights", "decay_model_weights"):
+            prefix = os.path.join(MODELS_DIR, name)
+            ours = bundle_native.read_bundle_native(prefix)
+            ref = read_bundle(prefix)
+            assert set(ours) == set(ref)
+            for k in ref:
+                np.testing.assert_array_equal(ours[k], ref[k])
+
+    def test_native_reader_errors(self, tmp_path):
+        from epnn_tpu.io import bundle_native
+        from epnn_tpu.io.bundle_reader import BundleError
+
+        if not bundle_native.available():
+            pytest.skip("native library not built (make -C native)")
+        with pytest.raises(BundleError, match="index"):
+            bundle_native.read_bundle_native(str(tmp_path / "nope"))
+        data = bytearray(open(os.path.join(MODELS_DIR,
+                                           "model_weights.index"), "rb").read())
+        data[-1] ^= 0xFF
+        (tmp_path / "bad.index").write_bytes(bytes(data))
+        with pytest.raises(BundleError, match="magic"):
+            bundle_native.read_bundle_native(str(tmp_path / "bad"))
+
     def test_snappy_roundtrip_helpers(self):
         from epnn_tpu.io.bundle_reader import snappy_decompress
 
