@@ -165,9 +165,25 @@ class Predictor:
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
-                neighbor_k=max(k, 1),
+                neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
             )
         return np.asarray(q)
+
+    def _use_pallas(self) -> bool:
+        """Enable the packed Pallas far-field kernel where profiling shows
+        it wins: on TPU with the far field at default matmul precision
+        (benchmarks/RESULTS.md — 9.0 vs 10.1 ms fast, 9.4 vs 10.7 ms
+        parity-grade on the 2,220-atom protein; HIGHEST-precision Mosaic
+        matmuls are not supported by this environment's compiler)."""
+        cfg = self.cfg
+        dense_prec = cfg.dense_matmul_precision or cfg.matmul_precision or (
+            "highest" if cfg.highest_precision else "default"
+        )
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        return on_tpu and dense_prec == "default"
 
     def predict_molecules(
         self, mols: Sequence[Molecule], pad_to: Optional[int] = None

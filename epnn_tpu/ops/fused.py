@@ -356,7 +356,7 @@ def _forward_single_nbr(
     nm = node_mask[:, None]
 
     def atom_inputs(h, q):
-        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+        return jnp.concatenate([x, h, q[:, None].astype(x.dtype)], axis=-1)
 
     def to_blocks(arr):
         return _pad_rows(arr, block).reshape(nb, block, -1)
@@ -380,10 +380,14 @@ def _forward_single_nbr(
     # Q10 — never over kernel padding).
     pallas_ok = use_pallas and prec_dense != "bf16x3"
     if pallas_ok:
-        from epnn_tpu.ops.pallas_kernels import dense_message_rowsum
+        from epnn_tpu.ops.pallas_kernels import (
+            dense_message_pad,
+            dense_message_rowsum,
+        )
 
-        bi, bj = (128, 256) if n >= 256 else (8, 8)
-        lcm = np.lcm(bi, bj)
+        h1 = int(fused.messages.b1.shape[-1])
+        bi, bjp = (128, 64) if n >= 128 else (8, 8)
+        lcm = dense_message_pad(bi, bjp, h1)
         n_pad = int(-(-n // lcm) * lcm)
         if cfg.mask_messages:
             col_vec = jnp.pad(node_mask, (0, n_pad - n))
@@ -413,7 +417,7 @@ def _forward_single_nbr(
                 jnp.pad(pi, ((0, n_pad - n), (0, 0))),
                 jnp.pad(pj, ((0, n_pad - n), (0, 0))),
                 col_vec, w2, b2,
-                block_i=bi, block_j=bj, masked=True, precision=prec_name,
+                block_i=bi, block_jp=bjp, precision=prec_name,
             )[:n]
         else:
             # dense no-feature part: Σ_j over ALL pairs with e = 0
@@ -456,18 +460,24 @@ def _forward_single_nbr(
 
     # electron passing: gathered pairs only (the gate is zero off the near set)
     def pass_round(q, w: PairMLPWeights):
-        a = atom_inputs(h, q)
+        # runs at the pass weights' dtype (f32 under bf16 compute — see the
+        # conservation note in forward_blocked's bfloat16 branch)
+        a = atom_inputs(h, q).astype(w.w1_i.dtype)
         pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
         pj = jnp.dot(a, w.w1_j, precision=prec)
         pi_nbr = pi[idx]
         pj_nbr = pj[idx]
-        epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
+        epart = jnp.dot(rbf_nbr.astype(w.w1_e.dtype), w.w1_e, precision=prec)
         hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart)
         hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart)
         hid_n = _packed_mids(hid_n, w, prec, pack_to)
         hid_t = _packed_mids(hid_t, w, prec, pack_to)
-        dsum = jnp.sum(0.5 * gate_nbr[:, :, None] * (hid_n - hid_t), axis=1)
-        dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
+        # difference in the compute dtype (bitwise antisymmetric), then f32
+        # accumulation — conservation stays f32-grade under bf16 compute
+        diff = (hid_n - hid_t).astype(jnp.float32)
+        gate32 = gate_nbr.astype(jnp.float32)
+        dsum = jnp.sum(0.5 * gate32[:, :, None] * diff, axis=1)
+        dq = jnp.dot(dsum, w.w_out.astype(jnp.float32), precision=prec)[:, 0]
         return q + dq, None
 
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
@@ -481,6 +491,7 @@ def _forward_single_pallas(
     xyz: jax.Array,        # (N, 3)
     node_mask: jax.Array,  # (N,)
     cfg: EPNNConfig,
+    block: int = 64,
     remat: bool = False,
 ) -> jax.Array:
     """Dense forward where every O(N²) op runs in the fused Pallas pair
@@ -499,7 +510,13 @@ def _forward_single_pallas(
     prec_name = getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default"
     )
-    bi, bj = (128, 128) if n >= 128 else (8, 8)
+    # Mosaic block rules: the pre-transposed (3, N)/(1, N) column inputs are
+    # blocked (·, BJ), so BJ must be a multiple of 128; BI bounds the in-tile
+    # (BI·BJ, e_dim→128-lane) RBF buffer (BI=32, BJ=128 → 2 MB)
+    if n < 128:
+        bi = bj = 8  # interpret mode (CPU tests); no lane constraint
+    else:
+        bi, bj = max(8, min(block, 64)), 128
     lcm = int(np.lcm(bi, bj))
     n_pad = int(-(-n // lcm) * lcm)
 
@@ -522,7 +539,7 @@ def _forward_single_pallas(
     nm = node_mask[:, None]
 
     def atom_inputs(h, q):
-        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+        return jnp.concatenate([x, h, q[:, None].astype(x.dtype)], axis=-1)
 
     def message_round(carry, w: PairMLPWeights):
         h, q = carry
@@ -594,7 +611,7 @@ def _forward_single(
     nm = node_mask[:, None]
 
     def atom_inputs(h, q):
-        return jnp.concatenate([x, h, q[:, None]], axis=-1)
+        return jnp.concatenate([x, h, q[:, None].astype(x.dtype)], axis=-1)
 
     def to_blocks(arr):
         return _pad_rows(arr, block).reshape(nb, block, -1)
@@ -645,13 +662,15 @@ def _forward_single(
     # b_out cancels in f_ij − f_ji, so the transfer is a pure W_out
     # contraction of the weighted hidden difference.
     def pass_round(q, w: PairMLPWeights):
-        a = atom_inputs(h, q)
+        # f32 under bf16 compute — see forward_blocked's bfloat16 branch
+        a = atom_inputs(h, q).astype(w.w1_i.dtype)
         pi = jnp.dot(a, w.w1_i, precision=prec)
         pj = jnp.dot(a, w.w1_j, precision=prec)
 
         def pass_scan(carry2, inp):
             xyz_i, valid_i, pi_i, pj_i = inp
-            rbf, gate = _rbf_block(xyz_i, xyz, valid_i, cfg, dtype=x.dtype)
+            rbf, gate = _rbf_block(xyz_i, xyz, valid_i, cfg,
+                                   dtype=w.w1_e.dtype)
             epart = jnp.dot(rbf, w.w1_e, precision=prec)
             # f_ij: i from the row block, j over all atoms
             hid_n = jax.nn.relu((pi_i[:, None, :] + pj[None, :, :]) + epart + w.b1)
@@ -660,8 +679,9 @@ def _forward_single(
             for wm, bm in w.mids:
                 hid_n = jax.nn.relu(jnp.dot(hid_n, wm, precision=prec) + bm)
                 hid_t = jax.nn.relu(jnp.dot(hid_t, wm, precision=prec) + bm)
-            weight = (valid_i * gate)[:, :, None]
-            diff = jnp.sum(0.5 * weight * (hid_n - hid_t), axis=1)  # (B, H)
+            weight = (valid_i * gate).astype(jnp.float32)[:, :, None]
+            d32 = (hid_n - hid_t).astype(jnp.float32)
+            diff = jnp.sum(0.5 * weight * d32, axis=1)  # (B, H) f32-summed
             return carry2, diff
 
         _, dsum = jax.lax.scan(
@@ -669,7 +689,7 @@ def _forward_single(
             (xyz_blocks, valid_blocks, to_blocks(pi), to_blocks(pj)),
         )
         dsum = dsum.reshape(nb * block, -1)[:n]
-        dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]
+        dq = jnp.dot(dsum, w.w_out.astype(jnp.float32), precision=prec)[:, 0]
         return q + dq, None
 
     if remat:
@@ -723,9 +743,22 @@ def forward_blocked(
         # and the result returns as fp32.  Conservation is unaffected: the
         # antisymmetric cancellation is bitwise in any dtype.
         bf = jnp.bfloat16
-        fused = jax.tree_util.tree_map(lambda a: a.astype(bf), fused)
+        # electron-passing weights STAY f32: XLA:TPU evaluates bf16
+        # elementwise chains in f32 registers and rounds at materialization
+        # points, which differ between the f_ij and f_ji fusion graphs —
+        # breaking the bitwise antisymmetry conservation rests on (verified
+        # on hardware; CPU bf16 conserves, TPU bf16 did not).  The pass
+        # rounds are O(N·k) — the bf16 win is the message pipeline.
+        fused = FusedParams(
+            messages=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                            fused.messages),
+            passes=fused.passes,
+            update=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                          fused.update),
+        )
         x = x.astype(bf)
-        q0 = q0.astype(bf)
+        # q0 stays f32: the charge accumulator must not round per round, or
+        # conservation degrades to bf16 noise × N (atom_inputs casts per use)
         node_mask_c = node_mask.astype(bf)
         out = forward_blocked(
             fused, x, q0, xyz, node_mask_c,
@@ -745,7 +778,8 @@ def forward_blocked(
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction
         # all in the Pallas kernels (mids stacking gives (T, 1) layers —
         # exactly one mid layer is what the kernels implement)
-        single = functools.partial(_forward_single_pallas, cfg=cfg, remat=remat)
+        single = functools.partial(_forward_single_pallas, cfg=cfg,
+                                   block=min(block, 128), remat=remat)
     else:
         single = functools.partial(
             _forward_single, cfg=cfg, block=block, remat=remat

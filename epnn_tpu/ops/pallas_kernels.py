@@ -39,26 +39,25 @@ def _on_tpu() -> bool:
         return False
 
 
-def _msg_kernel(pi_ref, pj_ref, nmi_ref, nmj_ref, w2_ref, b2_ref,
-                out_ref, *, masked: bool, prec):
+def _msg_kernel(pit_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
+                out_ref, *, prec):
     j = pl.program_id(1)
-    pi = pi_ref[:]            # (BI, H)
-    pj = pj_ref[:]            # (BJ, H)
-    bi, h = pi.shape
-    bj = pj.shape[0]
-    hid1 = jax.nn.relu(pi[:, None, :] + pj[None, :, :])
-    hid1 = hid1.reshape(bi * bj, h)
-    hid2 = jax.nn.relu(
-        jnp.dot(hid1, w2_ref[:], preferred_element_type=jnp.float32,
+    pit = pit_ref[:]          # (BI, P*H) — pi tiled across P lane groups
+    pjp = pjp_ref[:]          # (BJP, P*H) — P consecutive pj rows per row
+    bi, ph = pit.shape
+    bjp = pjp.shape[0]
+    # one packed row = P pairs; the mid matmul runs at full 128-lane width
+    # against kron(I_P, W2) — per-element identical math, ~P·(128/H)× better
+    # MXU utilization than the (·, H) layout
+    base = (pit[:, None, :] + pjp[None, :, :]).reshape(bi * bjp, ph)
+    hid = jax.nn.relu(base)
+    hid = jax.nn.relu(
+        jnp.dot(hid, w2p_ref[:], preferred_element_type=jnp.float32,
                 precision=prec)
-        + b2_ref[:]
+        + b2p_ref[:]
     )
-    if masked:
-        pair = (nmi_ref[:][:, 0:1, None] * nmj_ref[:][None, :, :])  # (BI,BJ,1)
-        hid2 = hid2.reshape(bi, bj, h) * pair
-        partial = jnp.sum(hid2, axis=1)
-    else:
-        partial = jnp.sum(hid2.reshape(bi, bj, h), axis=1)
+    hid = hid.reshape(bi, bjp, ph) * mjp_ref[:][None, :, :]
+    partial = jnp.sum(hid, axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -70,76 +69,95 @@ def _msg_kernel(pi_ref, pj_ref, nmi_ref, nmj_ref, w2_ref, b2_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_i", "block_j", "masked", "precision",
-                              "interpret")
+    jax.jit, static_argnames=("block_i", "block_jp", "precision", "interpret")
 )
 def dense_message_rowsum(
     pi: jax.Array,           # (N, H) row projections, first-layer bias folded in
     pj: jax.Array,           # (N, H) col projections
-    node_mask: jax.Array,    # (N,)
+    col_vec: jax.Array,      # (N,) j-sum weights (node mask, or compat ones)
     w2: jax.Array,           # (H, H)
     b2: jax.Array,           # (H,)
     block_i: int = 128,
-    block_j: int = 256,
-    masked: bool = True,
+    block_jp: int = 64,
     precision: str = "default",
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Σ_j mask_ij · relu(relu(pi_i + pj_j) @ W2 + b2) as (N, H).
+    """Σ_j col_vec_j · relu(relu(pi_i + pj_j) @ W2 + b2) as (N, H).
 
-    ``pi`` must already include the first-layer bias (fold it in once per
-    atom — the kernel adds no bias to the first layer).  N must be padded to
-    lcm(block_i, block_j) by the caller (padded rows have node_mask 0; in
-    unmasked/compat mode the caller arranges the padded width to equal the
-    reference's, so including them is the point).
+    ``pi`` must already include the first-layer bias (fold it once per atom —
+    the kernel adds no bias to the first layer).  Pass ``col_vec=node_mask``
+    for pairwise-masked (clean) mode or all-ones over the original padded
+    width for reference-compat mode (SURVEY §8 Q10) — kernel padding columns
+    must be zero either way.
+
+    Layout: P = 128//H column pairs are packed per 128-lane row, so the mid
+    matmul runs against kron(I_P, W2) at full MXU width instead of an
+    H-wide (4×-padded) contraction.  N must be divisible by
+    lcm(block_i, P·block_jp) — see :func:`dense_message_pad`.
     """
     n, h = pi.shape
-    assert n % block_i == 0 and n % block_j == 0, (n, block_i, block_j)
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
     if interpret is None:
         interpret = not _on_tpu()
-    # Mosaic rejects Precision.HIGH; HIGHEST is the fp32-accurate tier there
     prec = {
         "default": None,
         "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
 
-    nm2 = node_mask[:, None]
-    grid = (n // block_i, n // block_j)
-    kernel = functools.partial(_msg_kernel, masked=masked, prec=prec)
-    return pl.pallas_call(
+    np_rows = n // pack
+    block_jp = min(block_jp, np_rows)
+    assert n % block_i == 0 and np_rows % block_jp == 0, (n, block_i, block_jp)
+
+    ph = pack * h
+    pit = jnp.tile(pi, (1, pack))                      # (N, P·H)
+    pjp = pj.reshape(np_rows, ph)                      # (N/P, P·H)
+    mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
+    if pack > 1:
+        w2p = jnp.kron(jnp.eye(pack, dtype=w2.dtype), w2)
+        b2p = jnp.tile(b2, pack)
+    else:
+        w2p, b2p = w2, b2
+
+    grid = (n // block_i, np_rows // block_jp)
+    kernel = functools.partial(_msg_kernel, prec=prec)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_i, h), lambda i, j: (i, 0),
+            pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j, h), lambda i, j: (j, 0),
+            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_i, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_j, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((ph, ph), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, h), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i, j: (0, 0),
+            pl.BlockSpec((1, ph), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_i, h), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
         interpret=interpret,
-    )(pi, pj, nm2, nm2, w2, b2[None, :])
+    )(pit, pjp, mjp, w2p, b2p[None, :])
+    # fold the P lane groups back to H channels (linear, outside the kernel)
+    return out.reshape(n, pack, h).sum(axis=1)
 
 
-def dense_message_rowsum_reference(pi, pj, node_mask, w2, b2, masked=True):
+def dense_message_pad(block_i: int = 128, block_jp: int = 64,
+                      h: int = 32) -> int:
+    """The atom-count multiple dense_message_rowsum requires."""
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
+    return int(np.lcm(block_i, pack * block_jp))
+
+
+def dense_message_rowsum_reference(pi, pj, col_vec, w2, b2):
     """NumPy-oracle for the kernel (used by tests).  Note: intentionally
     independent of any bias convention — ``pi`` carries the folded b1."""
     hid1 = np.maximum(pi[:, None, :] + pj[None, :, :], 0.0)
     hid2 = np.maximum(hid1 @ w2 + b2, 0.0)
-    if masked:
-        pair = node_mask[:, None] * node_mask[None, :]
-        hid2 = hid2 * pair[:, :, None]
-    return hid2.sum(axis=1)
+    return (hid2 * col_vec[None, :, None]).sum(axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +212,8 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim, tol,
     cmask = pairm * (rows != cols).astype(jnp.float32)
     c = c * cmask
 
-    # mu grid from a 2-D iota (1-D iota is unsupported on TPU)
-    ch = jax.lax.broadcasted_iota(jnp.float32, (1, e_dim), 1)
+    # mu grid from a 2-D int iota (float/1-D iota is unsupported in Mosaic)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, e_dim), 1).astype(jnp.float32)
     mu = 0.1 + (cutoff - 0.1) * ch / (e_dim - 1)
 
     c3 = c[:, :, None]
@@ -268,15 +286,18 @@ def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
     hid = jax.nn.relu(base + epart)
     hid = jax.nn.relu(jnp.dot(hid, w2[:], preferred_element_type=jnp.float32,
                               precision=prec) + b2[:])
+    # NOTE: expand-then-collapse — a direct (BI, BJ) -> (BI·BJ, 1) reshape
+    # is a lane->sublane relayout that crashes this environment's Mosaic
+    # compiler; [:, :, None] first makes both steps layout-free
     if masked:
         # pairwise mask incl. the diagonal (self-messages flow, matching the
         # dense model's pair_mask — only the RBF excludes self pairs)
-        w = pairm.reshape(bi * bj, 1)
+        w = pairm[:, :, None].reshape(bi * bj, 1)
     else:
         # compat mode: every column of the caller's padded width counts
         # (SURVEY §8 Q10); cvT excludes only kernel padding
         w = (jnp.ones((bi, 1), jnp.float32)
-             * cvT[:][0:1, :]).reshape(bi * bj, 1)
+             * cvT[:][0:1, :])[:, :, None].reshape(bi * bj, 1)
     partial = jnp.sum((hid * w).reshape(bi, bj, h), axis=1)
 
     @pl.when(j == 0)

@@ -119,14 +119,14 @@ def test_matches_oracle(rng, masked):
     pi = rng.normal(size=(n, h)).astype(np.float32)
     pj = rng.normal(size=(n, h)).astype(np.float32)
     nm = np.ones(n, np.float32)
-    nm[200:] = 0.0
+    if masked:
+        nm[200:] = 0.0
     w2 = rng.normal(size=(h, h)).astype(np.float32) * 0.2
     b2 = rng.normal(size=(h,)).astype(np.float32)
     out = np.asarray(
-        dense_message_rowsum(pi, pj, nm, w2, b2,
-                             block_i=64, block_j=128, masked=masked)
+        dense_message_rowsum(pi, pj, nm, w2, b2, block_i=64, block_jp=32)
     )
-    oracle = dense_message_rowsum_reference(pi, pj, nm, w2, b2, masked)
+    oracle = dense_message_rowsum_reference(pi, pj, nm, w2, b2)
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
 
 
@@ -134,14 +134,14 @@ def test_kernel_has_no_first_layer_bias(rng):
     """The kernel's contract: pi carries any first-layer bias; the kernel
     must not add one.  Guard computed from first principles (not via the
     shared oracle, which the round-1 double-add bug also infected)."""
-    n, h = 8, 8
+    n, h = 32, 8
     pi = rng.normal(size=(n, h)).astype(np.float32)
     pj = rng.normal(size=(n, h)).astype(np.float32)
     nm = np.ones(n, np.float32)
     w2 = np.eye(h, dtype=np.float32)
     b2 = np.zeros(h, np.float32)
     out = np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
-                                          block_i=8, block_j=8))
+                                          block_i=8, block_jp=2))
     expect = np.maximum(pi[:, None, :] + pj[None, :, :], 0.0).sum(1)
     np.testing.assert_allclose(out, expect, rtol=1e-6, atol=1e-5)
 
@@ -155,8 +155,22 @@ def test_block_invariance(rng):
     b2 = np.zeros(h, np.float32)
     outs = [
         np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
-                                        block_i=bi, block_j=bj))
-        for bi, bj in ((64, 64), (128, 256), (256, 256))
+                                        block_i=bi, block_jp=bjp))
+        for bi, bjp in ((64, 16), (128, 64), (256, 32))
     ]
     for o in outs[1:]:
         np.testing.assert_allclose(o, outs[0], atol=1e-4)
+
+
+def test_odd_width_no_packing(rng):
+    """Widths that don't divide 128 fall back to unpacked (P=1) layout."""
+    n, h = 64, 24
+    pi = rng.normal(size=(n, h)).astype(np.float32)
+    pj = rng.normal(size=(n, h)).astype(np.float32)
+    nm = np.ones(n, np.float32)
+    w2 = rng.normal(size=(h, h)).astype(np.float32) * 0.2
+    b2 = rng.normal(size=(h,)).astype(np.float32)
+    out = np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
+                                          block_i=32, block_jp=16))
+    oracle = dense_message_rowsum_reference(pi, pj, nm, w2, b2)
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
