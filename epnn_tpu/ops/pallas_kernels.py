@@ -185,10 +185,11 @@ def dense_message_rowsum_reference(pi, pj, col_vec, w2, b2):
 # ---------------------------------------------------------------------------
 
 
-def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim, tol,
-                   soft_gate):
+def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
+                   tol):
     """Shared in-tile featurization.  Returns (rbf_flat (BI·BJ, e_dim),
-    gate_flat (BI·BJ, 1), pairm (BI, BJ)) for one pair tile.
+    c (BI, BJ) masked envelope, pairm (BI, BJ), gate (BI, BJ) hard is-near
+    gate) for one pair tile.
 
     xr: (BI, 3) row coords; xcT: (3, BJ) col coords (pre-transposed so the
     kernel never transposes); mi/mj: (BI, 1)/(1, BJ) node masks; ri0/rj0:
@@ -218,15 +219,16 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim, tol,
 
     c3 = c[:, :, None]
     d3 = d[:, :, None]
-    rbf = (c3 * jnp.exp(-eta * (d3 - mu[None, :, :]) ** 2)).reshape(
-        bi * bj, e_dim
-    )
-    if soft_gate:
-        gate = c3.reshape(bi * bj, 1)
-    else:
-        gate = (jnp.max(jnp.clip(rbf, tol, 1e5), axis=-1, keepdims=True)
-                != tol).astype(jnp.float32)
-    return rbf, gate, pairm
+    rbf3 = c3 * jnp.exp(-eta * (d3 - mu[None, :, :]) ** 2)
+    # hard is-near gate (charge_gn.py:90-94), reduced from the 3-D rbf so it
+    # lands directly in (BI, BJ)
+    gate = (jnp.max(jnp.clip(rbf3, tol, 1e5), axis=-1) != tol).astype(
+        jnp.float32)
+    # NOTE: no (BI, BJ, 1) <-> (BI·BJ, 1) reshapes anywhere — 1-lane arrays
+    # are tile-padded, so those collapses are relayouts this environment's
+    # Mosaic compiler crashes on.  Gates/masks stay 2-D (BI, BJ); callers
+    # apply them to wide tensors in 3-D space (layout-free broadcasts).
+    return rbf3.reshape(bi * bj, e_dim), c, pairm, gate
 
 
 def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
@@ -237,10 +239,9 @@ def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
     bj = pi_c.shape[0]
     h = pi_r.shape[1]
 
-    rbf, gate, _ = _tile_rbf_flat(
+    rbf, c, _, hard_gate = _tile_rbf_flat(
         xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
         i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
-        soft_gate=soft_gate,
     )
     epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
                     precision=prec)                           # (BI·BJ, H)
@@ -255,8 +256,9 @@ def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
                                 precision=prec) + b2[:])
     hid_t = jax.nn.relu(jnp.dot(hid_t, w2[:], preferred_element_type=jnp.float32,
                                 precision=prec) + b2[:])
-    diff = (0.5 * gate) * (hid_n - hid_t)
-    partial = jnp.sum(diff.reshape(bi, bj, h), axis=1)
+    gate = c if soft_gate else hard_gate             # (BI, BJ)
+    diff3 = (hid_n - hid_t).reshape(bi, bj, h)
+    partial = jnp.sum((0.5 * gate)[:, :, None] * diff3, axis=1)
 
     @pl.when(j == 0)
     def _():
@@ -275,10 +277,9 @@ def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
     bj = pj_c.shape[0]
     h = pi_r.shape[1]
 
-    rbf, _, pairm = _tile_rbf_flat(
+    rbf, _, pairm, _ = _tile_rbf_flat(
         xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
         i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
-        soft_gate=False,
     )
     epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
                     precision=prec)
@@ -286,19 +287,15 @@ def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
     hid = jax.nn.relu(base + epart)
     hid = jax.nn.relu(jnp.dot(hid, w2[:], preferred_element_type=jnp.float32,
                               precision=prec) + b2[:])
-    # NOTE: expand-then-collapse — a direct (BI, BJ) -> (BI·BJ, 1) reshape
-    # is a lane->sublane relayout that crashes this environment's Mosaic
-    # compiler; [:, :, None] first makes both steps layout-free
     if masked:
         # pairwise mask incl. the diagonal (self-messages flow, matching the
         # dense model's pair_mask — only the RBF excludes self pairs)
-        w = pairm[:, :, None].reshape(bi * bj, 1)
+        w = pairm                                    # (BI, BJ)
     else:
         # compat mode: every column of the caller's padded width counts
         # (SURVEY §8 Q10); cvT excludes only kernel padding
-        w = (jnp.ones((bi, 1), jnp.float32)
-             * cvT[:][0:1, :])[:, :, None].reshape(bi * bj, 1)
-    partial = jnp.sum((hid * w).reshape(bi, bj, h), axis=1)
+        w = jnp.ones((bi, 1), jnp.float32) * cvT[:][0:1, :]
+    partial = jnp.sum(hid.reshape(bi, bj, h) * w[:, :, None], axis=1)
 
     @pl.when(j == 0)
     def _():
