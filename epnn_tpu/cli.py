@@ -78,6 +78,8 @@ def cmd_train(args):
         log_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
         resume=args.resume, init_from=args.init_from,
         dense_max_atoms=args.dense_max_atoms,
+        tensorboard_dir=(os.path.join(args.out, "tb")
+                         if args.out and args.tensorboard else None),
     )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -94,6 +96,31 @@ def cmd_train(args):
           f"(padded-metric equivalent: {res.best_val_padded_mae:.5f} e)")
 
 
+
+def _make_predictor(args, **kw):
+    """Predictor from --checkpoint / --reference-models with the CLI's
+    precision policy applied (see benchmarks/RESULTS.md):
+
+    * parity — fp32-HIGHEST near-field + electron passing, far field at
+      default precision (measured parity-neutral: <=8e-6 e vs the golden
+      artifacts either way).
+    * fast — default matmul precision everywhere (conservation stays exact).
+    """
+    from epnn_tpu.infer import Predictor
+
+    if args.reference_models:
+        pred = Predictor.from_reference(args.reference_models,
+                                        args.reference_name, **kw)
+    else:
+        pred = Predictor.from_checkpoint(args.checkpoint, **kw)
+    if getattr(args, "precision", "parity") == "fast":
+        cfg = pred.cfg.replace(matmul_precision="default")
+    else:
+        cfg = pred.cfg.replace(matmul_precision="highest",
+                               dense_matmul_precision="default")
+    return Predictor(params=pred.params, cfg=cfg, **kw)
+
+
 def cmd_infer(args):
     from epnn_tpu.data import load_directory, load_molecule
     from epnn_tpu.infer import Predictor
@@ -107,11 +134,7 @@ def cmd_infer(args):
         kw["shard_mode"] = "ring" if getattr(args, "ring_shard", 0) else "atom"
         print(f"sharding the atom axis over {shard} devices "
               f"({kw['shard_mode']} layout)")
-    if args.reference_models:
-        pred = Predictor.from_reference(args.reference_models,
-                                        args.reference_name, **kw)
-    else:
-        pred = Predictor.from_checkpoint(args.checkpoint, **kw)
+    pred = _make_predictor(args, **kw)
     if os.path.isdir(args.path):
         mols = load_directory(args.path)
     else:
@@ -139,12 +162,8 @@ def cmd_import_ckpt(args):
 def cmd_eval_pol(args):
     from epnn_tpu.analysis import polarization_response, split_dimer
     from epnn_tpu.data import load_molecule
-    from epnn_tpu.infer import Predictor
 
-    if args.reference_models:
-        pred = Predictor.from_reference(args.reference_models, args.reference_name)
-    else:
-        pred = Predictor.from_checkpoint(args.checkpoint)
+    pred = _make_predictor(args)
     dimer = load_molecule(args.dimer)
     monomers = None
     if args.monomers:
@@ -185,10 +204,7 @@ def cmd_bench(args):
     from epnn_tpu.infer import Predictor
     from epnn_tpu.utils import benchmark_fn
 
-    if args.reference_models:
-        pred = Predictor.from_reference(args.reference_models, args.reference_name)
-    else:
-        pred = Predictor.from_checkpoint(args.checkpoint)
+    pred = _make_predictor(args)
     mol = load_molecule(args.path)
     table = table_for_n_elems(pred.cfg.n_elems)
     batch = pad_molecules([mol], table)
@@ -222,6 +238,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="buckets padded wider than this train through the "
                         "blockwise fused path (no dense pair tensors)")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)
 
     def _ckpt_args(p):
@@ -229,6 +247,12 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--reference-models",
                        help="reference models/ dir (TF checkpoints)")
         p.add_argument("--reference-name", default="decay_model")
+        p.add_argument("--precision", choices=["parity", "fast"],
+                       default="parity",
+                       help="parity: fp32-HIGHEST near-field (bit-comparable "
+                            "to the reference, <=1e-5 e); fast: default "
+                            "matmul precision (conservation stays exact, "
+                            "~8%% lower latency)")
 
     p = sub.add_parser("infer", help="predict charges")
     _ckpt_args(p)

@@ -61,6 +61,9 @@ class TrainConfig:
     #: initialize params from a params-only checkpoint dir (fresh optimizer)
     #: — the fine-tune entry point, e.g. an import-ckpt'd reference model
     init_from: Optional[str] = None
+    #: optional TensorBoard event-file directory (SURVEY §5; skipped with a
+    #: warning when no SummaryWriter implementation is importable)
+    tensorboard_dir: Optional[str] = None
     debug_nans: bool = False
     #: dump train/val prediction + label + name arrays next to the best
     #: checkpoint on every improvement (the reference's artifact protocol,
@@ -308,6 +311,14 @@ def train(
     rng = np.random.default_rng(tc.seed)
     history: List[Dict[str, float]] = []
     log_f = open(tc.log_path, "a") if tc.log_path else None
+    tb = None
+    if tc.tensorboard_dir:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(tc.tensorboard_dir)
+        except Exception as e:  # pragma: no cover - env without torch
+            print(f"tensorboard logging disabled ({e})")
 
     def put(mb, n_real):
         args = _batch_args(mb, n_real)
@@ -390,6 +401,10 @@ def train(
         if log_f:
             log_f.write(json.dumps(row) + "\n")
             log_f.flush()
+        if tb is not None:
+            for key, val in row.items():
+                if key != "epoch":
+                    tb.add_scalar(key, val, epoch)
         if progress:
             print(
                 f"epoch {epoch}: loss {acc.loss:.3e} "
@@ -420,5 +435,7 @@ def train(
 
     if log_f:
         log_f.close()
+    if tb is not None:
+        tb.close()
     return TrainResult(state=state, best_val_masked_mae=best,
                        best_val_padded_mae=best_padded, history=history)

@@ -43,8 +43,10 @@ for n in (555, 1110, 2220, 4440, 8880, 17760):
     b = pad_molecules([mol], table, pad_to=n)
     k = round_up(max_neighbor_count(b.xyz[0], b.node_mask[0], cfg.cutoff) + 4, 8)
     x, q0, xyz, mask = [jax.device_put(a) for a in (b.x, b.q0, b.xyz, b.node_mask)]
+    on_tpu = jax.devices()[0].platform == "tpu"
     fn = lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg,
-                                    block=256, neighbor_k=k)
+                                    block=256, neighbor_k=k,
+                                    use_pallas=on_tpu)
     t0 = time.perf_counter()
     q = np.asarray(fn(q0))[0]
     compile_s = time.perf_counter() - t0

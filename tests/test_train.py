@@ -125,6 +125,17 @@ def test_init_from_finetunes(toy_train_mols, tmp_path):
     assert res2.history[0]["train_loss"] < res1.history[0]["train_loss"] * 0.5
 
 
+def test_tensorboard_logging(toy_train_mols, tmp_path):
+    pytest.importorskip("torch.utils.tensorboard")
+    import os
+
+    tb_dir = str(tmp_path / "tb")
+    tc = TrainConfig(epochs=2, batch_size=8, seed=1, tensorboard_dir=tb_dir)
+    train(toy_train_mols, SMALL, tc, progress=False)
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, os.listdir(tb_dir)
+
+
 def test_padded_loss_option(toy_train_mols):
     tc = TrainConfig(epochs=2, batch_size=8, loss="padded_mse", seed=1)
     res = train(toy_train_mols, SMALL, tc, progress=False)
