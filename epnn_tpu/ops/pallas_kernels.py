@@ -324,7 +324,7 @@ def _pair_grid_specs(n, h, e_dim, block_i, block_j, extra):
 @functools.partial(
     jax.jit,
     static_argnames=("cutoff", "eta", "tol", "soft_gate", "block_i",
-                     "block_j", "precision", "interpret"),
+                     "block_j", "precision", "interpret", "packed"),
 )
 def fused_epn_rowsum(
     pi: jax.Array,           # (N, H) row projections, first-layer bias folded
@@ -342,6 +342,7 @@ def fused_epn_rowsum(
     block_j: int = 128,
     precision: str = "default",
     interpret: bool | None = None,
+    packed: bool | None = None,
 ) -> jax.Array:
     """One electron-passing round's antisymmetric row sums, fully fused:
 
@@ -351,6 +352,10 @@ def fused_epn_rowsum(
     in-tile (reference ops ``charge_gn.py:101-118``).  The caller applies
     W_out (b_out cancels in the antisymmetric difference).  N must be padded
     to lcm(block_i, block_j); padded rows carry node_mask 0.
+
+    ``packed`` (auto when H divides 128) selects the lane-packed variant:
+    P pairs per 128-lane row, kron-structured weight matmuls at full MXU
+    width; bitwise antisymmetry is preserved (see the packed-section note).
     """
     n, h = pi.shape
     e_dim = w1e.shape[0]
@@ -359,6 +364,54 @@ def fused_epn_rowsum(
         interpret = not _on_tpu()
     prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
             "highest": jax.lax.Precision.HIGHEST}[precision]
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
+    if packed is None:
+        # default OFF: these kernels are featurization-bound (N²·e_dim
+        # transcendentals dominate), so MXU packing measured SLOWER here
+        # (120 vs 74 ms protein) — unlike the no-featurization far-field
+        # kernel where it wins.  Kept as a verified option.
+        packed = False
+    if packed:
+        assert pack > 1 and n % pack == 0
+        npk = n // pack
+        block_jp = max(8, min(block_j // pack, npk))
+        while npk % block_jp:
+            block_jp //= 2
+        ph, pe = pack * h, pack * e_dim
+        xce, mc, cid, _ = _lane_tables(xyz, node_mask, pack, e_dim)
+        pit = jnp.tile(pi, (1, pack))
+        pjt = jnp.tile(pj, (1, pack))
+        pip = pi.reshape(npk, ph)
+        pjp = pj.reshape(npk, ph)
+        row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        colp = lambda d: pl.BlockSpec((block_jp, d), lambda i, j: (j, 0),
+                                      memory_space=pltpu.VMEM)
+        whole = lambda a, b: pl.BlockSpec((a, b), lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _epn_packed_kernel, cutoff=float(cutoff), eta=float(eta),
+            e_dim=e_dim, pack=pack, tol=float(tol), soft_gate=soft_gate,
+            prec=prec,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // block_i, npk // block_jp),
+            in_specs=[
+                row(ph), row(ph), colp(ph), colp(ph),   # pit, pjt, pip, pjp
+                row(3),                                 # xyz rows
+                colp(pe), colp(pe), colp(pe),           # lane coords x/y/z
+                colp(pe), colp(pe), row(1),             # mask, colid, mi
+                whole(pe, ph), whole(ph, ph), whole(1, ph), whole(pe, ph),
+            ],
+            out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
+            interpret=interpret,
+        )(pit, pjt, pip, pjp, xyz, *xce, mc, cid, node_mask[:, None],
+          _kron_eye(w1e, pack), _kron_eye(w2, pack),
+          jnp.tile(b2, pack)[None, :], _group_spread(pack, e_dim, h))
+        return out.reshape(n, pack, h).sum(axis=1)
 
     nm2 = node_mask[:, None]
     nmT = node_mask[None, :]
@@ -386,7 +439,7 @@ def fused_epn_rowsum(
 @functools.partial(
     jax.jit,
     static_argnames=("cutoff", "eta", "tol", "masked", "block_i", "block_j",
-                     "precision", "interpret"),
+                     "precision", "interpret", "packed"),
 )
 def fused_message_rowsum(
     pi: jax.Array,           # (N, H) row projections, first-layer bias folded
@@ -405,6 +458,7 @@ def fused_message_rowsum(
     block_j: int = 128,
     precision: str = "default",
     interpret: bool | None = None,
+    packed: bool | None = None,
 ) -> jax.Array:
     """One GNN message round's row sums with featurization fused in-tile:
 
@@ -414,6 +468,8 @@ def fused_message_rowsum(
     pairwise node mask (clean mode); ``masked=False`` weights by ``col_vec``
     (reference-compat Q10: all original padded columns count, kernel padding
     excluded).  The caller applies W_out and the Σ_j b_out term.
+
+    ``packed`` (auto when H divides 128) selects the lane-packed variant.
     """
     n, h = pi.shape
     e_dim = w1e.shape[0]
@@ -422,6 +478,57 @@ def fused_message_rowsum(
         interpret = not _on_tpu()
     prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
             "highest": jax.lax.Precision.HIGHEST}[precision]
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
+    if packed is None:
+        packed = False  # featurization-bound — see fused_epn_rowsum note
+    if packed:
+        assert pack > 1 and n % pack == 0
+        npk = n // pack
+        block_jp = max(8, min(block_j // pack, npk))
+        while npk % block_jp:
+            block_jp //= 2
+        ph, pe = pack * h, pack * e_dim
+        wvec = node_mask if masked else col_vec
+        xce, mc, cid, wsum = _lane_tables(xyz, node_mask, pack, e_dim,
+                                          extra=None)
+        # j-sum weights at H lanes per group (pairm keeps the diagonal)
+        wsum = jnp.broadcast_to(
+            wvec.astype(jnp.float32).reshape(npk, pack, 1), (npk, pack, h)
+        ).reshape(npk, ph)
+        pit = jnp.tile(pi, (1, pack))
+        pjp = pj.reshape(npk, ph)
+        row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM)
+        colp = lambda d: pl.BlockSpec((block_jp, d), lambda i, j: (j, 0),
+                                      memory_space=pltpu.VMEM)
+        whole = lambda a, b: pl.BlockSpec((a, b), lambda i, j: (0, 0),
+                                          memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _msg_packed_kernel, cutoff=float(cutoff), eta=float(eta),
+            e_dim=e_dim, pack=pack, prec=prec,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n // block_i, npk // block_jp),
+            in_specs=[
+                row(ph), colp(ph),                      # pit, pjp
+                row(3),                                 # xyz rows
+                colp(pe), colp(pe), colp(pe),           # lane coords x/y/z
+                colp(pe), colp(pe), row(1),             # mask, colid, mi
+                colp(ph),                               # j-sum weights
+                whole(pe, ph), whole(ph, ph), whole(1, ph),
+            ],
+            out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
+            interpret=interpret,
+        )(pit, pjp, xyz, *xce, mc, cid, node_mask[:, None], wsum,
+          _kron_eye(w1e, pack), _kron_eye(w2, pack),
+          jnp.tile(b2, pack)[None, :])
+        out = out.reshape(n, pack, h).sum(axis=1)
+        if masked:
+            out = out * node_mask[:, None]  # row factor of the pair mask
+        return out
 
     nm2 = node_mask[:, None]
     nmT = node_mask[None, :]
@@ -445,3 +552,159 @@ def fused_message_rowsum(
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
         interpret=interpret,
     )(pi, pj, xyz, xyz.T, nm2, nmT, col_vec[None, :], w1e, w2, b2[None, :])
+
+# ---------------------------------------------------------------------------
+# Lane-packed variants of the fused pair kernels.  Same math, MXU-shaped:
+# P = 128 // H column pairs are packed per 128-lane row (as in
+# dense_message_rowsum), the first-layer e-contraction runs against
+# kron(I_P, W1e) and the mid layer against kron(I_P, W2) at full width.
+#
+# Bitwise antisymmetry survives the packing: a pair (i, j) occupies
+# different lane groups on the two row sides, but the kron-structured
+# weights make every cross-group product an exact zero, so each output lane
+# accumulates exactly its own group's products — bitwise identical values in
+# both positions.  Addition commutes exactly in IEEE, and (a−b)² == (b−a)²,
+# so the in-tile cancellation argument of the unpacked kernels carries over.
+# ---------------------------------------------------------------------------
+
+
+def _lane_tables(xyz, node_mask, pack, width, extra=None):
+    """Column-side lane tables: per packed row of P atoms, each atom's value
+    is repeated across its ``width``-lane group.  Built OUTSIDE the kernel
+    (XLA handles these relayouts; Mosaic must never see narrow reshapes).
+
+    Returns (coords (N/P, 3·P·width), mask (N/P, P·width),
+             colid (N/P, P·width) float ids, extra (N/P, P·width) or None).
+    """
+    n = xyz.shape[0]
+    npk = n // pack
+
+    def rep(v):  # (N,) -> (N/P, P*width)
+        return jnp.broadcast_to(
+            v.reshape(npk, pack, 1), (npk, pack, width)
+        ).reshape(npk, pack * width)
+
+    coords = tuple(rep(xyz[:, k]) for k in range(3))  # 3 × (N/P, P·width):
+    # separate arrays so kernels never slice them (x[None, :, a:b] lowers to
+    # a gather, which Mosaic rejects)
+    mask = rep(node_mask.astype(jnp.float32))
+    colid = rep(jnp.arange(n, dtype=jnp.float32))
+    ex = rep(extra.astype(jnp.float32)) if extra is not None else None
+    return coords, mask, colid, ex
+
+
+def _kron_eye(w, pack):
+    return jnp.kron(jnp.eye(pack, dtype=w.dtype), w)
+
+
+def _group_spread(pack, e_dim, h):
+    """(P·e_dim, P·H) 0/1 matrix mapping channel lanes -> their group's H
+    lanes (for per-group any()/mean() reductions via one MXU pass)."""
+    s = np.zeros((pack * e_dim, pack * h), np.float32)
+    for g in range(pack):
+        s[g * e_dim:(g + 1) * e_dim, g * h:(g + 1) * h] = 1.0
+    return jnp.asarray(s)
+
+
+def _packed_rbf(xr, xce, mc, cid, mi, ri0, *, cutoff, eta, e_dim, pack, prec):
+    """In-tile packed featurization: rbf_flat (BI·BJP, P·e_dim) with the
+    envelope/validity mask folded in, plus the 2-D masked envelope."""
+    bi = xr.shape[0]
+    bjp = xce[0].shape[0]
+    pe = pack * e_dim
+    d2 = jnp.zeros((bi, bjp, pe), jnp.float32)
+    for k in range(3):
+        diff = xr[:, k:k + 1][:, :, None] - xce[k][None, :, :]
+        d2 = d2 + diff * diff
+    d = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    d = jnp.where(d2 > 0.0, d, 0.0)
+    c = (jnp.cos(jnp.pi * d / cutoff) + 1.0) * 0.5
+    c = jnp.where(d >= cutoff, 0.0, c)
+    c = jnp.where(d <= 0.0, 1.0, c)
+    rows = ri0 + jax.lax.broadcasted_iota(
+        jnp.int32, (bi, 1, 1), 0).astype(jnp.float32)  # int iota only (Mosaic)
+    notself = (rows != cid[None, :, :]).astype(jnp.float32)
+    c = c * (mi[:, :, None] * mc[None, :, :] * notself)
+    # mu per lane: channel index = lane % e_dim (same grid in every group)
+    ch = jnp.mod(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, pe), 2), e_dim
+    ).astype(jnp.float32)
+    mu = 0.1 + (cutoff - 0.1) * ch / (e_dim - 1)
+    rbf3 = c * jnp.exp(-eta * (d - mu) ** 2)
+    return rbf3.reshape(bi * bjp, pe), c
+
+
+def _epn_packed_kernel(pit, pjt, pip, pjp, xr, xce0, xce1, xce2, mc, cid,
+                       mi, w1ep, w2p, b2p, spread, out_ref, *,
+                       cutoff, eta, e_dim, pack, tol, soft_gate, prec):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi, ph = pit.shape
+    bjp = pjp.shape[0]
+    h = ph // pack
+
+    rbf, c3 = _packed_rbf(
+        xr[:], (xce0[:], xce1[:], xce2[:]), mc[:], cid[:], mi[:][:, 0:1],
+        i * bi, cutoff=cutoff, eta=eta, e_dim=e_dim, pack=pack, prec=prec,
+    )
+    epart = jnp.dot(rbf, w1ep[:], preferred_element_type=jnp.float32,
+                    precision=prec)                       # (BI·BJP, P·H)
+    base_n = (pit[:][:, None, :] + pjp[:][None, :, :]).reshape(bi * bjp, ph)
+    base_t = (pjt[:][:, None, :] + pip[:][None, :, :]).reshape(bi * bjp, ph)
+    hid_n = jax.nn.relu(base_n + epart)
+    hid_t = jax.nn.relu(base_t + epart)
+    hid_n = jax.nn.relu(jnp.dot(hid_n, w2p[:], preferred_element_type=jnp.float32,
+                                precision=prec) + b2p[:])
+    hid_t = jax.nn.relu(jnp.dot(hid_t, w2p[:], preferred_element_type=jnp.float32,
+                                precision=prec) + b2p[:])
+    if soft_gate:
+        # per-group mean of e_dim identical envelope values == the envelope
+        # (up to one rounding of sum/e_dim — symmetric on both pair sides)
+        gate = jnp.dot(c3.reshape(bi * bjp, pack * e_dim), spread[:],
+                       preferred_element_type=jnp.float32) / e_dim
+    else:
+        hit = (jnp.clip(rbf, tol, 1e5) != tol).astype(jnp.float32)
+        gate = jnp.minimum(
+            jnp.dot(hit, spread[:], preferred_element_type=jnp.float32), 1.0
+        )
+    diff = (0.5 * gate) * (hid_n - hid_t)
+    partial = jnp.sum(diff.reshape(bi, bjp, ph), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _msg_packed_kernel(pit, pjp, xr, xce0, xce1, xce2, mc, cid, mi, wsum,
+                       w1ep, w2p, b2p, out_ref, *, cutoff, eta, e_dim, pack,
+                       prec):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi, ph = pit.shape
+    bjp = pjp.shape[0]
+
+    rbf, _ = _packed_rbf(
+        xr[:], (xce0[:], xce1[:], xce2[:]), mc[:], cid[:], mi[:][:, 0:1],
+        i * bi, cutoff=cutoff, eta=eta, e_dim=e_dim, pack=pack, prec=prec,
+    )
+    epart = jnp.dot(rbf, w1ep[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+    base = (pit[:][:, None, :] + pjp[:][None, :, :]).reshape(bi * bjp, ph)
+    hid = jax.nn.relu(base + epart)
+    hid = jax.nn.relu(jnp.dot(hid, w2p[:], preferred_element_type=jnp.float32,
+                              precision=prec) + b2p[:])
+    # wsum: (BJP, P·H) per-column j-sum weights (pairm diag kept / col_vec);
+    # the row-side mask factor (masked mode) is applied by the wrapper
+    partial = jnp.sum(hid.reshape(bi, bjp, ph) * wsum[:][None, :, :], axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial

@@ -163,6 +163,20 @@ class TestFullyFusedPallasPath:
         scale = np.abs(qb).max() + 1.0
         assert np.abs(qp - qb).max() < 1e-5 * scale
 
+    def test_packed_auto_dispatch_matches_dense(self, rng):
+        """n divisible by pack·block engages the lane-packed kernels."""
+        cfg = EPNNConfig()
+        params, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=2, n=32,
+                                                         n_real=27)
+        e = np.asarray(rbf_edges(xyz, mask))
+        qd = np.asarray(EPNN(cfg).apply(params, x, q0, e, mask))
+        qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        use_pallas=True))
+        scale = np.abs(qd).max() + 1.0
+        assert np.abs(qp - qd).max() < 1e-5 * scale
+        err = np.abs(qp.sum(1) - q_total)
+        assert np.all(err < 2e-6 * (np.abs(qp).sum(1) + 1.0))
+
     # NOTE: the Pallas dense path is inference-only (the grid-accumulator
     # kernels have no VJP; training dispatches to the differentiable
     # neighbor/remat path — see train_step_fused).

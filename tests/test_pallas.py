@@ -93,6 +93,55 @@ class TestFusedEPNKernel:
         np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
 
 
+class TestPackedFusedKernels:
+    """Lane-packed variants must agree with the unpacked kernels bitwise-ish
+    (same math; kron-structured weights make cross-group products exact
+    zeros) and preserve antisymmetry."""
+
+    @pytest.fixture()
+    def setup32(self, rng):
+        n, h, e_dim = 64, 32, 16  # pack = 4; n % (4·8) == 0
+        pi = rng.normal(size=(n, h)).astype(np.float32)
+        pj = rng.normal(size=(n, h)).astype(np.float32)
+        xyz = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        mask = np.ones(n, np.float32)
+        mask[57:] = 0.0
+        w1e = rng.normal(size=(e_dim, h)).astype(np.float32) * 0.3
+        w2 = rng.normal(size=(h, h)).astype(np.float32) * 0.3
+        b2 = rng.normal(size=(h,)).astype(np.float32)
+        return pi, pj, xyz, mask, w1e, w2, b2
+
+    @pytest.mark.parametrize("soft", [False, True])
+    def test_epn_packed_matches_unpacked(self, setup32, soft):
+        pi, pj, xyz, mask, w1e, w2, b2 = setup32
+        a = np.asarray(fused_epn_rowsum(pi, pj, xyz, mask, w1e, w2, b2,
+                                        soft_gate=soft, block_i=8, block_j=8,
+                                        packed=False))
+        b = np.asarray(fused_epn_rowsum(pi, pj, xyz, mask, w1e, w2, b2,
+                                        soft_gate=soft, block_i=8,
+                                        block_j=32, packed=True))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+        # antisymmetric cancellation survives the packing
+        assert np.abs(b.sum(0)).max() < 1e-4 * (np.abs(b).sum(0).max() + 1)
+
+    @pytest.mark.parametrize("masked", [True, False])
+    def test_message_packed_matches_unpacked(self, setup32, masked):
+        pi, pj, xyz, mask, w1e, w2, b2 = setup32
+        cv = np.ones(len(pi), np.float32)
+        a = np.asarray(fused_message_rowsum(pi, pj, xyz, mask, cv, w1e, w2,
+                                            b2, masked=masked, block_i=8,
+                                            block_j=8, packed=False))
+        b = np.asarray(fused_message_rowsum(pi, pj, xyz, mask, cv, w1e, w2,
+                                            b2, masked=masked, block_i=8,
+                                            block_j=32, packed=True))
+        if masked:
+            # the unpacked kernel zeroes padded rows via the pair mask; the
+            # packed wrapper applies the row factor outside — same contract
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+
+
 class TestFusedMessageKernel:
     @pytest.mark.parametrize("masked", [True, False])
     def test_matches_oracle(self, pair_setup, masked):
