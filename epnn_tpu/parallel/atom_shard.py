@@ -182,7 +182,10 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
-    shard_map transpose.  Returns ``step(state, x, q0, xyz, mask, y, w)``.
+    shard_map transpose.  Returns ``step(state, x, q0, xyz, mask, y, w) ->
+    (state, loss, pred, mae_sums)`` — the same contract as
+    ``epnn_tpu.train.train_step``, which is what lets ``train(mesh=...)``
+    dispatch big buckets here.
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -202,7 +205,25 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
         )
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        mets = M.mae_sums(pred, y, node_mask, weight)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss, pred
+                          step=state.step + 1), loss, pred, mets
+
+    return step
+
+
+def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
+                           loss_name: str = "masked_mse"):
+    """Atom-sharded eval twin of :func:`make_sharded_train_step`."""
+    from epnn_tpu.ops import fuse_params
+    from epnn_tpu.train import metrics as M
+
+    @jax.jit
+    def step(params, x, q0, xyz, node_mask, y, weight):
+        fused = fuse_params(params, cfg)
+        pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
+                                          cfg, mesh)
+        loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
+        return loss, pred, M.mae_sums(pred, y, node_mask, weight)
 
     return step

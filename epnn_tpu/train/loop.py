@@ -329,10 +329,23 @@ def train(
         return args
 
     # Big-graph buckets train through the fused path with an exact static
-    # neighbor_k, computed once per bucket (host-side scan).
+    # neighbor_k, computed once per bucket (host-side scan).  On a mesh with
+    # an ``atoms`` axis > 1, they instead train atom-SHARDED: each graph's
+    # pair grid spreads over the atoms axis (forward AND backward through
+    # shard_map) — training graphs whose pair work exceeds one device.
     from epnn_tpu.data.dataset import round_up
 
     n_dev = mesh.shape["data"] if mesh is not None else 1
+    n_atoms_axis = mesh.shape.get("atoms", 1) if mesh is not None else 1
+    sharded_train = sharded_eval = None
+    if n_atoms_axis > 1:
+        from epnn_tpu.parallel.atom_shard import (
+            make_sharded_eval_step,
+            make_sharded_train_step,
+        )
+
+        sharded_train = make_sharded_train_step(cfg, opt, mesh, tc.loss)
+        sharded_eval = make_sharded_eval_step(cfg, mesh, tc.loss)
     fused_k: Dict[int, int] = {}
 
     def bucket_plan(pad: int, bucket: MolBatch):
@@ -366,6 +379,10 @@ def train(
                     state, loss, _, mets = train_step(
                         state, model, tc.loss, opt, *put(mb, n_real)
                     )
+                elif sharded_train is not None and pad % n_atoms_axis == 0:
+                    state, loss, _, mets = sharded_train(
+                        state, *_batch_args(mb, n_real)
+                    )
                 else:
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
@@ -379,6 +396,10 @@ def train(
                 if k is None:
                     loss, _, mets = eval_step(
                         state.params, model, tc.loss, *put(mb, n_real)
+                    )
+                elif sharded_eval is not None and pad % n_atoms_axis == 0:
+                    loss, _, mets = sharded_eval(
+                        state.params, *_batch_args(mb, n_real)
                     )
                 else:
                     loss, _, mets = eval_step_fused(

@@ -107,10 +107,53 @@ class Test2DMesh:
 
         losses = []
         for _ in range(5):
-            state, loss, _ = step(state, x, q0, xyz, mask, y, w)
+            state, loss, _, mets = step(state, x, q0, xyz, mask, y, w)
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
         assert np.isfinite(losses).all()
+
+    def test_public_trainer_atom_sharded_dispatch(self, rng):
+        """train(mesh with atoms axis > 1) routes big buckets through the
+        atom-sharded step — training a graph whose pair grid is spread over
+        the mesh, via the public API."""
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.train import TrainConfig, train
+        import epnn_tpu.parallel.atom_shard as AS
+
+        g = np.random.default_rng(12)
+        mols = []
+        for i in range(3):
+            n = int(g.integers(17, 24))  # pads to 24 — above dense_max=16
+            labels = g.normal(0, 0.2, size=n).astype(np.float32)
+            labels -= labels.sum() / n
+            mols.append(Molecule(
+                name=f"s{i}", symbols=list(g.choice(["C", "H", "O"], size=n)),
+                xyz=g.uniform(-5, 5, (n, 3)).astype(np.float32),
+                total_charge=0.0, labels=labels))
+
+        calls = {"sharded": 0}
+        orig = AS.make_sharded_train_step
+
+        def spy(*a, **kw):
+            step = orig(*a, **kw)
+
+            def wrapped(*sa, **skw):
+                calls["sharded"] += 1
+                return step(*sa, **skw)
+
+            return wrapped
+
+        AS.make_sharded_train_step = spy
+        try:
+            mesh = make_mesh(n_data=1, n_atoms=8)
+            tc = TrainConfig(epochs=4, batch_size=1, dense_max_atoms=16,
+                             seed=1)
+            res = train(mols, SMALL, tc, mesh=mesh, progress=False)
+        finally:
+            AS.make_sharded_train_step = orig
+        assert calls["sharded"] > 0
+        losses = [r["train_loss"] for r in res.history]
+        assert losses[-1] < losses[0], losses
 
 
 @needs_devices
