@@ -335,7 +335,7 @@ def train(
     # shard_map) — training graphs whose pair work exceeds one device.
     from epnn_tpu.data.dataset import round_up
 
-    n_dev = mesh.shape["data"] if mesh is not None else 1
+    n_dev = mesh.shape.get("data", 1) if mesh is not None else 1
     n_atoms_axis = mesh.shape.get("atoms", 1) if mesh is not None else 1
     sharded_train = sharded_eval = None
     if n_atoms_axis > 1:
