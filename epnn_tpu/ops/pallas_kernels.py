@@ -94,55 +94,13 @@ def dense_message_rowsum(
     matmul runs against kron(I_P, W2) at full MXU width instead of an
     H-wide (4×-padded) contraction.  N must be divisible by
     lcm(block_i, P·block_jp) — see :func:`dense_message_pad`.
+
+    Differentiable: a custom VJP recomputes the two-layer activations
+    in-tile (no residuals) and emits dpi/dpj/dW2/db2 in one backward pass
+    over the pair grid, so training can use this kernel too.
     """
-    n, h = pi.shape
-    pack = max(1, 128 // h) if 128 % h == 0 else 1
-    if interpret is None:
-        interpret = not _on_tpu()
-    prec = {
-        "default": None,
-        "high": jax.lax.Precision.HIGHEST,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[precision]
-
-    np_rows = n // pack
-    block_jp = min(block_jp, np_rows)
-    assert n % block_i == 0 and np_rows % block_jp == 0, (n, block_i, block_jp)
-
-    ph = pack * h
-    pit = jnp.tile(pi, (1, pack))                      # (N, P·H)
-    pjp = pj.reshape(np_rows, ph)                      # (N/P, P·H)
-    mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
-    if pack > 1:
-        w2p = jnp.kron(jnp.eye(pack, dtype=w2.dtype), w2)
-        b2p = jnp.tile(b2, pack)
-    else:
-        w2p, b2p = w2, b2
-
-    grid = (n // block_i, np_rows // block_jp)
-    kernel = functools.partial(_msg_kernel, prec=prec)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ph, ph), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ph), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
-        interpret=interpret,
-    )(pit, pjp, mjp, w2p, b2p[None, :])
-    # fold the P lane groups back to H channels (linear, outside the kernel)
-    return out.reshape(n, pack, h).sum(axis=1)
+    return _dense_message_rowsum_cvjp(pi, pj, col_vec, w2, b2, block_i,
+                                      block_jp, precision, interpret)
 
 
 def dense_message_pad(block_i: int = 128, block_jp: int = 64,
@@ -708,3 +666,209 @@ def _msg_packed_kernel(pit, pjp, xr, xce0, xce1, xce2, mc, cid, mi, wsum,
     @pl.when(j > 0)
     def _():
         out_ref[:] = out_ref[:] + partial
+
+# ---------------------------------------------------------------------------
+# Custom VJP for the packed far-field kernel: a single backward kernel that
+# RECOMPUTES the two-layer activations in-tile (no residuals — the (N², H)
+# activations never existed in the forward either) and emits all four
+# gradients in one pass over the pair grid:
+#
+#   out_i = Σ_j cv_j · relu(z2_ij),  z2 = relu(z1) @ W2 + b2,  z1 = pi_i+pj_j
+#
+#   ē2 = cv_j · ḡ_i ⊙ 1[z2>0]         p̄i_i = Σ_j z̄1_ij   (accumulated over j)
+#   z̄1 = (ē2 @ W2ᵀ) ⊙ 1[z1>0]         p̄j_j = Σ_i z̄1_ij   (accumulated over i)
+#   W̄2 = Σ relu(z1)ᵀ ē2               b̄2  = Σ ē2          (all grid steps)
+#
+# This makes forward_blocked(use_pallas=True) differentiable, so the same
+# kernel that serves inference also drives protein-scale training.
+# ---------------------------------------------------------------------------
+
+
+def _msg_bwd_kernel(pit, pjp, mjp, gt, w2p, w2pT, b2p,
+                    dpi_ref, dpj_ref, dw2_ref, db2_ref, *, prec):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi, ph = pit.shape
+    bjp = pjp.shape[0]
+
+    z1 = (pit[:][:, None, :] + pjp[:][None, :, :]).reshape(bi * bjp, ph)
+    a1 = jax.nn.relu(z1)
+    z2 = jnp.dot(a1, w2p[:], preferred_element_type=jnp.float32,
+                 precision=prec) + b2p[:]
+    e2 = ((gt[:][:, None, :] * mjp[:][None, :, :]).reshape(bi * bjp, ph)
+          * (z2 > 0.0).astype(jnp.float32))
+    z1bar = (jnp.dot(e2, w2pT[:], preferred_element_type=jnp.float32,
+                     precision=prec)
+             * (z1 > 0.0).astype(jnp.float32))
+
+    dpi = jnp.sum(z1bar.reshape(bi, bjp, ph), axis=1)          # (BI, PH)
+    dpj = jnp.sum(z1bar.reshape(bi, bjp, ph), axis=0)          # (BJP, PH)
+    dw2 = jax.lax.dot_general(                                  # (PH, PH)
+        a1, e2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    db2 = jnp.sum(e2, axis=0, keepdims=True)                    # (1, PH)
+
+    @pl.when(j == 0)
+    def _():
+        dpi_ref[:] = dpi
+
+    @pl.when(j > 0)
+    def _():
+        dpi_ref[:] = dpi_ref[:] + dpi
+
+    @pl.when(i == 0)
+    def _():
+        dpj_ref[:] = dpj
+
+    @pl.when(i > 0)
+    def _():
+        dpj_ref[:] = dpj_ref[:] + dpj
+
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw2_ref[:] = dw2_ref[:] + dw2
+        db2_ref[:] = db2_ref[:] + db2
+
+
+def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
+                               precision, interpret):
+    """Shared forward implementation (see dense_message_rowsum's docstring)."""
+    n, h = pi.shape
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {
+        "default": None,
+        "high": jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+    np_rows = n // pack
+    block_jp = min(block_jp, np_rows)
+    assert n % block_i == 0 and np_rows % block_jp == 0, (n, block_i, block_jp)
+
+    ph = pack * h
+    pit = jnp.tile(pi, (1, pack))                      # (N, P·H)
+    pjp = pj.reshape(np_rows, ph)                      # (N/P, P·H)
+    mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
+    if pack > 1:
+        w2p = jnp.kron(jnp.eye(pack, dtype=w2.dtype), w2)
+        b2p = jnp.tile(b2, pack)
+    else:
+        w2p, b2p = w2, b2
+
+    grid = (n // block_i, np_rows // block_jp)
+    kernel = functools.partial(_msg_kernel, prec=prec)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ph, ph), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
+        interpret=interpret,
+    )(pit, pjp, mjp, w2p, b2p[None, :])
+    return out.reshape(n, pack, h).sum(axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _dense_message_rowsum_cvjp(pi, pj, col_vec, w2, b2, block_i, block_jp,
+                               precision, interpret):
+    return _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i,
+                                      block_jp, precision, interpret)
+
+
+def _dmr_fwd(pi, pj, col_vec, w2, b2, block_i, block_jp, precision, interpret):
+    out = _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i,
+                                     block_jp, precision, interpret)
+    return out, (pi, pj, col_vec, w2, b2)
+
+
+def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
+    pi, pj, col_vec, w2, b2 = res
+    n, h = pi.shape
+    pack = max(1, 128 // h) if 128 % h == 0 else 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {
+        "default": None,
+        "high": jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+    np_rows = n // pack
+    block_jp = min(block_jp, np_rows)
+    ph = pack * h
+    pit = jnp.tile(pi, (1, pack))
+    pjp = pj.reshape(np_rows, ph)
+    mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
+    gt = jnp.tile(gbar.astype(jnp.float32), (1, pack))  # fold transpose
+    if pack > 1:
+        w2p = jnp.kron(jnp.eye(pack, dtype=w2.dtype), w2)
+        b2p = jnp.tile(b2, pack)
+    else:
+        w2p, b2p = w2, b2
+
+    grid = (n // block_i, np_rows // block_jp)
+    kernel = functools.partial(_msg_bwd_kernel, prec=prec)
+    row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    colp = lambda d: pl.BlockSpec((block_jp, d), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    dpit, dpjp, dw2p, db2p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row(ph), colp(ph), colp(ph), row(ph),
+            whole(ph, ph), whole(ph, ph), whole(1, ph),
+        ],
+        out_specs=[
+            row(ph),                                    # dpi (accum over j)
+            colp(ph),                                   # dpj (accum over i)
+            whole(ph, ph),                              # dW2p (accum all)
+            whole(1, ph),                               # db2p (accum all)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ph), jnp.float32),
+            jax.ShapeDtypeStruct((np_rows, ph), jnp.float32),
+            jax.ShapeDtypeStruct((ph, ph), jnp.float32),
+            jax.ShapeDtypeStruct((1, ph), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pit, pjp, mjp, gt, w2p, w2p.T, b2p[None, :])
+
+    dpi = dpit.reshape(n, pack, h).sum(axis=1)          # untile
+    dpj = dpjp.reshape(n, h)                            # unpack (layout-free)
+    if pack > 1:
+        # only the kron-diagonal h×h blocks of dW2p are real W2 gradient
+        dw2 = sum(dw2p[g * h:(g + 1) * h, g * h:(g + 1) * h]
+                  for g in range(pack))
+        db2 = db2p[0].reshape(pack, h).sum(axis=0)
+    else:
+        dw2, db2 = dw2p, db2p[0]
+    return (dpi.astype(pi.dtype), dpj.astype(pj.dtype),
+            jnp.zeros_like(col_vec), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype))
+
+
+_dense_message_rowsum_cvjp.defvjp(_dmr_fwd, _dmr_bwd)

@@ -142,29 +142,34 @@ def eval_step(params, model: EPNN, loss_name: str,
     return loss, pred, mets
 
 
-def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
+def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                    x, q0, xyz, node_mask, y, weight):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
-    back to the same flax params pytree the dense path trains."""
+    back to the same flax params pytree the dense path trains.  With
+    ``use_pallas`` the far-field reduction runs in the packed Mosaic kernel
+    forward AND backward (recompute-in-tile custom VJP)."""
     from epnn_tpu.ops import forward_blocked, fuse_params
 
     fused = fuse_params(params, cfg)
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
-                           block=block, neighbor_k=neighbor_k, remat=True)
+                           block=block, neighbor_k=neighbor_k, remat=True,
+                           use_pallas=use_pallas)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "loss_name", "opt", "block", "neighbor_k")
+    jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
+                              "neighbor_k", "use_pallas")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
-                     neighbor_k: int, x, q0, xyz, node_mask, y, weight):
+                     neighbor_k: int, x, q0, xyz, node_mask, y, weight,
+                     use_pallas: bool = False):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
-        state.params, cfg, loss_name, block, neighbor_k,
+        state.params, cfg, loss_name, block, neighbor_k, use_pallas,
         x, q0, xyz, node_mask, y, weight
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -176,12 +181,14 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "loss_name", "block", "neighbor_k")
+    jax.jit, static_argnames=("cfg", "loss_name", "block", "neighbor_k",
+                              "use_pallas")
 )
 def eval_step_fused(params, cfg: EPNNConfig, loss_name: str, block: int,
-                    neighbor_k: int, x, q0, xyz, node_mask, y, weight):
+                    neighbor_k: int, x, q0, xyz, node_mask, y, weight,
+                    use_pallas: bool = False):
     loss, pred = _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
-                                x, q0, xyz, node_mask, y, weight)
+                                use_pallas, x, q0, xyz, node_mask, y, weight)
     mets = M.mae_sums(pred, y, node_mask, weight)
     return loss, pred, mets
 
@@ -347,6 +354,15 @@ def train(
         sharded_train = make_sharded_train_step(cfg, opt, mesh, tc.loss)
         sharded_eval = make_sharded_eval_step(cfg, mesh, tc.loss)
     fused_k: Dict[int, int] = {}
+    # the packed far-field kernel (now differentiable via its custom VJP)
+    # wins on TPU when the far field runs at default precision
+    _dense_prec = cfg.dense_matmul_precision or cfg.matmul_precision or (
+        "highest" if cfg.highest_precision else "default")
+    try:
+        _on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        _on_tpu = False
+    fused_pallas = _on_tpu and _dense_prec == "default"
 
     def bucket_plan(pad: int, bucket: MolBatch):
         """(batch_size, neighbor_k or None) for one bucket."""
@@ -386,7 +402,7 @@ def train(
                 else:
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
-                        *put(mb, n_real)
+                        *put(mb, n_real), use_pallas=fused_pallas
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()
@@ -404,7 +420,7 @@ def train(
                 else:
                     loss, _, mets = eval_step_fused(
                         state.params, cfg, tc.loss, min(fused_block, pad), k,
-                        *put(mb, n_real)
+                        *put(mb, n_real), use_pallas=fused_pallas
                     )
                 vacc.update(loss, mets)
 

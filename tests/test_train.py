@@ -110,6 +110,38 @@ def test_big_graph_routes_through_fused_path(toy_train_mols):
     assert np.isfinite(res.best_val_masked_mae)
 
 
+def test_fused_training_through_pallas_kernel(toy_train_mols):
+    """train_step_fused(use_pallas=True): the packed far-field kernel runs
+    forward AND backward (custom VJP) inside the training step, and the
+    losses track the XLA path step for step."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train import create_state, make_optimizer, train_step_fused
+
+    cfg = SMALL
+    tc = TrainConfig(learning_rate=3e-3)
+    opt = make_optimizer(tc)
+    table = table_for_n_elems(cfg.n_elems)
+    batch = pad_molecules(toy_train_mols[:6], table, pad_to=16)
+    w = np.ones((6,), np.float32)
+    args = (batch.x, batch.q0, batch.xyz, batch.node_mask, batch.y, w)
+
+    losses = {}
+    for use_pallas in (False, True):
+        state = create_state(cfg, tc, jax.random.key(0))
+        ls = []
+        for _ in range(4):
+            state, loss, _, _ = train_step_fused(
+                state, cfg, tc.loss, opt, 8, 12, *args,
+                use_pallas=use_pallas)
+            ls.append(float(loss))
+        losses[use_pallas] = ls
+    assert losses[True][-1] < losses[True][0]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
 def test_init_from_finetunes(toy_train_mols, tmp_path):
     """init_from starts from an existing params checkpoint (fresh optimizer):
     the fine-tune entry point for imported reference models."""
