@@ -493,6 +493,7 @@ def _forward_single_pallas(
     cfg: EPNNConfig,
     block: int = 64,
     remat: bool = False,
+    rbf_method: str = "doubling",
 ) -> jax.Array:
     """Dense forward where every O(N²) op runs in the fused Pallas pair
     kernels: RBF featurization, first layer, mid layer, gate, and (for
@@ -552,6 +553,7 @@ def _forward_single_pallas(
             w.w1_e, w2, b2, cutoff=cfg.cutoff, eta=cfg.eta,
             tol=cfg.is_near_tol, masked=cfg.mask_messages,
             block_i=bi, block_j=bj, precision=prec_name,
+            rbf_method=rbf_method,
         )[:n]
         messages = (jnp.dot(hsum, w.w_out, precision=prec)
                     + msg_count[:, None] * w.b_out)
@@ -573,6 +575,7 @@ def _forward_single_pallas(
             w.w1_e, w2, b2, cutoff=cfg.cutoff, eta=cfg.eta,
             tol=cfg.is_near_tol, soft_gate=soft,
             block_i=bi, block_j=bj, precision=prec_name,
+            rbf_method=rbf_method,
         )[:n]
         dq = jnp.dot(dsum, w.w_out, precision=prec)[:, 0]  # b_out cancels
         return q + dq, None

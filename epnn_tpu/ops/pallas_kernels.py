@@ -144,7 +144,7 @@ def dense_message_rowsum_reference(pi, pj, col_vec, w2, b2):
 
 
 def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
-                   tol):
+                   tol, method="direct"):
     """Shared in-tile featurization.  Returns (rbf_flat (BI·BJ, e_dim),
     c (BI, BJ) masked envelope, pairm (BI, BJ), gate (BI, BJ) hard is-near
     gate) for one pair tile.
@@ -152,6 +152,19 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
     xr: (BI, 3) row coords; xcT: (3, BJ) col coords (pre-transposed so the
     kernel never transposes); mi/mj: (BI, 1)/(1, BJ) node masks; ri0/rj0:
     global offsets of the tile for the self-pair exclusion.
+
+    ``method`` selects how the e_dim RBF channels are built:
+
+    * ``"direct"`` — one exp per (pair, channel) element, the textbook form.
+    * ``"doubling"`` — the uniform mu grid makes consecutive channels a
+      geometric recurrence, rbf_ch = env · R0 · u^ch · g_ch with
+      u = exp(2ηΔ(d−mu0)), R0 = exp(−η(d−mu0)²), g_ch = exp(−ηΔ²ch²):
+      only TWO exps per pair, with the Vandermonde term u^ch assembled
+      across the channel lanes by log₂(e_dim) masked squarings (Mosaic-safe:
+      2-D u, 3-D broadcasts only).  Distances are clamped to the cutoff
+      first — beyond it the envelope is exactly 0, and unclamped u^ch would
+      overflow for far padded atoms.  Agreement with "direct" is ~1e-6
+      relative (exponent-domain rounding amplified by ch ≤ e_dim−1).
     """
     bi = xr.shape[0]
     bj = xcT.shape[1]
@@ -171,13 +184,30 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
     cmask = pairm * (rows != cols).astype(jnp.float32)
     c = c * cmask
 
-    # mu grid from a 2-D int iota (float/1-D iota is unsupported in Mosaic)
-    ch = jax.lax.broadcasted_iota(jnp.int32, (1, e_dim), 1).astype(jnp.float32)
-    mu = 0.1 + (cutoff - 0.1) * ch / (e_dim - 1)
+    # mu grid from int iota (float/1-D iota is unsupported in Mosaic)
+    mu0 = 0.1
+    ch3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e_dim), 2)
+    chf3 = ch3.astype(jnp.float32)
 
-    c3 = c[:, :, None]
-    d3 = d[:, :, None]
-    rbf3 = c3 * jnp.exp(-eta * (d3 - mu[None, :, :]) ** 2)
+    if method == "doubling":
+        delta = (cutoff - mu0) / (e_dim - 1)
+        dc = jnp.minimum(d, cutoff) - mu0             # (BI, BJ), bounded
+        env_r0 = c * jnp.exp(-eta * dc * dc)          # env · R0, one exp
+        u = jnp.exp((2.0 * eta * delta) * dc)         # one exp
+        rbf3 = env_r0[:, :, None] * jnp.exp(
+            (-eta * delta * delta) * chf3 * chf3)     # (BI, BJ, E)
+        up = u
+        nbits = max(1, int(e_dim - 1).bit_length())
+        for b in range(nbits):
+            hit = ((ch3 >> b) & 1) == 1               # (1, 1, E) bool
+            rbf3 = jnp.where(hit, rbf3 * up[:, :, None], rbf3)
+            if b + 1 < nbits:
+                up = up * up
+    else:
+        mu = mu0 + (cutoff - mu0) * chf3 / (e_dim - 1)
+        c3 = c[:, :, None]
+        d3 = d[:, :, None]
+        rbf3 = c3 * jnp.exp(-eta * (d3 - mu) ** 2)
     # hard is-near gate (charge_gn.py:90-94), reduced from the 3-D rbf so it
     # lands directly in (BI, BJ)
     gate = (jnp.max(jnp.clip(rbf3, tol, 1e5), axis=-1) != tol).astype(
@@ -190,7 +220,8 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
 
 
 def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
-                out_ref, *, cutoff, eta, e_dim, tol, soft_gate, prec):
+                out_ref, *, cutoff, eta, e_dim, tol, soft_gate, prec,
+                rbf_method="direct"):
     i = pl.program_id(0)
     j = pl.program_id(1)
     bi = pi_r.shape[0]
@@ -200,6 +231,7 @@ def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
     rbf, c, _, hard_gate = _tile_rbf_flat(
         xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
         i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
+        method=rbf_method,
     )
     epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
                     precision=prec)                           # (BI·BJ, H)
@@ -228,7 +260,8 @@ def _epn_kernel(pi_r, pj_r, pi_c, pj_c, xr, xcT, mi, mjT, w1e, w2, b2,
 
 
 def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
-                    out_ref, *, cutoff, eta, e_dim, tol, masked, prec):
+                    out_ref, *, cutoff, eta, e_dim, tol, masked, prec,
+                    rbf_method="direct"):
     i = pl.program_id(0)
     j = pl.program_id(1)
     bi = pi_r.shape[0]
@@ -238,6 +271,7 @@ def _msg_rbf_kernel(pi_r, pj_c, xr, xcT, mi, mjT, cvT, w1e, w2, b2,
     rbf, _, pairm, _ = _tile_rbf_flat(
         xr[:], xcT[:], mi[:][:, 0:1], mjT[:][0:1, :],
         i * bi, j * bj, cutoff=cutoff, eta=eta, e_dim=e_dim, tol=tol,
+        method=rbf_method,
     )
     epart = jnp.dot(rbf, w1e[:], preferred_element_type=jnp.float32,
                     precision=prec)
@@ -282,7 +316,8 @@ def _pair_grid_specs(n, h, e_dim, block_i, block_j, extra):
 @functools.partial(
     jax.jit,
     static_argnames=("cutoff", "eta", "tol", "soft_gate", "block_i",
-                     "block_j", "precision", "interpret", "packed"),
+                     "block_j", "precision", "interpret", "packed",
+                     "rbf_method"),
 )
 def fused_epn_rowsum(
     pi: jax.Array,           # (N, H) row projections, first-layer bias folded
@@ -301,6 +336,7 @@ def fused_epn_rowsum(
     precision: str = "default",
     interpret: bool | None = None,
     packed: bool | None = None,
+    rbf_method: str = "direct",
 ) -> jax.Array:
     """One electron-passing round's antisymmetric row sums, fully fused:
 
@@ -377,6 +413,7 @@ def fused_epn_rowsum(
     kernel = functools.partial(
         _epn_kernel, cutoff=float(cutoff), eta=float(eta), e_dim=e_dim,
         tol=float(tol), soft_gate=soft_gate, prec=prec,
+        rbf_method=rbf_method,
     )
     return pl.pallas_call(
         kernel,
@@ -397,7 +434,7 @@ def fused_epn_rowsum(
 @functools.partial(
     jax.jit,
     static_argnames=("cutoff", "eta", "tol", "masked", "block_i", "block_j",
-                     "precision", "interpret", "packed"),
+                     "precision", "interpret", "packed", "rbf_method"),
 )
 def fused_message_rowsum(
     pi: jax.Array,           # (N, H) row projections, first-layer bias folded
@@ -417,6 +454,7 @@ def fused_message_rowsum(
     precision: str = "default",
     interpret: bool | None = None,
     packed: bool | None = None,
+    rbf_method: str = "direct",
 ) -> jax.Array:
     """One GNN message round's row sums with featurization fused in-tile:
 
@@ -493,7 +531,7 @@ def fused_message_rowsum(
     row, col, rowT, whole = _pair_grid_specs(n, h, e_dim, block_i, block_j, 0)
     kernel = functools.partial(
         _msg_rbf_kernel, cutoff=float(cutoff), eta=float(eta), e_dim=e_dim,
-        tol=float(tol), masked=masked, prec=prec,
+        tol=float(tol), masked=masked, prec=prec, rbf_method=rbf_method,
     )
     return pl.pallas_call(
         kernel,

@@ -93,6 +93,55 @@ class TestFusedEPNKernel:
         np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
 
 
+class TestDoublingRBF:
+    """rbf_method="doubling" rebuilds the e_dim RBF channels from TWO exps
+    per pair (geometric recurrence over the uniform mu grid, assembled by
+    log2(e_dim) masked lane squarings) — must agree with the direct form to
+    fp32 exponent-domain noise and stay finite for far/padded atoms."""
+
+    @pytest.mark.parametrize("soft", [False, True])
+    def test_epn_doubling_matches_direct(self, pair_setup, soft):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        a = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, soft_gate=soft,
+            block_i=8, block_j=8, rbf_method="direct"))
+        b = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, soft_gate=soft,
+            block_i=8, block_j=8, rbf_method="doubling"))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+        # antisymmetric cancellation is preserved (u, R0 are symmetric in
+        # the pair, so both orderings see bitwise-identical features)
+        assert np.abs(b.sum(0)).max() < 1e-4 * (np.abs(b).sum(0).max() + 1)
+
+    @pytest.mark.parametrize("masked", [True, False])
+    def test_message_doubling_matches_direct(self, pair_setup, masked):
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        cv = np.ones(n, np.float32)
+        a = np.asarray(fused_message_rowsum(
+            pi, pj, xyz, mask, cv, w1e, w2, b2, masked=masked,
+            block_i=8, block_j=8, rbf_method="direct"))
+        b = np.asarray(fused_message_rowsum(
+            pi, pj, xyz, mask, cv, w1e, w2, b2, masked=masked,
+            block_i=8, block_j=8, rbf_method="doubling"))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+
+    def test_far_atoms_stay_finite(self, pair_setup):
+        """Unclamped u^ch would overflow at d >> cutoff (padded atoms sit at
+        the origin, real ones can be hundreds of Å away) — the doubling
+        branch clamps d to the cutoff, where the envelope is exactly 0."""
+        n, h, e_dim, pi, pj, xyz, mask, w1e, w2, b2 = pair_setup
+        xyz = xyz.copy()
+        xyz[: n // 2] += 800.0
+        out = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, block_i=8, block_j=8,
+            rbf_method="doubling"))
+        assert np.isfinite(out).all()
+        ref = np.asarray(fused_epn_rowsum(
+            pi, pj, xyz, mask, w1e, w2, b2, block_i=8, block_j=8,
+            rbf_method="direct"))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
 class TestPackedFusedKernels:
     """Lane-packed variants must agree with the unpacked kernels bitwise-ish
     (same math; kron-structured weights make cross-group products exact
