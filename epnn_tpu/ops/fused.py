@@ -338,6 +338,11 @@ def _forward_single_nbr(
     nb = -(-n // block)
     prec = _resolve_precision(cfg)
 
+    # NOTE: neighbor selection stays on XLA top_k.  The Pallas alternative
+    # (pallas_kernels.neighbor_compact, same candidate set built in one pass
+    # over the pair grid) measured 10× SLOWER on v5e (396 vs 41 ms at
+    # N=17,760) — the (BI, BJ, k) one-hot emit dominates; kept as a tested
+    # option for hardware/shapes where top_k is the pathology.
     idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
     nbr_mask = nbr_mask.astype(x.dtype)  # selection runs on fp32 coords
     xyz_nbr = xyz[idx]                                     # (N, K, 3)
@@ -493,7 +498,7 @@ def _forward_single_pallas(
     cfg: EPNNConfig,
     block: int = 64,
     remat: bool = False,
-    rbf_method: str = "doubling",
+    rbf_method: str = "direct",
 ) -> jax.Array:
     """Dense forward where every O(N²) op runs in the fused Pallas pair
     kernels: RBF featurization, first layer, mid layer, gate, and (for
@@ -786,6 +791,18 @@ def forward_blocked(
     else:
         single = functools.partial(
             _forward_single, cfg=cfg, block=block, remat=remat
+        )
+    # vmap is catastrophic for big single graphs on TPU: XLA lowers BATCHED
+    # top_k ~9× slower (378 vs 42 ms for build_neighbors at N=17,760, B=1),
+    # turning a 147 ms forward into 508 ms.  B=1 calls the single-graph
+    # program directly; batches of large graphs map sequentially (each at
+    # full speed — they don't fit side-by-side in VMEM anyway); small-graph
+    # batches keep vmap (the bulk-throughput path, where it wins).
+    if x.shape[0] == 1:
+        return single(fused, x[0], q0[0], xyz[0], node_mask[0])[None]
+    if neighbor_k is not None and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD:
+        return jax.lax.map(
+            lambda args: single(fused, *args), (x, q0, xyz, node_mask)
         )
     return jax.vmap(single, in_axes=(None, 0, 0, 0, 0))(
         fused, x, q0, xyz, node_mask

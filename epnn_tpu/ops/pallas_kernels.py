@@ -165,6 +165,13 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
       first — beyond it the envelope is exactly 0, and unclamped u^ch would
       overflow for far padded atoms.  Agreement with "direct" is ~1e-6
       relative (exponent-domain rounding amplified by ch ≤ e_dim−1).
+
+      MEASURED AND REJECTED as the default (round 3, v5e): exp is cheap on
+      the TPU transcendental unit, so trading 1 exp/element for ~12
+      select/multiply ops/element runs ~2.2× SLOWER (26 vs 12 ms at
+      N=2304), and the unrolled masked-squaring chain raises scoped-VMEM
+      pressure (OOMs at block_i=64; needs ≤32).  Kept as a verified option
+      because the tradeoff may flip on hardware with slower transcendentals.
     """
     bi = xr.shape[0]
     bj = xcT.shape[1]
@@ -548,6 +555,145 @@ def fused_message_rowsum(
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
         interpret=interpret,
     )(pi, pj, xyz, xyz.T, nm2, nmT, col_vec[None, :], w1e, w2, b2[None, :])
+
+# ---------------------------------------------------------------------------
+# Neighbor-list construction as a single pass over the pair grid.
+#
+# XLA's top_k — what build_neighbors uses for the within-cutoff compaction —
+# costs ~42 ms at N=17,760 on v5e (and degrades another ~9× under vmap).
+# But the task is not selection-of-the-k-largest: it is "emit ALL columns
+# with d < cutoff" (≤ k of them by the caller's contract), which one tile
+# pass can do directly:
+#
+#   1. d² for the (BI × BJ) tile from coords (VPU),
+#   2. hit = (d² < cutoff²) · not-self · node-mask pair   (BI, BJ),
+#   3. exclusive per-row prefix count inside the tile via ONE matmul with a
+#      strictly-lower-triangular ones matrix (MXU — no cumsum primitive
+#      needed), plus a running per-row count carried across the j grid
+#      dimension in VMEM scratch (Mosaic iterates j innermost),
+#   4. slot = count + prefix; emit with a (BI, BJ, k) one-hot
+#      (slot == lane) · hit reduced over the column axis — the same
+#      broadcast-reduce shape the fused message kernels use,
+#   5. tiles with no hits skip step 3-4 entirely (pl.when) — after a
+#      spatial sort, that is ~85-90%% of tiles at protein density.
+#
+# Counts and column ids ride as f32 (exact to 2²⁴ ≫ any N here); hits
+# beyond k slots are dropped exactly like top_k would drop them (the caller
+# guarantees k ≥ the true max neighbor count).  Emitted order is ascending
+# column index — build_neighbors emits nearest-first; both satisfy the
+# contract (an unordered candidate set), downstream sums differ only by
+# fp32 association.
+#
+# MEASURED AND REJECTED as the default (round 3, v5e): 396 ms vs top_k's
+# 41 ms at N=17,760 (10.2 vs 3.5 ms at N=2,220) — the (BI, BJ, k) one-hot
+# emit costs far more per element in Mosaic than the estimate, and on
+# unsorted atoms nearly every tile has a hit so the early-exit never fires.
+# Kept fully tested for hardware/shapes where XLA top_k is the pathology
+# (e.g. under forced vmap, where top_k degrades ~9×).
+# ---------------------------------------------------------------------------
+
+
+def _nbr_compact_kernel(xr, xcT, mi, mjT, lt, idx_ref, msk_ref, cnt_ref, *,
+                        cutoff, k):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bi = xr.shape[0]
+    bj = xcT.shape[1]
+
+    d2 = jnp.zeros((bi, bj), jnp.float32)
+    for a in range(3):
+        diff = xr[:, a:a + 1] - xcT[a:a + 1, :]
+        d2 = d2 + diff * diff
+    rows = i * bi + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 0)
+    cols = j * bj + jax.lax.broadcasted_iota(jnp.int32, (bi, bj), 1)
+    hit = ((d2 < cutoff * cutoff)
+           & (rows != cols)).astype(jnp.float32) * (mi[:][:, 0:1] * mjT[:][0:1, :])
+
+    @pl.when(j == 0)
+    def _():
+        idx_ref[:] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        msk_ref[:] = jnp.zeros(msk_ref.shape, msk_ref.dtype)
+        cnt_ref[:] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+
+    @pl.when(jnp.sum(hit) > 0.0)
+    def _():
+        # exclusive prefix within the tile (MXU), plus the carried count
+        prefix = jnp.dot(hit, lt[:], preferred_element_type=jnp.float32)
+        slot = cnt_ref[:][:, 0:1] + prefix                # (BI, BJ) f32
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, k), 2).astype(jnp.float32)
+        onehot = (slot[:, :, None] == lane).astype(jnp.float32) \
+            * hit[:, :, None]                             # (BI, BJ, k)
+        colf = cols.astype(jnp.float32)
+        idx_ref[:] = idx_ref[:] + jnp.sum(onehot * colf[:, :, None], axis=1)
+        msk_ref[:] = msk_ref[:] + jnp.sum(onehot, axis=1)
+        cnt_ref[:] = cnt_ref[:] + jnp.sum(hit, axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cutoff", "k", "block_i", "block_j",
+                              "interpret"),
+)
+def neighbor_compact(
+    xyz: jax.Array,          # (N, 3)
+    node_mask: jax.Array,    # (N,)
+    cutoff: float,
+    k: int,
+    block_i: int = 64,
+    block_j: int = 128,
+    interpret: bool | None = None,
+):
+    """(idx, nbr_mask), each (N, k): all within-cutoff pairs, kernel-built.
+
+    Drop-in for :func:`epnn_tpu.ops.fused.build_neighbors` (same contract:
+    requires k ≥ the true max neighbor count or pairs are silently dropped;
+    invalid slots carry ``nbr_mask == 0`` with idx 0).  Neighbors come out
+    in ascending column order rather than top_k's nearest-first — the set
+    is identical.
+    """
+    n = xyz.shape[0]
+    if interpret is None:
+        interpret = not _on_tpu()
+    if n < 128:
+        block_i = block_j = 8
+    lcm = int(np.lcm(block_i, block_j))
+    n_pad = int(-(-n // lcm) * lcm)
+    xyz_p = jnp.pad(xyz.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    mask_p = jnp.pad(node_mask.astype(jnp.float32), (0, n_pad - n))
+    lt = jnp.triu(jnp.ones((block_j, block_j), jnp.float32), 1)  # strict
+    # (dot(hit, LT): [b, c] = Σ_{c'} hit[b, c']·LT[c', c] counts c' < c)
+
+    kernel = functools.partial(_nbr_compact_kernel, cutoff=float(cutoff), k=k)
+    row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    rowT = lambda d: pl.BlockSpec((d, block_j), lambda i, j: (0, j),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    idxf, msk = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block_i, n_pad // block_j),
+        in_specs=[
+            row(3), rowT(3),                     # xyz rows, xyzT cols
+            row(1), rowT(1),                     # mask rows, maskT cols
+            whole(block_j, block_j),             # strict-lower-tri ones
+        ],
+        out_specs=[
+            pl.BlockSpec((block_i, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_i, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_i, 1), jnp.float32)],
+        interpret=interpret,
+    )(xyz_p, xyz_p.T, mask_p[:, None], mask_p[None, :], lt)
+    idx = jnp.clip(idxf[:n], 0, n - 1).astype(jnp.int32)
+    return idx, msk[:n]
+
 
 # ---------------------------------------------------------------------------
 # Lane-packed variants of the fused pair kernels.  Same math, MXU-shaped:

@@ -32,8 +32,13 @@ rng = np.random.default_rng(0)
 
 def timeit(tag, fn, chain, it=12):
     t0 = time.perf_counter()
-    out = fn()
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    try:
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+    except Exception as e:
+        print(f"{tag:<52s} FAILED {type(e).__name__}: {str(e)[:160]}",
+              flush=True)
+        return None
     compile_s = time.perf_counter() - t0
     for loop in range(2):
         t0 = time.perf_counter()
@@ -67,31 +72,37 @@ pi2 = jnp.asarray(rng.standard_normal((N2, h1)), jnp.float32)
 pj2 = jnp.asarray(rng.standard_normal((N2, h1)), jnp.float32)
 
 print("== 1) fused kernels, N=2304, direct vs doubling ==", flush=True)
-for meth in ("direct", "doubling"):
-    f = jax.jit(lambda pi, m=meth: fused_message_rowsum(
+for meth, bi in (("direct", 64), ("doubling", 32), ("doubling", 16)):
+    f = jax.jit(lambda pi, m=meth, b=bi: fused_message_rowsum(
         pi, pj2, xyz2, mask2, mask2, w1e, w2, b2, cutoff=cfg.cutoff,
-        eta=cfg.eta, tol=cfg.is_near_tol, masked=True, block_i=64,
+        eta=cfg.eta, tol=cfg.is_near_tol, masked=True, block_i=b,
         block_j=128, precision="default", rbf_method=m))
-    timeit(f"msg kernel [{meth}]", lambda pi=pi2: f(pi), lambda o: pi2 + 0.0 * o)
-for meth in ("direct", "doubling"):
-    f = jax.jit(lambda pi, m=meth: fused_epn_rowsum(
+    timeit(f"msg kernel [{meth} bi={bi}]", lambda pi=pi2: f(pi),
+           lambda o: pi2 + 0.0 * o)
+for meth, bi in (("direct", 64), ("doubling", 32), ("doubling", 16)):
+    f = jax.jit(lambda pi, m=meth, b=bi: fused_epn_rowsum(
         pi, pj2, xyz2, mask2, w1e, w2, b2, cutoff=cfg.cutoff,
-        eta=cfg.eta, tol=cfg.is_near_tol, soft_gate=False, block_i=64,
+        eta=cfg.eta, tol=cfg.is_near_tol, soft_gate=False, block_i=b,
         block_j=128, precision="default", rbf_method=m))
-    timeit(f"epn kernel [{meth}]", lambda pi=pi2: f(pi), lambda o: pi2 + 0.0 * o)
+    timeit(f"epn kernel [{meth} bi={bi}]", lambda pi=pi2: f(pi),
+           lambda o: pi2 + 0.0 * o)
 
 x2 = jax.device_put(b2m.x[0])
 q02 = jax.device_put(b2m.q0[0])
 gold = None
-for meth in ("direct", "doubling"):
-    f = jax.jit(lambda qi, m=meth: _forward_single_pallas(
-        fused, x2, qi, xyz2, mask2, cfg, block=64, rbf_method=m))
-    q = np.asarray(f(q02))
+for meth, bi in (("direct", 64), ("doubling", 32)):
+    f = jax.jit(lambda qi, m=meth, b=bi: _forward_single_pallas(
+        fused, x2, qi, xyz2, mask2, cfg, block=b, rbf_method=m))
+    try:
+        q = np.asarray(f(q02))
+    except Exception as e:
+        print(f"   [{meth}] forward FAILED: {str(e)[:160]}", flush=True)
+        continue
     if gold is None:
         gold = q
     print(f"   [{meth}] sum {q.sum():+.6f}  maxdiff-vs-direct "
           f"{np.abs(q - gold).max():.2e}", flush=True)
-    timeit(f"full dense pallas forward [{meth}]",
+    timeit(f"full dense pallas forward [{meth} bi={bi}]",
            lambda qi=q02: f(qi), lambda o: q02 + 0.0 * o[:1])
 
 # ------------------------------------------------- 2) gather isolation

@@ -211,6 +211,84 @@ class TestFusedMessageKernel:
         np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-4)
 
 
+class TestNeighborCompact:
+    """Kernel-built neighbor lists must produce the exact same candidate SET
+    as build_neighbors' top_k compaction whenever k honors the contract
+    (k ≥ true max neighbor count) — order may differ (ascending column vs
+    nearest-first)."""
+
+    def _sets_match(self, xyz, mask, cutoff, k):
+        from epnn_tpu.ops.fused import build_neighbors
+        from epnn_tpu.ops.pallas_kernels import neighbor_compact
+
+        i1, m1 = map(np.asarray, build_neighbors(xyz, mask, cutoff, k))
+        i2, m2 = map(np.asarray, neighbor_compact(xyz, mask, cutoff, k))
+        assert (m1.sum(1) == m2.sum(1)).all(), "per-row counts differ"
+        for r in range(len(xyz)):
+            got = set(i2[r][m2[r] > 0].tolist())
+            want = set(i1[r][m1[r] > 0].tolist())
+            assert got == want, (r, sorted(want), sorted(got))
+
+    def test_matches_topk_set(self, rng):
+        from epnn_tpu.ops.fused import max_neighbor_count
+
+        n = 200
+        xyz = rng.uniform(0, (n / 0.1) ** (1 / 3), (n, 3)).astype(np.float32)
+        mask = np.ones(n, np.float32)
+        mask[-20:] = 0.0
+        k = int(max_neighbor_count(xyz, mask, 3.0)) + 4
+        self._sets_match(xyz, mask, 3.0, k)
+
+    def test_coincident_and_masked_atoms(self, rng):
+        xyz = np.zeros((8, 3), np.float32)
+        xyz[2] = [1.0, 0, 0]
+        xyz[3] = [0, 1.5, 0]
+        mask = np.ones(8, np.float32)
+        mask[5:] = 0.0
+        self._sets_match(xyz, mask, 3.0, 8)
+
+    def test_block_boundary_rows(self, rng):
+        """Atoms straddling tile boundaries (the count carry across the j
+        grid) — pick N not a multiple of the block so padding is exercised."""
+        from epnn_tpu.ops.fused import max_neighbor_count
+
+        n = 57
+        xyz = rng.uniform(0, 8.0, (n, 3)).astype(np.float32)
+        mask = np.ones(n, np.float32)
+        k = int(max_neighbor_count(xyz, mask, 3.0)) + 2
+        self._sets_match(xyz, mask, 3.0, k)
+
+    def test_forward_with_kernel_neighbors_matches(self, rng):
+        """forward_blocked(use_pallas=True, neighbor_k) must match the
+        pure-XLA path to fp noise (guards the kernel dispatch wiring)."""
+        import jax
+
+        from epnn_tpu.models import init_params
+        from epnn_tpu.models.config import EPNNConfig
+        from epnn_tpu.ops import forward_blocked, fuse_params
+
+        cfg = EPNNConfig(n_elems=4, h_dim=8, e_dim=16, msg_dim=8,
+                         mlp_hidden=(16,), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        n = 40
+        x = rng.normal(size=(1, n, 4)).astype(np.float32)
+        q0 = (rng.normal(size=(1, n)) * 0.1).astype(np.float32)
+        xyz = rng.uniform(0, 7, (1, n, 3)).astype(np.float32)
+        mask = np.ones((1, n), np.float32)
+        a = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                       neighbor_k=16, use_pallas=False))
+        b = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                       neighbor_k=16, use_pallas=True))
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() < 1e-4 * max(scale, 1.0)
+        # conservation unaffected by the kernel neighbor order (fp
+        # association noise only — random-init weights amplify it)
+        np.testing.assert_allclose(b.sum(), a.sum(), atol=2e-3)
+
+
 @pytest.mark.parametrize("masked", [True, False])
 def test_matches_oracle(rng, masked):
     n, h = 256, 32
