@@ -798,9 +798,15 @@ def forward_blocked(
     # program directly; batches of large graphs map sequentially (each at
     # full speed — they don't fit side-by-side in VMEM anyway); small-graph
     # batches keep vmap (the bulk-throughput path, where it wins).
-    if x.shape[0] == 1:
+    # Exception: the TRANSPOSE of the unbatched XLA dense scan is ~2× slower
+    # than its batched form (70 vs 36 ms/step protein fine-tune), so the
+    # remat'd-training XLA fallback keeps vmap; the packed-kernel trainer
+    # path (use_pallas, a custom-VJP kernel) measured identical either way.
+    bypass_b1 = not (remat and neighbor_k is not None and not use_pallas)
+    if x.shape[0] == 1 and bypass_b1:
         return single(fused, x[0], q0[0], xyz[0], node_mask[0])[None]
-    if neighbor_k is not None and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD:
+    if (neighbor_k is not None and bypass_b1
+            and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD):
         return jax.lax.map(
             lambda args: single(fused, *args), (x, q0, xyz, node_mask)
         )
