@@ -66,7 +66,7 @@ def _protein_molecule():
     if not os.path.exists(xyz_path) and os.path.exists(tar):
         os.makedirs(CACHE, exist_ok=True)
         with tarfile.open(tar) as tf:
-            tf.extractall(CACHE)
+            tf.extractall(CACHE, filter="data")
     if os.path.exists(xyz_path):
         return load_molecule(xyz_path), True
     rng = np.random.default_rng(0)
@@ -161,6 +161,38 @@ def main():
         "parity_grade_ms": round(parity_ms, 3),
     }
 
+    # serving mode: repeated inference on a fixed geometry (the reference
+    # infer.py's own loop shape) reuses the neighbor lists and skips the
+    # in-forward top_k (~40% of cold latency at this size)
+    try:
+        from epnn_tpu.ops.fused import build_neighbors_batch
+
+        c = cfg.replace(matmul_precision="default")
+        nbrs = jax.block_until_ready(
+            build_neighbors_batch(xyz_d, mask_d, c.cutoff, int(k)))
+
+        def fn_md(q0_in):
+            return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
+                                   block=block, neighbor_k=k,
+                                   use_pallas=on_tpu, neighbors=nbrs)
+
+        q_md = np.asarray(fn_md(q0_d))[0]
+        q0_in = q0_d
+        for _ in range(iters):           # discard post-compile loop
+            out = fn_md(q0_in)
+            q0_in = q0_d + 0.0 * out[:, :1]
+        np.asarray(out)
+        q0_in = q0_d
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn_md(q0_in)
+            q0_in = q0_d + 0.0 * out[:, :1]
+        np.asarray(out)
+        extra["md_mode_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 3)
+        extra["md_mode_matches_fast"] = float(np.abs(q_md - q_fast).max())
+    except Exception as e:  # never let the extra kill the headline
+        extra["md_mode_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # secondary metric: bulk small-molecule throughput (the reference
     # evaluates batch-1 in a Python loop; this path batches 128 padded
     # molecules per call with on-device featurization)
@@ -168,7 +200,7 @@ def main():
     mixed_tar = os.path.join(REFERENCE_DIR, "data", "mixed.tar.gz")
     if not os.path.isdir(mixed_dir) and os.path.exists(mixed_tar):
         with tarfile.open(mixed_tar) as tf:
-            tf.extractall(CACHE)
+            tf.extractall(CACHE, filter="data")
     if os.path.isdir(mixed_dir):
         from epnn_tpu.data import load_directory
 

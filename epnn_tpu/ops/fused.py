@@ -281,6 +281,24 @@ def build_neighbors(
     return idx.reshape(nb * blk, k)[:n], nmask.reshape(nb * blk, k)[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("cutoff", "k"))
+def build_neighbors_batch(
+    xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched :func:`build_neighbors`: (B, N, k) idx + mask.
+
+    Maps graphs sequentially rather than vmapping (batched top_k is the
+    documented ~9× TPU pathology); intended for precomputing the
+    ``neighbors`` argument of :func:`forward_blocked` once per geometry.
+    """
+    if xyz.shape[0] == 1:
+        i, m = build_neighbors(xyz[0], node_mask[0], cutoff, k)
+        return i[None], m[None]
+    return jax.lax.map(
+        lambda a: build_neighbors(a[0], a[1], cutoff, k), (xyz, node_mask)
+    )
+
+
 def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
     """Host-side exact max neighbor count (for choosing a safe static k)."""
     import numpy as np
@@ -317,6 +335,7 @@ def _forward_single_nbr(
     use_pallas: bool = False,
     pack_to: int = 1,
     remat: bool = False,
+    neighbors: Tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -343,7 +362,13 @@ def _forward_single_nbr(
     # over the pair grid) measured 10× SLOWER on v5e (396 vs 41 ms at
     # N=17,760) — the (BI, BJ, k) one-hot emit dominates; kept as a tested
     # option for hardware/shapes where top_k is the pathology.
-    idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
+    # ``neighbors`` (from :func:`build_neighbors`, shape-(N, k)) skips the
+    # selection entirely — repeated inference on a fixed geometry (the
+    # reference infer.py's own loop shape) saves its full cost per call.
+    if neighbors is not None:
+        idx, nbr_mask = neighbors
+    else:
+        idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
     nbr_mask = nbr_mask.astype(x.dtype)  # selection runs on fp32 coords
     xyz_nbr = xyz[idx]                                     # (N, K, 3)
     rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz_nbr, nbr_mask, cfg,
@@ -724,8 +749,15 @@ def forward_blocked(
     use_pallas: bool = False,
     pack_to: int = 1,
     remat: bool = False,
+    neighbors: Tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
+
+    ``neighbors`` — optional precomputed ``(idx, nbr_mask)`` batch arrays,
+    each (B, N, neighbor_k), as built by :func:`build_neighbors` per graph.
+    Skips in-forward neighbor selection — for repeated inference on a fixed
+    geometry (serving loops, the reference infer.py's own shape) this saves
+    the full top_k cost per call.  Requires ``neighbor_k``.
 
     Equivalent to ``EPNN(cfg).apply(params, x, q0, rbf_edges(xyz, mask), mask)``
     up to fp32 association noise, but with O(B·block·N) peak memory instead
@@ -773,9 +805,12 @@ def forward_blocked(
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
             block=block, neighbor_k=neighbor_k, use_pallas=False,
-            pack_to=pack_to, remat=remat,
+            pack_to=pack_to, remat=remat, neighbors=neighbors,
         )
         return out.astype(jnp.float32) * node_mask
+
+    if neighbors is not None and neighbor_k is None:
+        raise ValueError("neighbors requires neighbor_k")
 
     if neighbor_k is not None:
         single = functools.partial(
@@ -804,12 +839,26 @@ def forward_blocked(
     # path (use_pallas, a custom-VJP kernel) measured identical either way.
     bypass_b1 = not (remat and neighbor_k is not None and not use_pallas)
     if x.shape[0] == 1 and bypass_b1:
+        if neighbor_k is not None and neighbors is not None:
+            single = functools.partial(
+                single, neighbors=(neighbors[0][0], neighbors[1][0]))
         return single(fused, x[0], q0[0], xyz[0], node_mask[0])[None]
     if (neighbor_k is not None and bypass_b1
             and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD):
+        if neighbors is not None:
+            return jax.lax.map(
+                lambda args: single(fused, *args[:4], neighbors=args[4]),
+                (x, q0, xyz, node_mask, neighbors),
+            )
         return jax.lax.map(
             lambda args: single(fused, *args), (x, q0, xyz, node_mask)
         )
+    if neighbor_k is not None and neighbors is not None:
+        return jax.vmap(
+            lambda xx, qq, zz, mm, nb: single(fused, xx, qq, zz, mm,
+                                              neighbors=nb),
+            in_axes=(0, 0, 0, 0, 0),
+        )(x, q0, xyz, node_mask, neighbors)
     return jax.vmap(single, in_axes=(None, 0, 0, 0, 0))(
         fused, x, q0, xyz, node_mask
     )

@@ -44,7 +44,7 @@ def _ensure_extracted(name: str) -> str:
 
     os.makedirs(REFDATA_CACHE, exist_ok=True)
     with tarfile.open(tar) as tf:
-        tf.extractall(REFDATA_CACHE)
+        tf.extractall(REFDATA_CACHE, filter="data")
     return out
 
 

@@ -102,6 +102,24 @@ class TestNeighborPath:
         scale = np.abs(qd).max() + 1.0
         assert np.abs(qn - qd).max() < 1e-5 * scale
 
+    @pytest.mark.parametrize("batch", [1, 2])
+    def test_precomputed_neighbors_bitwise(self, rng, batch):
+        """forward_blocked(neighbors=...) must be bitwise identical to the
+        in-forward selection (same arrays, selection merely hoisted) — the
+        serving/MD reuse path (Predictor(reuse_neighbors=True))."""
+        from epnn_tpu.ops.fused import build_neighbors_batch
+
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=batch, n=24,
+                                              n_real=20)
+        nbrs = build_neighbors_batch(xyz, mask, cfg.cutoff, 20)
+        qa = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        block=8, neighbor_k=20))
+        qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        block=8, neighbor_k=20,
+                                        neighbors=nbrs))
+        np.testing.assert_array_equal(qa, qb)
+
     @pytest.mark.parametrize("use_pallas", [False, True])
     def test_conservation(self, rng, use_pallas):
         cfg = EPNNConfig()
