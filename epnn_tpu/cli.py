@@ -204,7 +204,8 @@ def cmd_bench(args):
     from epnn_tpu.infer import Predictor
     from epnn_tpu.utils import benchmark_fn
 
-    pred = _make_predictor(args)
+    pred = _make_predictor(
+        args, reuse_neighbors=getattr(args, "reuse_neighbors", False))
     mol = load_molecule(args.path)
     table = table_for_n_elems(pred.cfg.n_elems)
     batch = pad_molecules([mol], table)
@@ -301,6 +302,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--profile-dir")
+    p.add_argument("--reuse-neighbors", action="store_true",
+                   help="serving/MD mode: build the neighbor list once and "
+                        "reuse it every iteration (bitwise-identical "
+                        "charges; ~40%% faster at protein scale)")
     p.set_defaults(fn=cmd_bench)
 
     return ap
