@@ -118,7 +118,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    def measure(c):
+    def measure(c, neighbors=None):
         # the packed Pallas far-field kernel wins on TPU whenever the far
         # field runs at default precision (benchmarks/RESULTS.md)
         dense_prec = c.dense_matmul_precision or c.matmul_precision or (
@@ -128,7 +128,8 @@ def main():
         def fn(q0_in):
             return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
                                    block=block, neighbor_k=k,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas,
+                                   neighbors=neighbors)
 
         q = np.asarray(fn(q0_d))[0]  # compile (readback = true sync)
         np.asarray(fn(q0_d))
@@ -170,25 +171,9 @@ def main():
         c = cfg.replace(matmul_precision="default")
         nbrs = jax.block_until_ready(
             build_neighbors_batch(xyz_d, mask_d, c.cutoff, int(k)))
-
-        def fn_md(q0_in):
-            return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
-                                   block=block, neighbor_k=k,
-                                   use_pallas=on_tpu, neighbors=nbrs)
-
-        q_md = np.asarray(fn_md(q0_d))[0]
-        q0_in = q0_d
-        for _ in range(iters):           # discard post-compile loop
-            out = fn_md(q0_in)
-            q0_in = q0_d + 0.0 * out[:, :1]
-        np.asarray(out)
-        q0_in = q0_d
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn_md(q0_in)
-            q0_in = q0_d + 0.0 * out[:, :1]
-        np.asarray(out)
-        extra["md_mode_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 3)
+        measure(c, neighbors=nbrs)       # discard post-compile measurement
+        md_ms, q_md = measure(c, neighbors=nbrs)
+        extra["md_mode_ms"] = round(md_ms, 3)
         extra["md_mode_matches_fast"] = float(np.abs(q_md - q_fast).max())
     except Exception as e:  # never let the extra kill the headline
         extra["md_mode_error"] = f"{type(e).__name__}: {e}"[:200]

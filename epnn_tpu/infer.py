@@ -162,6 +162,14 @@ class Predictor:
     def predict_batch(self, batch: MolBatch) -> np.ndarray:
         """(B, N) per-atom charges for a padded batch."""
         if self.mesh is not None:
+            if self.reuse_neighbors:
+                import warnings
+
+                warnings.warn(
+                    "reuse_neighbors has no effect on the multi-chip path "
+                    "(the sharded forwards select pairs per shard)",
+                    stacklevel=2,
+                )
             return self._predict_batch_sharded(batch)
         mode = self.force_mode or (
             "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"

@@ -373,6 +373,11 @@ def fused_epn_rowsum(
         # kernel where it wins.  Kept as a verified option.
         packed = False
     if packed:
+        if rbf_method != "direct":
+            raise NotImplementedError(
+                "packed=True stores distances per lane, where the direct "
+                "method is already one exp/element — rbf_method="
+                f"{rbf_method!r} is not implemented for the packed kernels")
         assert pack > 1 and n % pack == 0
         npk = n // pack
         block_jp = max(8, min(block_j // pack, npk))
@@ -485,6 +490,10 @@ def fused_message_rowsum(
     if packed is None:
         packed = False  # featurization-bound — see fused_epn_rowsum note
     if packed:
+        if rbf_method != "direct":
+            raise NotImplementedError(
+                "rbf_method is direct-only for the packed kernels — see "
+                "fused_epn_rowsum")
         assert pack > 1 and n % pack == 0
         npk = n // pack
         block_jp = max(8, min(block_j // pack, npk))
@@ -654,7 +663,9 @@ def neighbor_compact(
     n = xyz.shape[0]
     if interpret is None:
         interpret = not _on_tpu()
-    if n < 128:
+    if n < 128 and interpret:
+        # small test blocks only in interpret mode — compiled Mosaic needs
+        # the last block dim to be a multiple of 128 or the full axis
         block_i = block_j = 8
     lcm = int(np.lcm(block_i, block_j))
     n_pad = int(-(-n // lcm) * lcm)

@@ -259,13 +259,16 @@ class TestNeighborCompact:
         self._sets_match(xyz, mask, 3.0, k)
 
     def test_forward_with_kernel_neighbors_matches(self, rng):
-        """forward_blocked(use_pallas=True, neighbor_k) must match the
-        pure-XLA path to fp noise (guards the kernel dispatch wiring)."""
+        """Kernel-built neighbor lists fed into the forward via the
+        ``neighbors=`` argument (format integration: f32→int32 idx, mask
+        dtype) must match the in-forward top_k selection to fp noise —
+        different candidate ORDER, identical set."""
         import jax
 
         from epnn_tpu.models import init_params
         from epnn_tpu.models.config import EPNNConfig
         from epnn_tpu.ops import forward_blocked, fuse_params
+        from epnn_tpu.ops.pallas_kernels import neighbor_compact
 
         cfg = EPNNConfig(n_elems=4, h_dim=8, e_dim=16, msg_dim=8,
                          mlp_hidden=(16,), T=2)
@@ -278,10 +281,12 @@ class TestNeighborCompact:
         q0 = (rng.normal(size=(1, n)) * 0.1).astype(np.float32)
         xyz = rng.uniform(0, 7, (1, n, 3)).astype(np.float32)
         mask = np.ones((1, n), np.float32)
+        idx, m = neighbor_compact(xyz[0], mask[0], cfg.cutoff, 16)
         a = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
-                                       neighbor_k=16, use_pallas=False))
+                                       neighbor_k=16))
         b = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
-                                       neighbor_k=16, use_pallas=True))
+                                       neighbor_k=16,
+                                       neighbors=(idx[None], m[None])))
         scale = np.abs(a).max() + 1e-6
         assert np.abs(a - b).max() < 1e-4 * max(scale, 1.0)
         # conservation unaffected by the kernel neighbor order (fp
