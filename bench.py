@@ -178,6 +178,55 @@ def main():
     except Exception as e:  # never let the extra kill the headline
         extra["md_mode_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # scaling frontier: a synthetic protein-density system 8× the
+    # reference's largest (17,760 atoms), fast mode + neighbor reuse —
+    # records the large-N regime the round-3 vmap bypass fixed
+    # (506 → ~108 ms; see benchmarks/RESULTS.md).  Opt out with
+    # EPNN_BENCH_SCALING=0.
+    if os.environ.get("EPNN_BENCH_SCALING", "1") != "0":
+        try:
+            from epnn_tpu.data.xyz import Molecule
+            from epnn_tpu.ops.fused import build_neighbors_batch
+
+            nbig = 17760
+            rng = np.random.default_rng(0)
+            side = (nbig / 0.1) ** (1 / 3)
+            symbols = list(rng.choice(
+                ["H", "C", "N", "O", "S"], size=nbig,
+                p=[0.5, 0.3, 0.1, 0.09, 0.01]))
+            big = Molecule(name="synth17760", symbols=symbols,
+                           xyz=rng.uniform(0, side, (nbig, 3)).astype(
+                               np.float32),
+                           total_charge=0.0)
+            bb = pad_molecules([big], table, pad_to=nbig)
+            kb = round_up(max_neighbor_count(
+                bb.xyz[0], bb.node_mask[0], cfg.cutoff) + 4, 8)
+            xb, qb, zb, mb = (jax.device_put(a) for a in
+                              (bb.x, bb.q0, bb.xyz, bb.node_mask))
+            c = cfg.replace(matmul_precision="default")
+            nbrs_b = jax.block_until_ready(
+                build_neighbors_batch(zb, mb, c.cutoff, int(kb)))
+
+            def fn_big(q0_in):
+                return forward_blocked(fused, xb, q0_in, zb, mb, c,
+                                       block=256, neighbor_k=int(kb),
+                                       use_pallas=on_tpu, neighbors=nbrs_b)
+
+            q_big = np.asarray(fn_big(qb))[0]
+            sc_iters = 8
+            for loop in range(2):  # discard a full post-compile loop
+                q0_in = qb
+                t0 = time.perf_counter()
+                for _ in range(sc_iters):
+                    out = fn_big(q0_in)
+                    q0_in = qb + 0.0 * out[:, :1]
+                np.asarray(out)
+                sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
+            extra["scaling_17760_ms"] = round(sc_ms, 2)
+            extra["scaling_17760_conservation"] = float(abs(q_big.sum()))
+        except Exception as e:
+            extra["scaling_17760_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # secondary metric: bulk small-molecule throughput (the reference
     # evaluates batch-1 in a Python loop; this path batches 128 padded
     # molecules per call with on-device featurization)

@@ -495,8 +495,14 @@ def _forward_single_nbr(
         a = atom_inputs(h, q).astype(w.w1_i.dtype)
         pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
         pj = jnp.dot(a, w.w1_j, precision=prec)
-        pi_nbr = pi[idx]
-        pj_nbr = pj[idx]
+        # ONE row gather of the concatenated projections: gather cost is
+        # per-row, not per-byte (scan-timed r3c: a 32-wide and a 3-wide
+        # (N,k) gather both cost ~2.6 ms at N=17,760), so fusing the two
+        # halves the pass round's gather bill; values are bitwise identical
+        h1 = pi.shape[-1]
+        pp_nbr = jnp.concatenate([pi, pj], axis=-1)[idx]
+        pi_nbr = pp_nbr[..., :h1]
+        pj_nbr = pp_nbr[..., h1:]
         epart = jnp.dot(rbf_nbr.astype(w.w1_e.dtype), w.w1_e, precision=prec)
         hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart)
         hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart)

@@ -102,6 +102,24 @@ class TestNeighborPath:
         scale = np.abs(qd).max() + 1.0
         assert np.abs(qn - qd).max() < 1e-5 * scale
 
+    def test_big_batch_lax_map_branch(self, rng, monkeypatch):
+        """Batches of large graphs dispatch through lax.map (sequential
+        singles) instead of vmap; force the branch by lowering the size
+        threshold and check it matches vmap bitwise-for-set semantics."""
+        import epnn_tpu.ops.fused as F
+
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=3, n=24, n_real=20)
+        qv = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                        block=8, neighbor_k=20))
+        monkeypatch.setattr(F, "_NEIGHBOR_BLOCK_THRESHOLD", 8)
+        # the jit cache would serve the vmap trace for identical statics —
+        # call the unjitted function so the lowered threshold is seen
+        qm = np.asarray(forward_blocked.__wrapped__(
+            fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=20))
+        scale = np.abs(qv).max() + 1.0
+        assert np.abs(qm - qv).max() < 1e-5 * scale
+
     @pytest.mark.parametrize("batch", [1, 2])
     def test_precomputed_neighbors_bitwise(self, rng, batch):
         """forward_blocked(neighbors=...) must be bitwise identical to the
