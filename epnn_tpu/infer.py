@@ -153,6 +153,19 @@ class Predictor:
                 for i in range(b)
             ])
             return q[:, :n]
+        if batch.padded_atoms > DENSE_MAX_ATOMS:
+            # big graphs: the neighbor-split sharded forward (O(N·k/D)
+            # featurized + O(N²/D) far-field per device) — the dense
+            # sharded path below does O(N²/D) FEATURIZED work, which
+            # loses to even one chip's neighbor split at these sizes
+            from epnn_tpu.parallel.atom_shard import (
+                forward_atom_sharded_nbr_batch)
+
+            k = self._neighbor_k(batch)
+            q = np.asarray(forward_atom_sharded_nbr_batch(
+                self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
+                k=max(k, 1), use_pallas=self._use_pallas()))
+            return q[:b, :n]
         from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
 
         q = np.asarray(forward_atom_sharded_batch(

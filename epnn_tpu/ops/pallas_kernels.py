@@ -72,7 +72,8 @@ def _msg_kernel(pit_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
     jax.jit, static_argnames=("block_i", "block_jp", "precision", "interpret")
 )
 def dense_message_rowsum(
-    pi: jax.Array,           # (N, H) row projections, first-layer bias folded in
+    pi: jax.Array,           # (R, H) row projections, first-layer bias folded
+    #                          in; R == N single-chip, N/D per atom shard
     pj: jax.Array,           # (N, H) col projections
     col_vec: jax.Array,      # (N,) j-sum weights (node mask, or compat ones)
     w2: jax.Array,           # (H, H)
@@ -934,8 +935,15 @@ def _msg_bwd_kernel(pit, pjp, mjp, gt, w2p, w2pT, b2p,
 
 def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
                                precision, interpret):
-    """Shared forward implementation (see dense_message_rowsum's docstring)."""
-    n, h = pi.shape
+    """Shared forward implementation (see dense_message_rowsum's docstring).
+
+    Rectangular by construction: ``pi`` may carry R rows against ``pj``'s N
+    columns (R == N in the single-chip forward; R == N/D per device in the
+    atom-sharded forward, where each shard reduces its row block against
+    the full replicated column set).
+    """
+    r, h = pi.shape
+    n = pj.shape[0]
     pack = max(1, 128 // h) if 128 % h == 0 else 1
     if interpret is None:
         interpret = not _on_tpu()
@@ -947,10 +955,12 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
 
     np_rows = n // pack
     block_jp = min(block_jp, np_rows)
-    assert n % block_i == 0 and np_rows % block_jp == 0, (n, block_i, block_jp)
+    block_i = min(block_i, r)
+    assert r % block_i == 0 and np_rows % block_jp == 0, (r, n, block_i,
+                                                          block_jp)
 
     ph = pack * h
-    pit = jnp.tile(pi, (1, pack))                      # (N, P·H)
+    pit = jnp.tile(pi, (1, pack))                      # (R, P·H)
     pjp = pj.reshape(np_rows, ph)                      # (N/P, P·H)
     mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
     if pack > 1:
@@ -959,7 +969,7 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
     else:
         w2p, b2p = w2, b2
 
-    grid = (n // block_i, np_rows // block_jp)
+    grid = (r // block_i, np_rows // block_jp)
     kernel = functools.partial(_msg_kernel, prec=prec)
     out = pl.pallas_call(
         kernel,
@@ -978,10 +988,10 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
         ],
         out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ph), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, ph), jnp.float32),
         interpret=interpret,
     )(pit, pjp, mjp, w2p, b2p[None, :])
-    return out.reshape(n, pack, h).sum(axis=1)
+    return out.reshape(r, pack, h).sum(axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -999,7 +1009,8 @@ def _dmr_fwd(pi, pj, col_vec, w2, b2, block_i, block_jp, precision, interpret):
 
 def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
     pi, pj, col_vec, w2, b2 = res
-    n, h = pi.shape
+    r, h = pi.shape
+    n = pj.shape[0]
     pack = max(1, 128 // h) if 128 % h == 0 else 1
     if interpret is None:
         interpret = not _on_tpu()
@@ -1011,6 +1022,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
 
     np_rows = n // pack
     block_jp = min(block_jp, np_rows)
+    block_i = min(block_i, r)
     ph = pack * h
     pit = jnp.tile(pi, (1, pack))
     pjp = pj.reshape(np_rows, ph)
@@ -1022,7 +1034,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
     else:
         w2p, b2p = w2, b2
 
-    grid = (n // block_i, np_rows // block_jp)
+    grid = (r // block_i, np_rows // block_jp)
     kernel = functools.partial(_msg_bwd_kernel, prec=prec)
     row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
                                  memory_space=pltpu.VMEM)
@@ -1044,7 +1056,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
             whole(1, ph),                               # db2p (accum all)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, ph), jnp.float32),
+            jax.ShapeDtypeStruct((r, ph), jnp.float32),
             jax.ShapeDtypeStruct((np_rows, ph), jnp.float32),
             jax.ShapeDtypeStruct((ph, ph), jnp.float32),
             jax.ShapeDtypeStruct((1, ph), jnp.float32),
@@ -1052,7 +1064,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
         interpret=interpret,
     )(pit, pjp, mjp, gt, w2p, w2p.T, b2p[None, :])
 
-    dpi = dpit.reshape(n, pack, h).sum(axis=1)          # untile
+    dpi = dpit.reshape(r, pack, h).sum(axis=1)          # untile
     dpj = dpjp.reshape(n, h)                            # unpack (layout-free)
     if pack > 1:
         # only the kron-diagonal h×h blocks of dW2p are real W2 gradient

@@ -24,6 +24,15 @@ Everything here is differentiable (shard_map + psum transpose), which is
 what :func:`make_sharded_train_step` uses to train on graphs whose pair
 grid exceeds one chip.  Validated on the virtual CPU mesh in
 tests/test_sharding.py and exercised by __graft_entry__.dryrun_multichip.
+
+Two forward variants ship:
+
+* :func:`forward_atom_sharded_batch` — dense-featurized row blocks,
+  O(N²/D) featurized pair work per device (the memory-capacity story).
+* :func:`forward_atom_sharded_nbr_batch` — the neighbor-split twin:
+  O(N·k/D) featurized + O(N²/D) no-feature far-field per device, so D
+  devices genuinely divide the single-chip neighbor-split latency.  This
+  is what ``Predictor(mesh=...)`` dispatches big graphs to.
 """
 
 from __future__ import annotations
@@ -42,6 +51,8 @@ from epnn_tpu.ops.fused import (
     PairMLPWeights,
     _apply_mlp,
     _rbf_block,
+    _rbf_gathered,
+    _resolve_precision,
     HIGHEST,
 )
 from epnn_tpu.parallel.sharding import ATOM_AXIS, DATA_AXIS
@@ -159,6 +170,208 @@ def forward_atom_sharded_batch(
 
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
     return q * node_mask
+
+
+def forward_atom_sharded_nbr_batch(
+    fused: FusedParams,
+    x: jax.Array,          # (B, N, n_elems); B % data axis == 0
+    q0: jax.Array,         # (B, N);          N % atoms axis == 0
+    xyz: jax.Array,        # (B, N, 3)
+    node_mask: jax.Array,  # (B, N)
+    cfg: EPNNConfig,
+    mesh: Mesh,
+    k: int,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Neighbor-split atom-sharded forward: the multi-chip twin of
+    :func:`epnn_tpu.ops.fused._forward_single_nbr`.
+
+    The dense-featurized :func:`forward_atom_sharded_batch` does O(N²/D)
+    featurized pair work per device — at spatially sparse sizes that LOSES
+    to one chip running the neighbor split (149 ms single-chip vs a
+    ~dense-path-shaped cost sharded by D).  This variant keeps the
+    neighbor-split structure per shard: each device owns N/D pair-grid
+    rows and does O(N·k/D) featurized work plus the O(N²/D) no-feature
+    far-field reduction (optionally the packed Pallas kernel, which is
+    rectangular-aware), so D devices genuinely divide the single-chip
+    latency.
+
+    Per-round cross-device traffic is one all-gather of the updated
+    (N/D, h_dim) hidden rows / (N/D,) charges over ICI — KB-scale.
+    Projections are recomputed replicated from the gathered state
+    (O(N·F·H) — negligible), which keeps every pair's two orderings
+    evaluated from bitwise-identical values on every device: the global
+    transfer matrix stays exactly antisymmetric and conservation is
+    unaffected by the sharding.
+
+    ``k`` must honor the :func:`epnn_tpu.ops.fused.build_neighbors`
+    contract (≥ the true max within-cutoff neighbor count).
+    """
+    b, n = x.shape[:2]
+    n_at = mesh.shape[ATOM_AXIS]
+    n_dp = mesh.shape.get(DATA_AXIS, 1)
+    if n % n_at:
+        raise ValueError(f"N={n} not divisible by atoms axis {n_at}")
+    if b % n_dp:
+        raise ValueError(f"B={b} not divisible by data axis {n_dp}")
+    r = n // n_at
+    prec = _resolve_precision(cfg)
+    dense_name = getattr(cfg, "dense_matmul_precision", "")
+    prec_dense = ({"default": None, "high": jax.lax.Precision.HIGH,
+                   "highest": jax.lax.Precision.HIGHEST}[dense_name]
+                  if dense_name and dense_name != "bf16x3" else prec)
+    pallas_ok = use_pallas and dense_name != "bf16x3"
+    prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
+        "highest" if cfg.highest_precision else "default")
+
+    def fwd_rows(x_f, q0_f, xyz_f, mask_f):
+        """One graph on one device: my R pair-grid rows vs all N atoms."""
+        r0 = jax.lax.axis_index(ATOM_AXIS) * r
+        xyz_rows = jax.lax.dynamic_slice_in_dim(xyz_f, r0, r, 0)
+        mask_rows = jax.lax.dynamic_slice_in_dim(mask_f, r0, r, 0)
+
+        # neighbor selection for my rows (same superset contract / top_k
+        # mechanics as build_neighbors, offset by the shard's row origin)
+        d2 = jnp.sum((xyz_rows[:, None, :] - xyz_f[None, :, :]) ** 2, -1)
+        gid = r0 + jnp.arange(r)
+        cand = (d2 < cfg.cutoff * cfg.cutoff) \
+            & (gid[:, None] != jnp.arange(n)[None, :]) \
+            & (mask_rows[:, None] > 0) & (mask_f[None, :] > 0)
+        score = jnp.where(cand, -d2, -jnp.inf)
+        _, idx = jax.lax.top_k(score, k)
+        nbr_mask = jnp.take_along_axis(cand, idx, 1).astype(x_f.dtype)
+        rbf_nbr, gate_nbr = _rbf_gathered(xyz_rows, xyz_f[idx], nbr_mask,
+                                          cfg, dtype=x_f.dtype)
+        gate_nbr = gate_nbr * nbr_mask
+
+        if cfg.mask_messages:
+            msg_count = mask_rows * jnp.sum(mask_f)
+            jvec = mask_f
+        else:
+            msg_count = jnp.full((r,), float(n), x_f.dtype)
+            jvec = jnp.ones((n,), x_f.dtype)
+
+        if pallas_ok:
+            from epnn_tpu.ops.pallas_kernels import (
+                dense_message_pad, dense_message_rowsum)
+
+            h1 = int(fused.messages.b1.shape[-1])
+            bi, bjp = (128, 64) if r >= 128 else (8, 8)
+            r_pad = int(-(-r // bi) * bi)
+            lcm = dense_message_pad(bi, bjp, h1)
+            n_pad = int(-(-n // lcm) * lcm)
+            col_vec = jnp.pad(jvec, (0, n_pad - n))
+
+        def dense_nofeat(pi_rows, pj_f, w):
+            """Far-field Σ_j over ALL atoms of the no-feature pair MLP."""
+            if pallas_ok and len(w.mids) == 1:
+                (w2, b2), = w.mids
+                return dense_message_rowsum(
+                    jnp.pad(pi_rows, ((0, r_pad - r), (0, 0))),
+                    jnp.pad(pj_f, ((0, n_pad - n), (0, 0))),
+                    col_vec, w2, b2, block_i=bi, block_jp=bjp,
+                    precision=prec_name)[:r]
+
+            blk = min(256, r)
+            rp = int(-(-r // blk) * blk)
+            blocks = jnp.pad(pi_rows, ((0, rp - r), (0, 0))).reshape(
+                rp // blk, blk, -1)
+
+            def dscan(c2, pi_i):
+                hid = jax.nn.relu(pi_i[:, None, :] + pj_f[None, :, :])
+                for wm, bm in w.mids:
+                    hid = jax.nn.relu(
+                        jnp.dot(hid, wm, precision=prec_dense) + bm)
+                return c2, jnp.einsum("n,bnh->bh", jvec, hid,
+                                      precision=prec_dense)
+
+            _, out = jax.lax.scan(dscan, None, blocks)
+            return out.reshape(rp, -1)[:r]
+
+        h_f = jnp.zeros((n, cfg.h_dim), x_f.dtype)
+        q_f = q0_f
+
+        def atom_inputs(h, q):
+            return jnp.concatenate([x_f, h, q[:, None].astype(x_f.dtype)],
+                                   axis=-1)
+
+        def message_round(carry, w: PairMLPWeights):
+            h_f, q_f = carry
+            a = atom_inputs(h_f, q_f)
+            pi_f = jnp.dot(a, w.w1_i, precision=prec) + w.b1
+            pj_f = jnp.dot(a, w.w1_j, precision=prec)
+            pi_rows = jax.lax.dynamic_slice_in_dim(pi_f, r0, r, 0)
+
+            dense_sum = dense_nofeat(pi_rows, pj_f, w)
+            pj_nbr = pj_f[idx]
+            epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
+            base = pi_rows[:, None, :] + pj_nbr
+            hid_full = jax.nn.relu(base + epart)
+            hid_nofeat = jax.nn.relu(base)
+            for wm, bm in w.mids:
+                hid_full = jax.nn.relu(
+                    jnp.dot(hid_full, wm, precision=prec) + bm)
+                hid_nofeat = jax.nn.relu(
+                    jnp.dot(hid_nofeat, wm, precision=prec) + bm)
+            near = jnp.sum((hid_full - hid_nofeat) * nbr_mask[:, :, None],
+                           axis=1)
+            messages = (jnp.dot(dense_sum + near, w.w_out, precision=prec)
+                        + msg_count[:, None] * w.b_out)
+            h_rows = jax.lax.dynamic_slice_in_dim(h_f, r0, r, 0)
+            upd = jnp.concatenate([h_rows, messages], -1) * mask_rows[:, None]
+            h_rows = _apply_mlp(fused.update, upd, prec) * mask_rows[:, None]
+            h_f = jax.lax.all_gather(h_rows, ATOM_AXIS, tiled=True)
+            return (h_f, q_f), None
+
+        (h_f, q_f), _ = jax.lax.scan(message_round, (h_f, q_f),
+                                     fused.messages)
+
+        def pass_round(q_f, w: PairMLPWeights):
+            a = atom_inputs(h_f, q_f).astype(w.w1_i.dtype)
+            pi_f = jnp.dot(a, w.w1_i, precision=prec) + w.b1
+            pj_f = jnp.dot(a, w.w1_j, precision=prec)
+            pi_rows = jax.lax.dynamic_slice_in_dim(pi_f, r0, r, 0)
+            pj_rows = jax.lax.dynamic_slice_in_dim(pj_f, r0, r, 0)
+            pp_nbr = jnp.concatenate([pi_f, pj_f], -1)[idx]  # one gather
+            h1 = pi_f.shape[-1]
+            pi_nbr, pj_nbr = pp_nbr[..., :h1], pp_nbr[..., h1:]
+            epart = jnp.dot(rbf_nbr.astype(w.w1_e.dtype), w.w1_e,
+                            precision=prec)
+            hid_n = jax.nn.relu((pi_rows[:, None, :] + pj_nbr) + epart)
+            hid_t = jax.nn.relu((pi_nbr + pj_rows[:, None, :]) + epart)
+            for wm, bm in w.mids:
+                hid_n = jax.nn.relu(jnp.dot(hid_n, wm, precision=prec) + bm)
+                hid_t = jax.nn.relu(jnp.dot(hid_t, wm, precision=prec) + bm)
+            diff = (hid_n - hid_t).astype(jnp.float32)
+            dsum = jnp.sum(
+                0.5 * gate_nbr.astype(jnp.float32)[:, :, None] * diff, 1)
+            dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
+                         precision=prec)[:, 0]
+            q_rows = jax.lax.dynamic_slice_in_dim(q_f, r0, r, 0) + dq
+            return jax.lax.all_gather(q_rows, ATOM_AXIS, tiled=True), None
+
+        q_f, _ = jax.lax.scan(pass_round, q_f, fused.passes)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_f, r0, r, 0)
+        return q_rows * mask_rows
+
+    rows = P(DATA_AXIS, ATOM_AXIS)
+    full = P(DATA_AXIS)
+
+    local_b = b // n_dp
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(full, full, full, full), out_specs=rows,
+        check_vma=False,
+    )
+    def run(x_b, q0_b, xyz_b, mask_b):
+        if local_b == 1:
+            # vmapped top_k is the documented ~9× TPU pathology — skip the
+            # batch dim entirely for the common one-graph-per-data-shard case
+            return fwd_rows(x_b[0], q0_b[0], xyz_b[0], mask_b[0])[None]
+        return jax.vmap(fwd_rows)(x_b, q0_b, xyz_b, mask_b)
+
+    return run(x, q0, xyz, node_mask)
 
 
 def forward_atom_sharded(

@@ -37,6 +37,37 @@ class TestAtomSharding:
         )[0]
         np.testing.assert_allclose(q_sharded, q_blocked, atol=2e-5)
 
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_nbr_sharded_matches_single_device(self, rng, use_pallas):
+        """The neighbor-split atom-sharded forward (O(N·k/D) featurized +
+        O(N²/D) far-field per device) must match the single-device
+        neighbor path to fp noise and conserve charge."""
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n = 2, 48
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        out = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=16,
+            use_pallas=use_pallas))
+        ref = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16))
+        scale = np.abs(ref).max() + 1.0
+        assert np.abs(out - ref).max() < 1e-5 * scale
+        # conservation: Σ out == Σ (q0 · mask) per graph
+        want = (q0 * mask).sum(1)
+        np.testing.assert_allclose(out.sum(1), want, atol=2e-5)
+
     def test_conservation_sharded(self, rng):
         cfg = SMALL
         fused = fuse_params(init_params(cfg, jax.random.key(1)), cfg)
@@ -223,6 +254,37 @@ class TestPredictorMesh:
         q_shard = sharded.predict_batch(batch)
         scale = np.abs(q_plain).max() + 1.0
         assert np.abs(q_shard - q_plain).max() < 1e-5 * scale
+
+    def test_predictor_big_graph_nbr_sharded_dispatch(self, rng, monkeypatch):
+        """Graphs padded wider than DENSE_MAX_ATOMS dispatch to the
+        neighbor-split sharded forward on an atoms mesh (lowering the
+        threshold triggers the branch at test size)."""
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        g = np.random.default_rng(5)
+        n = 40
+        mol = Molecule(name="m", symbols=["C"] * n,
+                       xyz=(g.uniform(0, 8, (n, 3))).astype(np.float32),
+                       total_charge=1.0)
+        table = table_for_n_elems(cfg.n_elems)
+        batch = pad_molecules([mol], table)
+
+        plain = Predictor(params=params, cfg=cfg)
+        q_plain = plain.predict_batch(batch)
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        sharded = Predictor(params=params, cfg=cfg, mesh=mesh)
+        q_shard = sharded.predict_batch(batch)
+        # dense-vs-neighbor-split summation orders differ (fp association)
+        scale = np.abs(q_plain).max() + 1.0
+        assert np.abs(q_shard - q_plain).max() < 1e-4 * scale
 
     def test_cli_atom_shard_flag(self, tmp_path, toy_molecules):
         from epnn_tpu.cli import main
