@@ -182,6 +182,7 @@ def forward_atom_sharded_nbr_batch(
     mesh: Mesh,
     k: int,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
@@ -224,7 +225,7 @@ def forward_atom_sharded_nbr_batch(
     prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
 
-    def fwd_rows(x_f, q0_f, xyz_f, mask_f):
+    def fwd_rows(fused, x_f, q0_f, xyz_f, mask_f):
         """One graph on one device: my R pair-grid rows vs all N atoms."""
         r0 = jax.lax.axis_index(ATOM_AXIS) * r
         xyz_rows = jax.lax.dynamic_slice_in_dim(xyz_f, r0, r, 0)
@@ -323,6 +324,8 @@ def forward_atom_sharded_nbr_batch(
             h_f = jax.lax.all_gather(h_rows, ATOM_AXIS, tiled=True)
             return (h_f, q_f), None
 
+        if remat:
+            message_round = jax.checkpoint(message_round)
         (h_f, q_f), _ = jax.lax.scan(message_round, (h_f, q_f),
                                      fused.messages)
 
@@ -350,6 +353,8 @@ def forward_atom_sharded_nbr_batch(
             q_rows = jax.lax.dynamic_slice_in_dim(q_f, r0, r, 0) + dq
             return jax.lax.all_gather(q_rows, ATOM_AXIS, tiled=True), None
 
+        if remat:
+            pass_round = jax.checkpoint(pass_round)
         q_f, _ = jax.lax.scan(pass_round, q_f, fused.passes)
         q_rows = jax.lax.dynamic_slice_in_dim(q_f, r0, r, 0)
         return q_rows * mask_rows
@@ -358,20 +363,28 @@ def forward_atom_sharded_nbr_batch(
     full = P(DATA_AXIS)
 
     local_b = b // n_dp
+    rep = P()
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(full, full, full, full), out_specs=rows,
+        # fused rides as an explicit replicated operand: a closure capture
+        # would carry Auto-mesh sharding annotations that jax.checkpoint
+        # re-materializes inside the Manual (shard_map) context — a
+        # mesh-type mismatch error under the remat'd backward
+        in_specs=(rep, full, full, full, full), out_specs=rows,
         check_vma=False,
     )
-    def run(x_b, q0_b, xyz_b, mask_b):
+    def run(fused, x_b, q0_b, xyz_b, mask_b):
         if local_b == 1:
             # vmapped top_k is the documented ~9× TPU pathology — skip the
             # batch dim entirely for the common one-graph-per-data-shard case
-            return fwd_rows(x_b[0], q0_b[0], xyz_b[0], mask_b[0])[None]
-        return jax.vmap(fwd_rows)(x_b, q0_b, xyz_b, mask_b)
+            return fwd_rows(fused, x_b[0], q0_b[0], xyz_b[0],
+                            mask_b[0])[None]
+        return jax.vmap(
+            lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
+        )(x_b, q0_b, xyz_b, mask_b)
 
-    return run(x, q0, xyz, node_mask)
+    return run(fused, x, q0, xyz, node_mask)
 
 
 def forward_atom_sharded(
@@ -391,7 +404,9 @@ def forward_atom_sharded(
 
 
 def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
-                            loss_name: str = "masked_mse"):
+                            loss_name: str = "masked_mse",
+                            neighbor_k: Optional[int] = None,
+                            use_pallas: bool = False):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -399,6 +414,11 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     (state, loss, pred, mae_sums)`` — the same contract as
     ``epnn_tpu.train.train_step``, which is what lets ``train(mesh=...)``
     dispatch big buckets here.
+
+    ``neighbor_k`` switches the forward/backward to the neighbor-split
+    sharded variant (O(N·k/D) featurized per device, remat'd rounds) —
+    what big-graph buckets should use; ``None`` keeps the dense-featurized
+    form (small pads, no k contract needed).
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -407,8 +427,13 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
     def loss_fn(params, x, q0, xyz, node_mask, y, weight):
         fused = fuse_params(params, cfg)
-        pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
-                                          cfg, mesh)
+        if neighbor_k is not None:
+            pred = forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
+                use_pallas=use_pallas, remat=True)
+        else:
+            pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
+                                              cfg, mesh)
         return M.LOSSES[loss_name](pred, y, node_mask, weight), pred
 
     @jax.jit
@@ -426,7 +451,9 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
 
 def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
-                           loss_name: str = "masked_mse"):
+                           loss_name: str = "masked_mse",
+                           neighbor_k: Optional[int] = None,
+                           use_pallas: bool = False):
     """Atom-sharded eval twin of :func:`make_sharded_train_step`."""
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -434,8 +461,13 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
     @jax.jit
     def step(params, x, q0, xyz, node_mask, y, weight):
         fused = fuse_params(params, cfg)
-        pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
-                                          cfg, mesh)
+        if neighbor_k is not None:
+            pred = forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
+                use_pallas=use_pallas)
+        else:
+            pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
+                                              cfg, mesh)
         loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
         return loss, pred, M.mae_sums(pred, y, node_mask, weight)
 

@@ -351,8 +351,25 @@ def train(
             make_sharded_train_step,
         )
 
-        sharded_train = make_sharded_train_step(cfg, opt, mesh, tc.loss)
-        sharded_eval = make_sharded_eval_step(cfg, mesh, tc.loss)
+        # per-neighbor_k step cache: small pads (k=None) use the
+        # dense-featurized sharded form; big buckets the neighbor-split
+        # one (O(N·k/D) featurized + remat'd rounds per device)
+        _sh_cache: Dict[Optional[int], tuple] = {}
+
+        def _sharded_steps(k: Optional[int]):
+            if k not in _sh_cache:
+                _sh_cache[k] = (
+                    make_sharded_train_step(
+                        cfg, opt, mesh, tc.loss, neighbor_k=k,
+                        use_pallas=fused_pallas if k else False),
+                    make_sharded_eval_step(
+                        cfg, mesh, tc.loss, neighbor_k=k,
+                        use_pallas=fused_pallas if k else False),
+                )
+            return _sh_cache[k]
+
+        sharded_train = lambda k: _sharded_steps(k)[0]
+        sharded_eval = lambda k: _sharded_steps(k)[1]
     fused_k: Dict[int, int] = {}
     # the packed far-field kernel (now differentiable via its custom VJP)
     # wins on TPU when the far field runs at default precision
@@ -396,7 +413,7 @@ def train(
                         state, model, tc.loss, opt, *put(mb, n_real)
                     )
                 elif sharded_train is not None and pad % n_atoms_axis == 0:
-                    state, loss, _, mets = sharded_train(
+                    state, loss, _, mets = sharded_train(k)(
                         state, *_batch_args(mb, n_real)
                     )
                 else:
@@ -414,7 +431,7 @@ def train(
                         state.params, model, tc.loss, *put(mb, n_real)
                     )
                 elif sharded_eval is not None and pad % n_atoms_axis == 0:
-                    loss, _, mets = sharded_eval(
+                    loss, _, mets = sharded_eval(k)(
                         state.params, *_batch_args(mb, n_real)
                     )
                 else:
