@@ -44,28 +44,41 @@ for n in (555, 1110, 2220, 4440, 8880, 17760):
     k = round_up(max_neighbor_count(b.xyz[0], b.node_mask[0], cfg.cutoff) + 4, 8)
     x, q0, xyz, mask = [jax.device_put(a) for a in (b.x, b.q0, b.xyz, b.node_mask)]
     on_tpu = jax.devices()[0].platform == "tpu"
-    fn = lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg,
-                                    block=256, neighbor_k=k,
-                                    use_pallas=on_tpu)
-    t0 = time.perf_counter()
-    q = np.asarray(fn(q0))[0]
-    compile_s = time.perf_counter() - t0
-    # discard a full measurement loop per executable: the tunnel inflates
-    # the first ~dozen executions of each newly compiled program
-    qi = q0
-    for _ in range(15):
-        o = fn(qi)
-        qi = q0 + 0.0 * o[:, :1]
-    np.asarray(o)
-    it = 10
-    qi = q0
-    t0 = time.perf_counter()
-    for _ in range(it):
-        o = fn(qi)
-        qi = q0 + 0.0 * o[:, :1]
-    np.asarray(o)
-    ms = 1e3 * (time.perf_counter() - t0) / it
+
+    from epnn_tpu.ops.fused import build_neighbors_batch
+
+    nbrs = jax.block_until_ready(
+        build_neighbors_batch(xyz, mask, cfg.cutoff, int(k)))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        q = np.asarray(fn(q0))[0]
+        compile_s = time.perf_counter() - t0
+        # discard a full measurement loop per executable: the tunnel
+        # inflates the first ~dozen executions of each new program
+        qi = q0
+        for _ in range(15):
+            o = fn(qi)
+            qi = q0 + 0.0 * o[:, :1]
+        np.asarray(o)
+        it = 10
+        qi = q0
+        t0 = time.perf_counter()
+        for _ in range(it):
+            o = fn(qi)
+            qi = q0 + 0.0 * o[:, :1]
+        np.asarray(o)
+        return 1e3 * (time.perf_counter() - t0) / it, q, compile_s
+
+    ms_cold, q, compile_s = timed(
+        lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg, block=256,
+                                   neighbor_k=k, use_pallas=on_tpu))
+    ms_reuse, _, _ = timed(
+        lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg, block=256,
+                                   neighbor_k=k, use_pallas=on_tpu,
+                                   neighbors=nbrs))
     print(json.dumps({
-        "natoms": n, "ms": round(ms, 2), "neighbor_k": int(k),
+        "natoms": n, "ms": round(ms_cold, 2),
+        "ms_reuse_neighbors": round(ms_reuse, 2), "neighbor_k": int(k),
         "conservation": float(abs(q.sum())), "compile_s": round(compile_s, 1),
     }), flush=True)
