@@ -213,15 +213,21 @@ def main():
                                        use_pallas=on_tpu, neighbors=nbrs_b)
 
             q_big = np.asarray(fn_big(qb))[0]
+            # discard a full ~15-iteration loop after the fresh compile
+            # (per-executable inflation, CLAUDE.md) before timing
+            q0_in = qb
+            for _ in range(15):
+                out = fn_big(q0_in)
+                q0_in = qb + 0.0 * out[:, :1]
+            np.asarray(out)
             sc_iters = 8
-            for loop in range(2):  # discard a full post-compile loop
-                q0_in = qb
-                t0 = time.perf_counter()
-                for _ in range(sc_iters):
-                    out = fn_big(q0_in)
-                    q0_in = qb + 0.0 * out[:, :1]
-                np.asarray(out)
-                sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
+            q0_in = qb
+            t0 = time.perf_counter()
+            for _ in range(sc_iters):
+                out = fn_big(q0_in)
+                q0_in = qb + 0.0 * out[:, :1]
+            np.asarray(out)
+            sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
             extra["scaling_17760_ms"] = round(sc_ms, 2)
             extra["scaling_17760_conservation"] = float(abs(q_big.sum()))
         except Exception as e:

@@ -235,6 +235,24 @@ _NEIGHBOR_BLOCK_THRESHOLD = 4096
 _NEIGHBOR_BLOCK = 1024
 
 
+def block_neighbor_select(xyz_full, mask_full, start, xyz_rows, mask_rows,
+                          cutoff: float, k: int):
+    """The ONE copy of the within-cutoff candidate selection: rows
+    [start, start+R) of the pair grid against all columns.  Used by
+    :func:`build_neighbors` (start=0 or blockwise) and by the atom-sharded
+    forward (start = the shard's row origin) — the superset/top_k contract
+    must stay in sync between them."""
+    n = xyz_full.shape[0]
+    d2 = jnp.sum((xyz_rows[:, None, :] - xyz_full[None, :, :]) ** 2, axis=-1)
+    rows = start + jnp.arange(xyz_rows.shape[0])
+    not_self = rows[:, None] != jnp.arange(n)[None, :]
+    cand = (d2 < cutoff * cutoff) & not_self
+    cand &= (mask_rows[:, None] > 0) & (mask_full[None, :] > 0)
+    score = jnp.where(cand, -d2, -jnp.inf)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, (vals > -jnp.inf).astype(xyz_full.dtype)
+
+
 def build_neighbors(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -255,14 +273,8 @@ def build_neighbors(
     n = xyz.shape[0]
 
     def block_neighbors(start, xyz_rows, mask_rows):
-        d2 = jnp.sum((xyz_rows[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-        rows = start + jnp.arange(xyz_rows.shape[0])
-        not_self = rows[:, None] != jnp.arange(n)[None, :]
-        cand = (d2 < cutoff * cutoff) & not_self
-        cand &= (mask_rows[:, None] > 0) & (node_mask[None, :] > 0)
-        score = jnp.where(cand, -d2, -jnp.inf)
-        vals, idx = jax.lax.top_k(score, k)
-        return idx, (vals > -jnp.inf).astype(xyz.dtype)
+        return block_neighbor_select(xyz, node_mask, start, xyz_rows,
+                                     mask_rows, cutoff, k)
 
     if n <= _NEIGHBOR_BLOCK_THRESHOLD:
         return block_neighbors(0, xyz, node_mask)

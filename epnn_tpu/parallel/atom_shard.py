@@ -218,10 +218,16 @@ def forward_atom_sharded_nbr_batch(
     r = n // n_at
     prec = _resolve_precision(cfg)
     dense_name = getattr(cfg, "dense_matmul_precision", "")
+    if dense_name == "bf16x3" or cfg.compute_dtype == "bfloat16":
+        raise NotImplementedError(
+            "the neighbor-split sharded forward implements neither the "
+            "bf16x3 far-field tier nor compute_dtype='bfloat16' — use the "
+            "single-chip forward_blocked for those configs"
+        )
     prec_dense = ({"default": None, "high": jax.lax.Precision.HIGH,
                    "highest": jax.lax.Precision.HIGHEST}[dense_name]
-                  if dense_name and dense_name != "bf16x3" else prec)
-    pallas_ok = use_pallas and dense_name != "bf16x3"
+                  if dense_name else prec)
+    pallas_ok = use_pallas
     prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
 
@@ -231,16 +237,15 @@ def forward_atom_sharded_nbr_batch(
         xyz_rows = jax.lax.dynamic_slice_in_dim(xyz_f, r0, r, 0)
         mask_rows = jax.lax.dynamic_slice_in_dim(mask_f, r0, r, 0)
 
-        # neighbor selection for my rows (same superset contract / top_k
-        # mechanics as build_neighbors, offset by the shard's row origin)
-        d2 = jnp.sum((xyz_rows[:, None, :] - xyz_f[None, :, :]) ** 2, -1)
-        gid = r0 + jnp.arange(r)
-        cand = (d2 < cfg.cutoff * cfg.cutoff) \
-            & (gid[:, None] != jnp.arange(n)[None, :]) \
-            & (mask_rows[:, None] > 0) & (mask_f[None, :] > 0)
-        score = jnp.where(cand, -d2, -jnp.inf)
-        _, idx = jax.lax.top_k(score, k)
-        nbr_mask = jnp.take_along_axis(cand, idx, 1).astype(x_f.dtype)
+        # neighbor selection for my rows — the SHARED selection helper
+        # (build_neighbors uses the same one), offset by the shard's row
+        # origin.  The (R, N) distance slice is the blockwise-memory shape
+        # (R = N/D), so no extra blocking is needed here.
+        from epnn_tpu.ops.fused import block_neighbor_select
+
+        idx, nbr_mask = block_neighbor_select(
+            xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k)
+        nbr_mask = nbr_mask.astype(x_f.dtype)
         rbf_nbr, gate_nbr = _rbf_gathered(xyz_rows, xyz_f[idx], nbr_mask,
                                           cfg, dtype=x_f.dtype)
         gate_nbr = gate_nbr * nbr_mask
