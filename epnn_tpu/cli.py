@@ -126,6 +126,8 @@ def cmd_infer(args):
     from epnn_tpu.infer import Predictor
 
     kw = {}
+    if getattr(args, "renormalize", False):
+        kw["renormalize"] = True
     shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
     if shard:
         from epnn_tpu.parallel import make_mesh
@@ -266,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ring-shard", type=int, default=0, metavar="N",
                    help="shard atoms over N devices with ring ppermute "
                         "circulation (nothing replicated)")
+    p.add_argument("--renormalize", action="store_true",
+                   help="redistribute the fp conservation residue uniformly "
+                        "over real atoms: sum(q) matches the net charge to "
+                        "fp ulp (residue/n_real per-atom shift)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")

@@ -60,6 +60,14 @@ class Predictor:
     #: cache keys on batch identity; mutate a batch's coordinates and the
     #: cached neighbors go stale — rebuild the batch instead.
     reuse_neighbors: bool = False
+    #: Charge conservation is architectural (bitwise-antisymmetric
+    #: transfer) but fp32 row-sum ordering leaves a residue that grows with
+    #: system size (~1e-6 e at 48 atoms, ~1e-4 e at 8,880).  With
+    #: ``renormalize=True`` the residue Σq − Σq0 is redistributed uniformly
+    #: over the real atoms after the forward (the SURVEY §7 compensated
+    #: mode): Σq matches the net charge to fp ulp, per-atom charges move by
+    #: ≤ residue/n_real.
+    renormalize: bool = False
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -174,6 +182,16 @@ class Predictor:
 
     def predict_batch(self, batch: MolBatch) -> np.ndarray:
         """(B, N) per-atom charges for a padded batch."""
+        q = self._predict_batch_raw(batch)
+        if self.renormalize:
+            mask = np.asarray(batch.node_mask)
+            n_real = np.maximum(mask.sum(axis=1), 1.0)
+            residue = (q * mask).sum(axis=1) - (
+                np.asarray(batch.q0) * mask).sum(axis=1)
+            q = (q - (residue / n_real)[:, None]) * mask
+        return q
+
+    def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
         if self.mesh is not None:
             if self.reuse_neighbors:
                 import warnings

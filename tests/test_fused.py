@@ -457,3 +457,38 @@ def test_blockwise_neighbor_builder(rng):
     for i in range(n):
         assert (set(idx1[i][m1[i] > 0].tolist())
                 == set(idx2[i][m2[i] > 0].tolist())), i
+
+
+def test_predictor_renormalize_exact_conservation(rng):
+    """Predictor(renormalize=True): the fp conservation residue is
+    redistributed uniformly over real atoms — Σq matches the net charge to
+    fp ulp, per-atom charges move by ≤ |residue|/n_real."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.2 if a.ndim == 1 else a, params)
+    g = np.random.default_rng(6)
+    mol = Molecule(name="m", symbols=["C"] * 30,
+                   xyz=g.uniform(0, 7, (30, 3)).astype(np.float32),
+                   total_charge=-1.0)
+    table = table_for_n_elems(9)
+    batch = pad_molecules([mol], table)
+
+    plain = Predictor(params=params, cfg=cfg).predict_batch(batch)
+    renorm = Predictor(params=params, cfg=cfg,
+                       renormalize=True).predict_batch(batch)
+    residue = plain.sum() - (-1.0)
+    np.testing.assert_allclose(renorm.sum(), -1.0, atol=5e-7)
+    assert np.abs(renorm - plain).max() <= abs(residue) / 30 + 1e-7
+    # padded slots stay exactly zero
+    assert (renorm[0, 30:] == 0).all()
