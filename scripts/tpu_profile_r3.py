@@ -10,6 +10,12 @@ B) Fused dense Pallas path (protein, 74 ms vs 33 ms XLA): bound the
 Timing: serialized dependency chain + terminal host readback; one full
 measurement loop discarded after every fresh compile (tunnel inflation is
 per-executable).
+
+
+SUPERSEDED METHODOLOGY NOTE: this battery's per-call timings
+include the tunnel's eager output download (~0.4 GB/s x output
+bytes) — use the scan-timed batteries (r3c+) / scripts/profile_util
+for ground truth; kept for the round-3 evidence trail.
 """
 import os, sys, time
 

@@ -1,5 +1,11 @@
 """Round-3 battery B: (1) doubling-RBF kernels vs direct on hardware,
-(2) isolate the row-gather cost that battery A implicated at large N."""
+(2) isolate the row-gather cost that battery A implicated at large N.
+
+SUPERSEDED METHODOLOGY NOTE: this battery's per-call timings
+include the tunnel's eager output download (~0.4 GB/s x output
+bytes) — use the scan-timed batteries (r3c+) / scripts/profile_util
+for ground truth; kept for the round-3 evidence trail.
+"""
 import os, sys, time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
