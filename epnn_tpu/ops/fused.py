@@ -236,12 +236,19 @@ _NEIGHBOR_BLOCK = 1024
 
 
 def block_neighbor_select(xyz_full, mask_full, start, xyz_rows, mask_rows,
-                          cutoff: float, k: int):
+                          cutoff: float, k: int, with_d2: bool = False):
     """The ONE copy of the within-cutoff candidate selection: rows
     [start, start+R) of the pair grid against all columns.  Used by
     :func:`build_neighbors` (start=0 or blockwise) and by the atom-sharded
     forward (start = the shard's row origin) — the superset/top_k contract
-    must stay in sync between them."""
+    must stay in sync between them.
+
+    ``with_d2`` additionally returns the selected pairs' squared distances
+    (the top_k scores are −d², so this is FREE) — featurization can then
+    skip the (N, k, 3) coordinate gather and the distance recomputation
+    entirely; values are bitwise identical (same subtract/square/sum on
+    the same fp32 coordinates, gather merely reordered).  Invalid slots
+    carry d² = 0, which downstream masking zeroes anyway."""
     n = xyz_full.shape[0]
     d2 = jnp.sum((xyz_rows[:, None, :] - xyz_full[None, :, :]) ** 2, axis=-1)
     rows = start + jnp.arange(xyz_rows.shape[0])
@@ -250,13 +257,17 @@ def block_neighbor_select(xyz_full, mask_full, start, xyz_rows, mask_rows,
     cand &= (mask_rows[:, None] > 0) & (mask_full[None, :] > 0)
     score = jnp.where(cand, -d2, -jnp.inf)
     vals, idx = jax.lax.top_k(score, k)
-    return idx, (vals > -jnp.inf).astype(xyz_full.dtype)
+    mask_out = (vals > -jnp.inf).astype(xyz_full.dtype)
+    if with_d2:
+        return idx, mask_out, jnp.where(vals > -jnp.inf, -vals, 0.0)
+    return idx, mask_out
 
 
 def build_neighbors(
-    xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
-) -> Tuple[jax.Array, jax.Array]:
-    """(idx, nbr_mask), each (N, k): candidate pairs within the cutoff.
+    xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
+    with_d2: bool = False,
+):
+    """(idx, nbr_mask)[, d2], each (N, k): candidate pairs within the cutoff.
 
     The candidate set {d < cutoff} is a strict superset of the reference's
     is-near gate (rbf can underflow the 1e-5 tolerance just inside the
@@ -274,7 +285,7 @@ def build_neighbors(
 
     def block_neighbors(start, xyz_rows, mask_rows):
         return block_neighbor_select(xyz, node_mask, start, xyz_rows,
-                                     mask_rows, cutoff, k)
+                                     mask_rows, cutoff, k, with_d2=with_d2)
 
     if n <= _NEIGHBOR_BLOCK_THRESHOLD:
         return block_neighbors(0, xyz, node_mask)
@@ -289,25 +300,29 @@ def build_neighbors(
         start, xr, mr = inp
         return carry, block_neighbors(start, xr, mr)
 
-    _, (idx, nmask) = jax.lax.scan(scan_fn, None, (starts, xyz_b, mask_b))
-    return idx.reshape(nb * blk, k)[:n], nmask.reshape(nb * blk, k)[:n]
+    _, out = jax.lax.scan(scan_fn, None, (starts, xyz_b, mask_b))
+    return tuple(a.reshape(nb * blk, k)[:n] for a in out)
 
 
 @functools.partial(jax.jit, static_argnames=("cutoff", "k"))
 def build_neighbors_batch(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Batched :func:`build_neighbors`: (B, N, k) idx + mask.
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`build_neighbors`: (B, N, k) idx + mask + d².
 
     Maps graphs sequentially rather than vmapping (batched top_k is the
     documented ~9× TPU pathology); intended for precomputing the
     ``neighbors`` argument of :func:`forward_blocked` once per geometry.
+    The d² plane lets the forward skip the coordinate gather AND the
+    distance recomputation (bitwise-identical featurization inputs).
     """
     if xyz.shape[0] == 1:
-        i, m = build_neighbors(xyz[0], node_mask[0], cutoff, k)
-        return i[None], m[None]
+        i, m, d2 = build_neighbors(xyz[0], node_mask[0], cutoff, k,
+                                   with_d2=True)
+        return i[None], m[None], d2[None]
     return jax.lax.map(
-        lambda a: build_neighbors(a[0], a[1], cutoff, k), (xyz, node_mask)
+        lambda a: build_neighbors(a[0], a[1], cutoff, k, with_d2=True),
+        (xyz, node_mask),
     )
 
 
@@ -377,14 +392,25 @@ def _forward_single_nbr(
     # ``neighbors`` (from :func:`build_neighbors`, shape-(N, k)) skips the
     # selection entirely — repeated inference on a fixed geometry (the
     # reference infer.py's own loop shape) saves its full cost per call.
+    # A 3-tuple additionally carries the selected pairs' d² (free from the
+    # top_k scores), which also skips the (N, k, 3) coordinate gather and
+    # the distance recomputation — bitwise-identical featurization.
+    d2_nbr = None
     if neighbors is not None:
-        idx, nbr_mask = neighbors
+        if len(neighbors) == 3:
+            idx, nbr_mask, d2_nbr = neighbors
+        else:
+            idx, nbr_mask = neighbors
     else:
-        idx, nbr_mask = build_neighbors(xyz, node_mask, cfg.cutoff, k)
+        idx, nbr_mask, d2_nbr = build_neighbors(xyz, node_mask, cfg.cutoff,
+                                                k, with_d2=True)
     nbr_mask = nbr_mask.astype(x.dtype)  # selection runs on fp32 coords
-    xyz_nbr = xyz[idx]                                     # (N, K, 3)
-    rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz_nbr, nbr_mask, cfg,
-                                      dtype=x.dtype)
+    if d2_nbr is None:
+        rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz[idx], nbr_mask, cfg,
+                                          dtype=x.dtype)
+    else:
+        rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
+                                         dtype=x.dtype)
     gate_nbr = gate_nbr * nbr_mask
 
     pairm = node_mask[:, None] * node_mask[None, :]
@@ -771,11 +797,13 @@ def forward_blocked(
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
-    ``neighbors`` — optional precomputed ``(idx, nbr_mask)`` batch arrays,
-    each (B, N, neighbor_k), as built by :func:`build_neighbors` per graph.
-    Skips in-forward neighbor selection — for repeated inference on a fixed
-    geometry (serving loops, the reference infer.py's own shape) this saves
-    the full top_k cost per call.  Requires ``neighbor_k``.
+    ``neighbors`` — optional precomputed ``(idx, nbr_mask[, d2])`` batch
+    arrays, each (B, N, neighbor_k), as built by
+    :func:`build_neighbors_batch`.  Skips in-forward neighbor selection —
+    for repeated inference on a fixed geometry (serving loops, the
+    reference infer.py's own shape) this saves the full top_k cost per
+    call; with the d² plane the coordinate gather and distance
+    recomputation are skipped too.  Requires ``neighbor_k``.
 
     Equivalent to ``EPNN(cfg).apply(params, x, q0, rbf_edges(xyz, mask), mask)``
     up to fp32 association noise, but with O(B·block·N) peak memory instead
@@ -859,7 +887,7 @@ def forward_blocked(
     if x.shape[0] == 1 and bypass_b1:
         if neighbor_k is not None and neighbors is not None:
             single = functools.partial(
-                single, neighbors=(neighbors[0][0], neighbors[1][0]))
+                single, neighbors=tuple(a[0] for a in neighbors))
         return single(fused, x[0], q0[0], xyz[0], node_mask[0])[None]
     if (neighbor_k is not None and bypass_b1
             and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD):

@@ -51,7 +51,6 @@ from epnn_tpu.ops.fused import (
     PairMLPWeights,
     _apply_mlp,
     _rbf_block,
-    _rbf_gathered,
     _resolve_precision,
     HIGHEST,
 )
@@ -240,14 +239,17 @@ def forward_atom_sharded_nbr_batch(
         # neighbor selection for my rows — the SHARED selection helper
         # (build_neighbors uses the same one), offset by the shard's row
         # origin.  The (R, N) distance slice is the blockwise-memory shape
-        # (R = N/D), so no extra blocking is needed here.
-        from epnn_tpu.ops.fused import block_neighbor_select
+        # (R = N/D), so no extra blocking is needed here; the returned d²
+        # (free from the top_k scores) skips the coordinate gather and the
+        # distance recomputation in featurization.
+        from epnn_tpu.ops.fused import block_neighbor_select, rbf_and_gate
 
-        idx, nbr_mask = block_neighbor_select(
-            xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k)
+        idx, nbr_mask, d2_nbr = block_neighbor_select(
+            xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k,
+            with_d2=True)
         nbr_mask = nbr_mask.astype(x_f.dtype)
-        rbf_nbr, gate_nbr = _rbf_gathered(xyz_rows, xyz_f[idx], nbr_mask,
-                                          cfg, dtype=x_f.dtype)
+        rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
+                                         dtype=x_f.dtype)
         gate_nbr = gate_nbr * nbr_mask
 
         if cfg.mask_messages:
