@@ -24,6 +24,45 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 REFERENCE_DIR = os.environ.get("EPNN_REFERENCE_DIR", "/root/reference")
+NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+
+
+def _build_native() -> None:
+    """Build native/libepnn_native.so before collection so the 4 native
+    bit-for-bit tests run by default instead of silently skipping.
+
+    Skipping is only acceptable when no C++ toolchain exists; with a
+    compiler present a broken build must FAIL the session loudly (the C++
+    bundle/xyz readers' guarantees are only enforced when their tests run).
+    """
+    import shutil
+    import subprocess
+
+    lib = os.path.join(NATIVE_DIR, "libepnn_native.so")
+    srcs = [os.path.join(NATIVE_DIR, f)
+            for f in ("xyz_parser.cc", "bundle_reader.cc", "Makefile")]
+    if not all(os.path.exists(s) for s in srcs):
+        return  # packaged without sources — nothing to build
+    if os.path.exists(lib) and all(
+        os.path.getmtime(lib) >= os.path.getmtime(s) for s in srcs
+    ):
+        return
+    cxx = os.environ.get("CXX", "g++")
+    if shutil.which("make") is None or shutil.which(cxx) is None:
+        return  # no toolchain: the native tests will skip (their contract)
+    proc = subprocess.run(
+        ["make", "-C", NATIVE_DIR], capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "native/ build failed with a compiler present:\n"
+            + proc.stdout + proc.stderr
+        )
+
+
+_build_native()
 REFDATA_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                              ".cache", "refdata")
 
