@@ -57,8 +57,8 @@ class Predictor:
     #: inference on a fixed geometry — the shape of the reference's own
     #: infer.py timing loop) can cache the neighbor lists and skip the
     #: in-forward top_k every call (~40% of single-protein latency).  The
-    #: cache keys on batch identity; mutate a batch's coordinates and the
-    #: cached neighbors go stale — rebuild the batch instead.
+    #: cache keys on batch identity plus a coordinate fingerprint, so
+    #: mutating ``batch.xyz`` in place rebuilds the lists automatically.
     reuse_neighbors: bool = False
     #: Charge conservation is architectural (bitwise-antisymmetric
     #: transfer) but fp32 row-sum ordering leaves a residue that grows with
@@ -82,11 +82,29 @@ class Predictor:
         self._k_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
         self._nbr_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+    @staticmethod
+    def _geom_fingerprint(batch: MolBatch):
+        """Cheap coordinate fingerprint guarding the per-batch caches.
+
+        Both caches key on the batch OBJECT, but their values depend on the
+        batch's geometry — a caller that mutates ``batch.xyz`` in place (the
+        MD-style loop reuse_neighbors is named for) would otherwise silently
+        get stale neighbors/d² and wrong charges.  The fingerprint (array
+        identity + shape + two moments, O(B·N) — negligible next to a
+        forward) forces a rebuild on any in-place coordinate change."""
+        xyz = np.asarray(batch.xyz)
+        return (id(batch.xyz), xyz.shape, float(xyz.sum()),
+                float(np.abs(xyz[..., 0]).sum()))
+
     def _neighbor_k(self, batch: MolBatch) -> int:
-        """Exact safe neighbor_k for a batch, cached per batch object and
-        rounded up so repeated shapes reuse the compiled program."""
+        """Exact safe neighbor_k for a batch, cached per batch object (with
+        a geometry-staleness guard) and rounded up so repeated shapes reuse
+        the compiled program."""
+        fp = self._geom_fingerprint(batch)
         try:
-            return self._k_cache[batch]
+            cached_fp, k = self._k_cache[batch]
+            if cached_fp == fp:
+                return k
         except (KeyError, TypeError):
             pass
         from epnn_tpu.data.dataset import round_up
@@ -99,7 +117,7 @@ class Predictor:
         )
         k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
         try:
-            self._k_cache[batch] = k
+            self._k_cache[batch] = (fp, k)
         except TypeError:
             pass
         return k
@@ -218,11 +236,16 @@ class Predictor:
         return np.asarray(q)
 
     def _neighbors(self, batch: MolBatch, k: int):
-        """Cached (idx, nbr_mask) batch arrays when reuse_neighbors is on."""
+        """Cached (idx, nbr_mask, d2) batch arrays when reuse_neighbors is
+        on.  Guarded by the geometry fingerprint: mutating ``batch.xyz`` in
+        place rebuilds the lists instead of serving stale neighbors."""
         if not self.reuse_neighbors:
             return None
+        fp = self._geom_fingerprint(batch)
         try:
-            return self._nbr_cache[batch]
+            cached_fp, nbrs = self._nbr_cache[batch]
+            if cached_fp == fp:
+                return nbrs
         except (KeyError, TypeError):
             pass
         from epnn_tpu.ops.fused import build_neighbors_batch
@@ -230,7 +253,7 @@ class Predictor:
         nbrs = jax.block_until_ready(build_neighbors_batch(
             batch.xyz, batch.node_mask, self.cfg.cutoff, k))
         try:
-            self._nbr_cache[batch] = nbrs
+            self._nbr_cache[batch] = (fp, nbrs)
         except TypeError:
             pass
         return nbrs

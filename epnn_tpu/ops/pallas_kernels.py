@@ -167,6 +167,13 @@ def _tile_rbf_flat(xr, xcT, mi, mj, ri0, rj0, *, cutoff, eta, e_dim,
       overflow for far padded atoms.  Agreement with "direct" is ~1e-6
       relative (exponent-domain rounding amplified by ch ≤ e_dim−1).
 
+      NOT PARITY-GRADE: the ~1e-6 rounding can flip the hard is-near gate
+      (the clip-vs-tol threshold below) for a pair channel sitting exactly
+      at the tolerance boundary, changing the electron-pass candidate set
+      relative to "direct".  The flip is pair-symmetric, so conservation
+      holds either way — but golden-artifact parity is only guaranteed
+      with the default "direct" method.
+
       MEASURED AND REJECTED as the default (round 3, v5e): exp is cheap on
       the TPU transcendental unit, so trading 1 exp/element for ~12
       select/multiply ops/element runs ~2.2× SLOWER (26 vs 12 ms at

@@ -215,18 +215,41 @@ def forward_atom_sharded_nbr_batch(
     if b % n_dp:
         raise ValueError(f"B={b} not divisible by data axis {n_dp}")
     r = n // n_at
+    if cfg.compute_dtype == "bfloat16":
+        # Same dtype policy as forward_blocked's bfloat16 branch
+        # (ops/fused.py): message/update pipeline in bf16, electron-passing
+        # weights STAY f32 (XLA:TPU bf16 fusion rounds the f_ij/f_ji graphs
+        # differently, breaking bitwise antisymmetry — hardware-verified),
+        # q0/coordinates/result f32.  Sharding is orthogonal: every device
+        # computes projections from the same gathered state, so the
+        # antisymmetry argument is unchanged by the bf16 cast.
+        bf = jnp.bfloat16
+        fused = FusedParams(
+            messages=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                            fused.messages),
+            passes=fused.passes,
+            update=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                          fused.update),
+        )
+        out = forward_atom_sharded_nbr_batch(
+            fused, x.astype(bf), q0, xyz, node_mask.astype(bf),
+            cfg.replace(compute_dtype="float32", matmul_precision="default",
+                        highest_precision=False),
+            mesh, k=k, use_pallas=False, remat=remat,
+        )
+        return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
     dense_name = getattr(cfg, "dense_matmul_precision", "")
-    if dense_name == "bf16x3" or cfg.compute_dtype == "bfloat16":
-        raise NotImplementedError(
-            "the neighbor-split sharded forward implements neither the "
-            "bf16x3 far-field tier nor compute_dtype='bfloat16' — use the "
-            "single-chip forward_blocked for those configs"
-        )
-    prec_dense = ({"default": None, "high": jax.lax.Precision.HIGH,
-                   "highest": jax.lax.Precision.HIGHEST}[dense_name]
-                  if dense_name else prec)
-    pallas_ok = use_pallas
+    if dense_name == "bf16x3":
+        prec_dense = "bf16x3"
+    elif dense_name:
+        prec_dense = {"default": None, "high": jax.lax.Precision.HIGH,
+                      "highest": jax.lax.Precision.HIGHEST}[dense_name]
+    else:
+        prec_dense = prec
+    # the packed Pallas kernel is a plain-f32 dot — the bf16x3 split-float
+    # tier runs through the XLA fallback (same dispatch as forward_blocked)
+    pallas_ok = use_pallas and prec_dense != "bf16x3"
     prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
 
@@ -287,6 +310,13 @@ def forward_atom_sharded_nbr_batch(
 
             def dscan(c2, pi_i):
                 hid = jax.nn.relu(pi_i[:, None, :] + pj_f[None, :, :])
+                if prec_dense == "bf16x3":
+                    from epnn_tpu.ops.fused import _split_dot
+
+                    for wm, bm in w.mids:
+                        hid = jax.nn.relu(_split_dot(hid, wm) + bm)
+                    return c2, _split_dot(jvec, hid,
+                                          dims=(((0,), (1,)), ((), ())))
                 for wm, bm in w.mids:
                     hid = jax.nn.relu(
                         jnp.dot(hid, wm, precision=prec_dense) + bm)

@@ -492,3 +492,40 @@ def test_predictor_renormalize_exact_conservation(rng):
     assert np.abs(renorm - plain).max() <= abs(residue) / 30 + 1e-7
     # padded slots stay exactly zero
     assert (renorm[0, 30:] == 0).all()
+
+
+def test_predictor_reuse_neighbors_staleness_guard(rng):
+    """reuse_neighbors caches are guarded by a coordinate fingerprint:
+    mutating batch.xyz IN PLACE must rebuild the neighbor lists (and match
+    a fresh predictor on the new geometry), not serve stale neighbors."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(3)
+    mol = Molecule(name="m", symbols=["C"] * 40,
+                   xyz=g.uniform(0, 8, (40, 3)).astype(np.float32),
+                   total_charge=0.0)
+    table = table_for_n_elems(9)
+    batch = pad_molecules([mol], table)
+
+    pred = Predictor(params=params, cfg=cfg, reuse_neighbors=True,
+                     force_mode="blocked")
+    q1 = pred.predict_batch(batch)
+
+    # mutate coordinates IN PLACE (same array object, same batch object)
+    batch.xyz[0, :40] = g.uniform(0, 8, (40, 3)).astype(np.float32)
+    q2 = pred.predict_batch(batch)
+
+    fresh = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    q2_ref = fresh.predict_batch(batch)
+    np.testing.assert_allclose(q2, q2_ref, atol=1e-5)
+    assert np.abs(q2 - q1).max() > 1e-4  # geometry change had an effect

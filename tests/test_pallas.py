@@ -343,23 +343,26 @@ def test_block_invariance(rng):
         np.testing.assert_allclose(o, outs[0], atol=1e-4)
 
 
-def test_dense_message_custom_vjp(rng):
+@pytest.mark.parametrize("r,n", [(64, 64), (16, 64)])
+def test_dense_message_custom_vjp(rng, r, n):
     """The kernel's backward (recompute-in-tile custom VJP) must match the
-    XLA oracle's gradients for every differentiable input."""
+    XLA oracle's gradients for every differentiable input — including the
+    rectangular R != N shape the atom-sharded train step differentiates
+    (each shard's R = N/D rows against the full N columns)."""
     import jax
     import jax.numpy as jnp
 
-    n, h = 64, 32
-    pi = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+    h = 32
+    pi = jnp.asarray(rng.normal(size=(r, h)), jnp.float32)
     pj = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
     cv = jnp.asarray((rng.uniform(size=n) > 0.2), jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
     b2 = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
-    t = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(r, h)), jnp.float32)
 
     def loss_k(pi, pj, w2, b2):
         return jnp.sum(dense_message_rowsum(pi, pj, cv, w2, b2,
-                                            block_i=32, block_jp=8) * t)
+                                            block_i=16, block_jp=8) * t)
 
     def loss_ref(pi, pj, w2, b2):
         hid = jax.nn.relu(pi[:, None, :] + pj[None, :, :])

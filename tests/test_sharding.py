@@ -68,6 +68,43 @@ class TestAtomSharding:
         want = (q0 * mask).sum(1)
         np.testing.assert_allclose(out.sum(1), want, atol=2e-5)
 
+    @pytest.mark.parametrize("tier", ["bfloat16", "bf16x3"])
+    def test_nbr_sharded_dtype_tiers(self, rng, tier):
+        """compute_dtype='bfloat16' and the bf16x3 far-field tier run on the
+        sharded nbr forward (they used to raise): each must match the
+        single-chip forward_blocked under the SAME config to fp noise and
+        keep conservation at f32 grade (the f32-pass-rounds rule carries
+        over — pass weights stay f32, antisymmetry is bitwise per shard)."""
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg = SMALL
+        if tier == "bfloat16":
+            cfg = cfg.replace(compute_dtype="bfloat16")
+        else:
+            cfg = cfg.replace(dense_matmul_precision="bf16x3")
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n = 2, 48
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        out = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=16))
+        ref = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16))
+        scale = np.abs(ref).max() + 1.0
+        tol = 2e-2 if tier == "bfloat16" else 1e-5
+        assert np.abs(out - ref).max() < tol * scale
+        # conservation stays f32-grade even under bf16 compute
+        want = (q0 * mask).sum(1)
+        np.testing.assert_allclose(out.sum(1), want, atol=5e-5)
+
     def test_conservation_sharded(self, rng):
         cfg = SMALL
         fused = fuse_params(init_params(cfg, jax.random.key(1)), cfg)
