@@ -204,16 +204,18 @@ def cmd_bench(args):
     from epnn_tpu.data import load_molecule, pad_molecules
     from epnn_tpu.elements import table_for_n_elems
     from epnn_tpu.infer import Predictor
-    from epnn_tpu.utils import benchmark_fn
-
     pred = _make_predictor(
         args, reuse_neighbors=getattr(args, "reuse_neighbors", False))
     mol = load_molecule(args.path)
     table = table_for_n_elems(pred.cfg.n_elems)
     batch = pad_molecules([mol], table)
-    stats = benchmark_fn(
-        pred.predict_batch, batch, warmup=args.warmup, iters=args.iters,
+    # default: serialized-chain methodology (the honest steady-state number
+    # on tunneled backends — same as bench.py); --per-call restores per-call
+    # block_until_ready timing (dispatch latency on tunneled hosts)
+    stats = pred.benchmark_batch(
+        batch, iters=args.iters, warmup_loops=args.warmup,
         profile_dir=args.profile_dir,
+        per_call=getattr(args, "per_call", False),
     )
     stats.update(natoms=mol.natoms, name=mol.name)
     print(json.dumps(stats))
@@ -312,6 +314,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving/MD mode: build the neighbor list once and "
                         "reuse it every iteration (bitwise-identical "
                         "charges; ~40%% faster at protein scale)")
+    p.add_argument("--per-call", action="store_true",
+                   help="time independent per-call block_until_ready "
+                        "round-trips instead of the serialized-chain "
+                        "methodology (on tunneled TPU backends per-call "
+                        "numbers include ~25 ms/call of dispatch overhead "
+                        "— see benchmarks/RESULTS.md)")
     p.set_defaults(fn=cmd_bench)
 
     return ap

@@ -258,6 +258,54 @@ class Predictor:
             pass
         return nbrs
 
+    def benchmark_batch(self, batch: MolBatch, iters: int = 20,
+                        warmup_loops: int = 2,
+                        profile_dir: Optional[str] = None,
+                        per_call: bool = False) -> dict:
+        """Steady-state latency for ``predict_batch(batch)``.
+
+        Default methodology is the serialized dependency chain with one
+        terminal readback (:func:`epnn_tpu.utils.timing.benchmark_chained`
+        — the same measurement bench.py publishes); ``per_call=True``
+        switches to per-call ``block_until_ready`` timing, which on
+        tunneled backends reports dispatch latency rather than device
+        latency (it is the right number only for per-call serving on a
+        directly attached host).  The multi-chip path does host-side
+        padding per call, so it always measures per-call.
+        """
+        from epnn_tpu.utils.timing import benchmark_chained, benchmark_fn
+
+        if per_call or self.mesh is not None:
+            stats = benchmark_fn(self.predict_batch, batch,
+                                 warmup=max(warmup_loops, 1), iters=iters,
+                                 profile_dir=profile_dir)
+            stats["method"] = "per_call"
+            return stats
+        mode = self.force_mode or (
+            "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
+        )
+        x, q0, xyz, mask = (
+            jax.device_put(np.asarray(a))
+            for a in (batch.x, batch.q0, batch.xyz, batch.node_mask)
+        )
+        if mode == "dense":
+            fn = lambda q0_in: self._dense(x, q0_in, xyz, mask)  # noqa: E731
+        else:
+            k = max(self._neighbor_k(batch), 1)
+            nbrs = self._neighbors(batch, k)
+            block = min(self.block, batch.padded_atoms)
+
+            def fn(q0_in):
+                return forward_blocked(
+                    self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
+                    neighbor_k=k, use_pallas=self._use_pallas(),
+                    neighbors=nbrs,
+                )
+
+        return benchmark_chained(fn, q0, iters=iters,
+                                 warmup_loops=warmup_loops,
+                                 profile_dir=profile_dir)
+
     def _use_pallas(self) -> bool:
         """Enable the packed Pallas far-field kernel where profiling shows
         it wins: on TPU with the far field at default matmul precision

@@ -31,6 +31,60 @@ class Timer:
         return sum(self.spans.get(name, []))
 
 
+def benchmark_chained(
+    fn: Callable,
+    q0,
+    iters: int = 20,
+    warmup_loops: int = 2,
+    profile_dir: Optional[str] = None,
+):
+    """Serialized-chain latency: the honest per-graph number on tunneled
+    backends (benchmarks/RESULTS.md "round-3 measurement pitfall").
+
+    Per-call ``block_until_ready`` timing (:func:`benchmark_fn`) adds the
+    full host→device dispatch round-trip to EVERY call — ~25 ms/call at
+    protein scale through the TPU tunnel, where the device time is ~2 ms.
+    Worse, ``block_until_ready`` can return early on tunneled backends.
+    This helper times ``iters`` back-to-back calls where each iteration's
+    ``q0`` carries a zero-weighted dependency on the previous output (so
+    the chain serializes on device) and the chain ends in ONE host
+    readback (a true sync); total/iters is the steady-state per-graph
+    latency with dispatch pipelined, exactly bench.py's methodology.
+
+    ``fn(q0) -> out`` must accept the chained array as its only positional
+    argument; ``warmup_loops`` full loops run first (the first compiles;
+    execution-time inflation is per compiled executable on the tunnel, so
+    a whole measurement loop is discarded after every fresh compile).
+    """
+    import jax.numpy as jnp
+
+    def loop():
+        q0_in = q0
+        out = None
+        for _ in range(iters):
+            out = fn(q0_in)
+            # zero-weighted scalar dependency, shape-agnostic broadcast
+            q0_in = q0 + 0.0 * jnp.reshape(out, (-1,))[:1]
+        np.asarray(out)  # terminal readback = true sync
+
+    for _ in range(max(warmup_loops, 1)):
+        loop()
+    ctx = (
+        jax.profiler.trace(profile_dir) if profile_dir
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        t0 = time.perf_counter()
+        loop()
+        dt = time.perf_counter() - t0
+    return {
+        "mean_s": dt / iters,
+        "iters": iters,
+        "method": "chained",
+        "warmup_loops": warmup_loops,
+    }
+
+
 def benchmark_fn(
     fn: Callable,
     *args,
@@ -38,9 +92,15 @@ def benchmark_fn(
     iters: int = 10,
     profile_dir: Optional[str] = None,
 ):
-    """Time ``fn(*args)`` with block_until_ready fencing.
+    """Time ``fn(*args)`` with per-call block_until_ready fencing.
 
     Returns dict with mean/median/min seconds over ``iters`` runs.
+
+    NOTE: on tunneled TPU backends this measures per-call DISPATCH latency,
+    not device latency — every call pays the host round-trip, and
+    ``block_until_ready`` may return early.  Steady-state serving latency
+    should use :func:`benchmark_chained` (what ``cli bench`` does by
+    default on device-array-capable paths).
     """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
