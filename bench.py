@@ -123,7 +123,7 @@ def main():
         # field runs at default precision (benchmarks/RESULTS.md)
         dense_prec = c.dense_matmul_precision or c.matmul_precision or (
             "highest" if c.highest_precision else "default")
-        use_pallas = on_tpu and dense_prec == "default"
+        use_pallas = on_tpu and dense_prec in ("default", "int8")
 
         def fn(q0_in):
             return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,

@@ -320,7 +320,7 @@ class Predictor:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        return on_tpu and dense_prec == "default"
+        return on_tpu and dense_prec in ("default", "int8")
 
     def predict_molecules(
         self, mols: Sequence[Molecule], pad_to: Optional[int] = None

@@ -54,8 +54,12 @@ class EPNNConfig:
     #: reduction only — the O(N²) term of the neighbor-split path.  '' uses
     #: matmul_precision; 'bf16x3' runs a manual hi/lo split-float matmul
     #: (three default-precision MXU passes ≈ fp32 accuracy; XLA's own
-    #: Precision.HIGH is pathologically slow on v5e).  The near-field and
-    #: electron-passing math keeps the main precision.
+    #: Precision.HIGH is pathologically slow on v5e); 'int8' quantizes the
+    #: far-field mid matmul in the packed Pallas kernel (per-row activation
+    #: / per-column weight scales, ~1% relative tier — serving fast mode;
+    #: requires use_pallas on TPU, conservation unaffected: message-term
+    #: numerics never touch the antisymmetric pass rounds).  The near-field
+    #: and electron-passing math keeps the main precision.
     dense_matmul_precision: str = ""
 
     @property

@@ -435,6 +435,10 @@ def _forward_single_nbr(
     dense_name = getattr(cfg, "dense_matmul_precision", "")
     if dense_name == "bf16x3":
         prec_dense = "bf16x3"
+    elif dense_name == "int8":
+        # int8 lives in the packed Pallas kernel only; the XLA fallback for
+        # this config runs the dense term at default (bf16-pass) precision
+        prec_dense = None
     elif dense_name:
         prec_dense = {"default": None, "high": jax.lax.Precision.HIGH,
                       "highest": jax.lax.Precision.HIGHEST}[dense_name]
@@ -461,7 +465,9 @@ def _forward_single_nbr(
             col_vec = jnp.pad(node_mask, (0, n_pad - n))
         else:
             col_vec = jnp.pad(jnp.ones((n,), x.dtype), (0, n_pad - n))
-        prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
+        mid_dtype = "int8" if dense_name == "int8" else "float32"
+        prec_name = ("default" if dense_name == "int8" else dense_name) or \
+            getattr(cfg, "matmul_precision", "") or (
             "highest" if cfg.highest_precision else "default"
         )
 
@@ -486,6 +492,7 @@ def _forward_single_nbr(
                 jnp.pad(pj, ((0, n_pad - n), (0, 0))),
                 col_vec, w2, b2,
                 block_i=bi, block_jp=bjp, precision=prec_name,
+                mid_dtype=mid_dtype,
             )[:n]
         else:
             # dense no-feature part: Σ_j over ALL pairs with e = 0

@@ -39,23 +39,46 @@ def _on_tpu() -> bool:
         return False
 
 
-def _msg_kernel(pit_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
-                out_ref, *, prec):
+def _msg_kernel(pi_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
+                out_ref, *, prec, pack, mid_dtype="float32"):
     j = pl.program_id(1)
-    pit = pit_ref[:]          # (BI, P*H) — pi tiled across P lane groups
+    pi = pi_ref[:]            # (BI, H) raw row projections
     pjp = pjp_ref[:]          # (BJP, P*H) — P consecutive pj rows per row
-    bi, ph = pit.shape
-    bjp = pjp.shape[0]
+    bi = pi.shape[0]
+    bjp, ph = pjp.shape
+    # spread pi across the P lane groups IN-TILE: pltpu.repeat is a
+    # concat-style lane copy (exact, VPU) — the (N, P·H) tile(pi, (1, P))
+    # HBM materialization XLA used to emit per round (0.22 ms/inference of
+    # pure copies at protein scale, parsed-trace r3) never exists
+    pit = pltpu.repeat(pi, pack, axis=1) if pack > 1 else pi
     # one packed row = P pairs; the mid matmul runs at full 128-lane width
     # against kron(I_P, W2) — per-element identical math, ~P·(128/H)× better
     # MXU utilization than the (·, H) layout
     base = (pit[:, None, :] + pjp[None, :, :]).reshape(bi * bjp, ph)
     hid = jax.nn.relu(base)
-    hid = jax.nn.relu(
-        jnp.dot(hid, w2p_ref[:], preferred_element_type=jnp.float32,
-                precision=prec)
-        + b2p_ref[:]
-    )
+    if mid_dtype == "int8":
+        # fast-mode tier: per-row symmetric int8 activations × per-column
+        # int8 weights (scales precomputed outside).  v5e's int8 MXU rate
+        # is 2× bf16, halving the matmul time the kron packing wastes 4×
+        # of.  hid ≥ 0 (post-relu), so [0, 127] covers the range; the
+        # per-row scale spans the row's 4 packed pairs (a shared scale is
+        # still exact scaling, just coarser quantization).
+        s = jnp.maximum(jnp.max(hid, axis=1, keepdims=True), 1e-30) \
+            * (1.0 / 127.0)                              # (M, 1)
+        qz = jnp.clip(hid * (1.0 / s), 0.0, 127.0)
+        qz = (qz + 0.5).astype(jnp.int8)                 # round-half-up ≥ 0
+        acc = jax.lax.dot_general(
+            qz, w2p_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        hid = jax.nn.relu(
+            acc.astype(jnp.float32) * s * b2p_ref[:][1:2, :]
+            + b2p_ref[:][0:1, :])
+    else:
+        hid = jax.nn.relu(
+            jnp.dot(hid, w2p_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec)
+            + b2p_ref[:]
+        )
     hid = hid.reshape(bi, bjp, ph) * mjp_ref[:][None, :, :]
     partial = jnp.sum(hid, axis=1)
 
@@ -69,7 +92,8 @@ def _msg_kernel(pit_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_i", "block_jp", "precision", "interpret")
+    jax.jit, static_argnames=("block_i", "block_jp", "precision", "interpret",
+                              "mid_dtype")
 )
 def dense_message_rowsum(
     pi: jax.Array,           # (R, H) row projections, first-layer bias folded
@@ -82,6 +106,7 @@ def dense_message_rowsum(
     block_jp: int = 64,
     precision: str = "default",
     interpret: bool | None = None,
+    mid_dtype: str = "float32",
 ) -> jax.Array:
     """Σ_j col_vec_j · relu(relu(pi_i + pj_j) @ W2 + b2) as (N, H).
 
@@ -99,9 +124,15 @@ def dense_message_rowsum(
     Differentiable: a custom VJP recomputes the two-layer activations
     in-tile (no residuals) and emits dpi/dpj/dW2/db2 in one backward pass
     over the pair grid, so training can use this kernel too.
+
+    ``mid_dtype='int8'`` quantizes the mid matmul (per-row activation /
+    per-column weight scales) — the fast-mode serving tier; the custom VJP
+    backward recomputes in f32 regardless (a straight-through gradient —
+    training configs should keep the default).
     """
     return _dense_message_rowsum_cvjp(pi, pj, col_vec, w2, b2, block_i,
-                                      block_jp, precision, interpret)
+                                      block_jp, precision, interpret,
+                                      mid_dtype)
 
 
 def dense_message_pad(block_i: int = 128, block_jp: int = 64,
@@ -887,14 +918,18 @@ def _msg_packed_kernel(pit, pjp, xr, xce0, xce1, xce2, mc, cid, mi, wsum,
 # ---------------------------------------------------------------------------
 
 
-def _msg_bwd_kernel(pit, pjp, mjp, gt, w2p, w2pT, b2p,
-                    dpi_ref, dpj_ref, dw2_ref, db2_ref, *, prec):
+def _msg_bwd_kernel(pi_ref, pjp, mjp, g_ref, w2p, w2pT, b2p,
+                    dpi_ref, dpj_ref, dw2_ref, db2_ref, *, prec, pack):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    bi, ph = pit.shape
-    bjp = pjp.shape[0]
+    bjp, ph = pjp.shape
+    bi = pi_ref.shape[0]
+    # in-tile lane spreads (exact concat-style copies) — neither the tiled
+    # pi nor the tiled cotangent ever exists in HBM
+    pit = pltpu.repeat(pi_ref[:], pack, axis=1) if pack > 1 else pi_ref[:]
+    gt = pltpu.repeat(g_ref[:], pack, axis=1) if pack > 1 else g_ref[:]
 
-    z1 = (pit[:][:, None, :] + pjp[:][None, :, :]).reshape(bi * bjp, ph)
+    z1 = (pit[:, None, :] + pjp[:][None, :, :]).reshape(bi * bjp, ph)
     a1 = jax.nn.relu(z1)
     z2 = jnp.dot(a1, w2p[:], preferred_element_type=jnp.float32,
                  precision=prec) + b2p[:]
@@ -941,13 +976,23 @@ def _msg_bwd_kernel(pit, pjp, mjp, gt, w2p, w2pT, b2p,
 
 
 def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
-                               precision, interpret):
+                               precision, interpret, mid_dtype="float32"):
     """Shared forward implementation (see dense_message_rowsum's docstring).
 
     Rectangular by construction: ``pi`` may carry R rows against ``pj``'s N
-    columns (R == N in the single-chip forward; R == N/D per device in the
-    atom-sharded forward, where each shard reduces its row block against
-    the full replicated column set).
+    columns (R == N single-chip; R == N/D per device in the atom-sharded
+    forward, where each shard reduces its row block against the full
+    replicated column set).
+
+    ``pi`` enters the kernel RAW (R, H): the P-group lane spread happens
+    in-tile via ``pltpu.repeat`` (exact concat-style lane copy), so the
+    (R, P·H) tiled array never exists in HBM.  Only ``pj``'s packed
+    (N/P, P·H) view is materialized (a pure row→lane relayout XLA emits as
+    one copy per round).
+
+    ``mid_dtype='int8'`` switches the mid matmul to the quantized
+    fast-mode tier: per-output-column weight scales here, per-row
+    activation scales in-tile (see ``_msg_kernel``).
     """
     r, h = pi.shape
     n = pj.shape[0]
@@ -967,7 +1012,6 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
                                                           block_jp)
 
     ph = pack * h
-    pit = jnp.tile(pi, (1, pack))                      # (R, P·H)
     pjp = pj.reshape(np_rows, ph)                      # (N/P, P·H)
     mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
     if pack > 1:
@@ -976,13 +1020,23 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
     else:
         w2p, b2p = w2, b2
 
+    if mid_dtype == "int8":
+        # per-output-column symmetric scales; kron zeros stay exactly 0
+        sw = jnp.maximum(jnp.max(jnp.abs(w2p), axis=0), 1e-30) / 127.0
+        w2p = jnp.clip(jnp.round(w2p / sw), -127, 127).astype(jnp.int8)
+        # bias row + scale row share one (2, PH) operand
+        baux = jnp.stack([b2p, sw])
+    else:
+        baux = b2p[None, :]
+
     grid = (r // block_i, np_rows // block_jp)
-    kernel = functools.partial(_msg_kernel, prec=prec)
+    kernel = functools.partial(_msg_kernel, prec=prec, pack=pack,
+                               mid_dtype=mid_dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
+            pl.BlockSpec((block_i, h), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_jp, ph), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -990,31 +1044,34 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ph, ph), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ph), lambda i, j: (0, 0),
+            pl.BlockSpec(baux.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_i, ph), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, ph), jnp.float32),
         interpret=interpret,
-    )(pit, pjp, mjp, w2p, b2p[None, :])
+    )(pi, pjp, mjp, w2p, baux)
     return out.reshape(r, pack, h).sum(axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _dense_message_rowsum_cvjp(pi, pj, col_vec, w2, b2, block_i, block_jp,
-                               precision, interpret):
+                               precision, interpret, mid_dtype):
     return _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i,
-                                      block_jp, precision, interpret)
+                                      block_jp, precision, interpret,
+                                      mid_dtype)
 
 
-def _dmr_fwd(pi, pj, col_vec, w2, b2, block_i, block_jp, precision, interpret):
+def _dmr_fwd(pi, pj, col_vec, w2, b2, block_i, block_jp, precision, interpret,
+             mid_dtype):
     out = _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i,
-                                     block_jp, precision, interpret)
+                                     block_jp, precision, interpret,
+                                     mid_dtype)
     return out, (pi, pj, col_vec, w2, b2)
 
 
-def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
+def _dmr_bwd(block_i, block_jp, precision, interpret, mid_dtype, res, gbar):
     pi, pj, col_vec, w2, b2 = res
     r, h = pi.shape
     n = pj.shape[0]
@@ -1031,10 +1088,9 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
     block_jp = min(block_jp, np_rows)
     block_i = min(block_i, r)
     ph = pack * h
-    pit = jnp.tile(pi, (1, pack))
     pjp = pj.reshape(np_rows, ph)
     mjp = jnp.repeat(col_vec[:, None], h, axis=1).reshape(np_rows, ph)
-    gt = jnp.tile(gbar.astype(jnp.float32), (1, pack))  # fold transpose
+    g32 = gbar.astype(jnp.float32)       # (R, H): spread happens in-tile
     if pack > 1:
         w2p = jnp.kron(jnp.eye(pack, dtype=w2.dtype), w2)
         b2p = jnp.tile(b2, pack)
@@ -1042,7 +1098,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
         w2p, b2p = w2, b2
 
     grid = (r // block_i, np_rows // block_jp)
-    kernel = functools.partial(_msg_bwd_kernel, prec=prec)
+    kernel = functools.partial(_msg_bwd_kernel, prec=prec, pack=pack)
     row = lambda d: pl.BlockSpec((block_i, d), lambda i, j: (i, 0),
                                  memory_space=pltpu.VMEM)
     colp = lambda d: pl.BlockSpec((block_jp, d), lambda i, j: (j, 0),
@@ -1053,7 +1109,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
         kernel,
         grid=grid,
         in_specs=[
-            row(ph), colp(ph), colp(ph), row(ph),
+            row(h), colp(ph), colp(ph), row(h),
             whole(ph, ph), whole(ph, ph), whole(1, ph),
         ],
         out_specs=[
@@ -1069,7 +1125,7 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, res, gbar):
             jax.ShapeDtypeStruct((1, ph), jnp.float32),
         ],
         interpret=interpret,
-    )(pit, pjp, mjp, gt, w2p, w2p.T, b2p[None, :])
+    )(pi, pjp, mjp, g32, w2p, w2p.T, b2p[None, :])
 
     dpi = dpit.reshape(r, pack, h).sum(axis=1)          # untile
     dpj = dpjp.reshape(n, h)                            # unpack (layout-free)

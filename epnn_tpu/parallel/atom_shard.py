@@ -242,6 +242,8 @@ def forward_atom_sharded_nbr_batch(
     dense_name = getattr(cfg, "dense_matmul_precision", "")
     if dense_name == "bf16x3":
         prec_dense = "bf16x3"
+    elif dense_name == "int8":
+        prec_dense = None  # int8 lives in the kernel; fallback = default
     elif dense_name:
         prec_dense = {"default": None, "high": jax.lax.Precision.HIGH,
                       "highest": jax.lax.Precision.HIGHEST}[dense_name]
@@ -250,7 +252,9 @@ def forward_atom_sharded_nbr_batch(
     # the packed Pallas kernel is a plain-f32 dot — the bf16x3 split-float
     # tier runs through the XLA fallback (same dispatch as forward_blocked)
     pallas_ok = use_pallas and prec_dense != "bf16x3"
-    prec_name = dense_name or getattr(cfg, "matmul_precision", "") or (
+    mid_dtype = "int8" if dense_name == "int8" else "float32"
+    prec_name = ("default" if dense_name == "int8" else dense_name) or \
+        getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
 
     def fwd_rows(fused, x_f, q0_f, xyz_f, mask_f):
@@ -301,7 +305,7 @@ def forward_atom_sharded_nbr_batch(
                     jnp.pad(pi_rows, ((0, r_pad - r), (0, 0))),
                     jnp.pad(pj_f, ((0, n_pad - n), (0, 0))),
                     col_vec, w2, b2, block_i=bi, block_jp=bjp,
-                    precision=prec_name)[:r]
+                    precision=prec_name, mid_dtype=mid_dtype)[:r]
 
             blk = min(256, r)
             rp = int(-(-r // blk) * blk)

@@ -389,3 +389,24 @@ def test_odd_width_no_packing(rng):
                                           block_i=32, block_jp=16))
     oracle = dense_message_rowsum_reference(pi, pj, nm, w2, b2)
     np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_dense_message_int8_tier(rng):
+    """mid_dtype='int8' (fast-mode serving tier): quantized mid matmul must
+    track the f32 oracle to int8 quantization error (~1% of row scale)."""
+    n, h = 64, 32
+    pi = rng.normal(size=(n, h)).astype(np.float32)
+    pj = rng.normal(size=(n, h)).astype(np.float32)
+    nm = np.ones(n, np.float32)
+    w2 = (rng.normal(size=(h, h)) * 0.3).astype(np.float32)
+    b2 = (rng.normal(size=(h,)) * 0.1).astype(np.float32)
+    out = np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
+                                          block_i=32, block_jp=8,
+                                          mid_dtype="int8"))
+    oracle = dense_message_rowsum_reference(pi, pj, nm, w2, b2)
+    scale = np.abs(oracle).max()
+    assert np.abs(out - oracle).max() < 0.03 * scale
+    # f32 default unchanged by the new plumbing
+    out32 = np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
+                                            block_i=32, block_jp=8))
+    np.testing.assert_allclose(out32, oracle, rtol=1e-5, atol=1e-4)
