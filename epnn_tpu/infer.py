@@ -170,15 +170,17 @@ class Predictor:
         x, q0, xyz, mask = map(pad, (batch.x, batch.q0, batch.xyz,
                                      batch.node_mask))
         if self.shard_mode == "ring":
-            from epnn_tpu.parallel.ring_shard import forward_ring_sharded
+            # neighbor-split ring, whole batch in one sharded program (the
+            # old path looped graphs in host Python through the dense ring)
+            from epnn_tpu.parallel.ring_shard import (
+                forward_ring_sharded_nbr_batch)
 
-            q = np.stack([
-                np.asarray(forward_ring_sharded(
-                    self._fused, x[i], q0[i], xyz[i], mask[i], self.cfg,
-                    self.mesh))
-                for i in range(b)
-            ])
-            return q[:, :n]
+            nd = np_ // n_at
+            k_blk = min(self._neighbor_k(batch), nd)
+            q = np.asarray(forward_ring_sharded_nbr_batch(
+                self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
+                k_blk=max(k_blk, 1), use_pallas=self._use_pallas()))
+            return q[:b, :n]
         if batch.padded_atoms > DENSE_MAX_ATOMS:
             # big graphs: the neighbor-split sharded forward (O(N·k/D)
             # featurized + O(N²/D) far-field per device) — the dense

@@ -380,6 +380,36 @@ def _forward_single_nbr(
     (both orderings of a near pair are evaluated from identical projections
     on both rows), so conservation is unaffected.
     """
+    # With the Pallas far-field kernel, pad the ATOM AXIS once at entry to
+    # the kernel's tile lcm instead of padding pi/pj per message round: the
+    # projections then come out of their producing matmuls already at the
+    # padded width, and the per-round pad copies (0.21 ms/inference of
+    # device time at protein scale, parsed trace r4 — the residue of the
+    # r3 "0.22 ms of copies" after the in-tile lane spread) never exist.
+    # Padded rows carry node_mask 0, so every other term is unchanged.
+    dense_name_pre = getattr(cfg, "dense_matmul_precision", "")
+    if use_pallas and dense_name_pre != "bf16x3" and x.shape[0] >= 128:
+        from epnn_tpu.ops.pallas_kernels import dense_message_pad
+
+        h1_pre = int(fused.messages.b1.shape[-1])
+        lcm = dense_message_pad(128, 64, h1_pre)
+        n0 = x.shape[0]
+        n_pad0 = int(-(-n0 // lcm) * lcm)
+        if n_pad0 != n0:
+            pad_n = n_pad0 - n0
+
+            def _pad0(a):
+                return jnp.pad(a, [(0, pad_n)] + [(0, 0)] * (a.ndim - 1))
+
+            if neighbors is not None:
+                # pad neighbor rows with idx 0 / mask 0 (d2 0 if present)
+                neighbors = tuple(_pad0(a) for a in neighbors)
+            return _forward_single_nbr(
+                fused, _pad0(x), _pad0(q0), _pad0(xyz), _pad0(node_mask),
+                cfg, block=block, k=k, use_pallas=use_pallas,
+                pack_to=pack_to, remat=remat, neighbors=neighbors,
+            )[:n0]
+
     n = x.shape[0]
     nb = -(-n // block)
     prec = _resolve_precision(cfg)

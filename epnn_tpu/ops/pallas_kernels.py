@@ -57,21 +57,21 @@ def _msg_kernel(pi_ref, pjp_ref, mjp_ref, w2p_ref, b2p_ref,
     base = (pit[:, None, :] + pjp[None, :, :]).reshape(bi * bjp, ph)
     hid = jax.nn.relu(base)
     if mid_dtype == "int8":
-        # fast-mode tier: per-row symmetric int8 activations × per-column
-        # int8 weights (scales precomputed outside).  v5e's int8 MXU rate
-        # is 2× bf16, halving the matmul time the kron packing wastes 4×
-        # of.  hid ≥ 0 (post-relu), so [0, 127] covers the range; the
-        # per-row scale spans the row's 4 packed pairs (a shared scale is
-        # still exact scaling, just coarser quantization).
-        s = jnp.maximum(jnp.max(hid, axis=1, keepdims=True), 1e-30) \
-            * (1.0 / 127.0)                              # (M, 1)
-        qz = jnp.clip(hid * (1.0 / s), 0.0, 127.0)
+        # fast-mode tier: per-tensor int8 activations × per-column int8
+        # weights.  v5e's int8 MXU rate is 2× bf16, halving the matmul
+        # time the kron packing wastes 4× of.  The activation scale is a
+        # PRECOMPUTED bound (outside the kernel, from max(pi)+max(pj)) so
+        # the in-tile cost is one multiply + round + cast — a per-row
+        # max/divide variant measured SLOWER than f32 (r4 battery: the
+        # quant VPU ops swamped the MXU saving).  baux rows: [b2; dequant
+        # scale s_in·sw per column; quant scale 127/s_in broadcast].
+        qz = jnp.clip(hid * b2p_ref[:][2:3, :], 0.0, 127.0)
         qz = (qz + 0.5).astype(jnp.int8)                 # round-half-up ≥ 0
         acc = jax.lax.dot_general(
             qz, w2p_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         hid = jax.nn.relu(
-            acc.astype(jnp.float32) * s * b2p_ref[:][1:2, :]
+            acc.astype(jnp.float32) * b2p_ref[:][1:2, :]
             + b2p_ref[:][0:1, :])
     else:
         hid = jax.nn.relu(
@@ -1021,11 +1021,16 @@ def _dense_message_rowsum_impl(pi, pj, col_vec, w2, b2, block_i, block_jp,
         w2p, b2p = w2, b2
 
     if mid_dtype == "int8":
-        # per-output-column symmetric scales; kron zeros stay exactly 0
+        # per-output-column symmetric weight scales; kron zeros stay 0
         sw = jnp.maximum(jnp.max(jnp.abs(w2p), axis=0), 1e-30) / 127.0
         w2p = jnp.clip(jnp.round(w2p / sw), -127, 127).astype(jnp.int8)
-        # bias row + scale row share one (2, PH) operand
-        baux = jnp.stack([b2p, sw])
+        # per-tensor activation bound: hid = relu(pi + pj) ≤ relu of the
+        # two maxima (cheap O(N) reduces here, nothing per tile)
+        s_in = jnp.maximum(
+            jax.nn.relu(jnp.max(pi) + jnp.max(pj)), 1e-30) / 127.0
+        # rows: [bias; dequant scale per column; quant scale broadcast]
+        baux = jnp.stack([b2p, s_in * sw,
+                          jnp.broadcast_to(1.0 / s_in, b2p.shape)])
     else:
         baux = b2p[None, :]
 

@@ -447,7 +447,8 @@ def forward_atom_sharded(
 def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             loss_name: str = "masked_mse",
                             neighbor_k: Optional[int] = None,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False,
+                            shard_mode: str = "atom"):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -460,15 +461,31 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     sharded variant (O(N·k/D) featurized per device, remat'd rounds) —
     what big-graph buckets should use; ``None`` keeps the dense-featurized
     form (small pads, no k contract needed).
+
+    ``shard_mode='ring'`` (requires ``neighbor_k``) trains through the
+    neighbor-split RING forward instead (nothing replicated, blocks
+    circulate via ppermute; ``epnn_tpu.parallel.ring_shard``) — for graphs
+    whose per-atom state itself exceeds one chip; gradients flow through
+    the ppermute scans (their transpose is the reverse ring).
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
     from epnn_tpu.train.loop import TrainState
     import optax
 
+    if shard_mode == "ring" and neighbor_k is None:
+        raise ValueError("shard_mode='ring' requires neighbor_k")
+
     def loss_fn(params, x, q0, xyz, node_mask, y, weight):
         fused = fuse_params(params, cfg)
-        if neighbor_k is not None:
+        if shard_mode == "ring":
+            from epnn_tpu.parallel.ring_shard import (
+                forward_ring_sharded_nbr_batch)
+
+            pred = forward_ring_sharded_nbr_batch(
+                fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
+                use_pallas=use_pallas, remat=True)
+        elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas, remat=True)
@@ -494,15 +511,26 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
                            loss_name: str = "masked_mse",
                            neighbor_k: Optional[int] = None,
-                           use_pallas: bool = False):
+                           use_pallas: bool = False,
+                           shard_mode: str = "atom"):
     """Atom-sharded eval twin of :func:`make_sharded_train_step`."""
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
 
+    if shard_mode == "ring" and neighbor_k is None:
+        raise ValueError("shard_mode='ring' requires neighbor_k")
+
     @jax.jit
     def step(params, x, q0, xyz, node_mask, y, weight):
         fused = fuse_params(params, cfg)
-        if neighbor_k is not None:
+        if shard_mode == "ring":
+            from epnn_tpu.parallel.ring_shard import (
+                forward_ring_sharded_nbr_batch)
+
+            pred = forward_ring_sharded_nbr_batch(
+                fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
+                use_pallas=use_pallas)
+        elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas)

@@ -38,9 +38,10 @@ from epnn_tpu.ops.fused import (
     PairMLPWeights,
     _apply_mlp,
     _resolve_precision,
+    block_neighbor_select,
     rbf_and_gate,
 )
-from epnn_tpu.parallel.sharding import ATOM_AXIS
+from epnn_tpu.parallel.sharding import ATOM_AXIS, DATA_AXIS
 
 
 def _pair_terms(xyz_i, xyz_j, same, valid, cfg, dtype):
@@ -167,3 +168,264 @@ def forward_ring_sharded(
         return q_d * mask_d
 
     return fwd(fused, x, q0, xyz, node_mask, gidx)
+
+
+def forward_ring_sharded_nbr_batch(
+    fused: FusedParams,
+    x: jax.Array,          # (B, N, n_elems); B % data axis == 0
+    q0: jax.Array,         # (B, N);          N % atoms axis == 0
+    xyz: jax.Array,        # (B, N, 3)
+    node_mask: jax.Array,  # (B, N)
+    cfg: EPNNConfig,
+    mesh: Mesh,
+    k_blk: int,
+    use_pallas: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """Neighbor-split ring-sharded forward (SURVEY §7 stage 6: the ring
+    variant OF the stage-5 kernel, not of the dense loop).
+
+    Like :func:`forward_ring_sharded`, nothing is replicated: each device
+    owns an N/D atom block and per ring step sees ONE circulating block
+    over ICI (``ppermute``).  Unlike it, per-step pair work is split the
+    same way the single-chip path splits it (`ops/fused.py`
+    ``_forward_single_nbr``):
+
+    * far field (message rounds): the featureless dense reduction over the
+      whole circulating block — optionally the packed Pallas kernel
+      (rectangular: my N/D rows × the block's N/D columns),
+    * near field: a geometry-only PRE-PASS ring loop stores, per step, the
+      within-cutoff pairs of my rows against that block
+      (``block_neighbor_select`` on bitwise-symmetric d², (D, N/D, k_blk)
+      int/f32 arrays); rounds gather only those pairs and featurize them.
+      Steps whose block holds no near pair of mine skip the featurized
+      math entirely (``lax.cond`` — with spatially sorted atoms that is
+      most steps).
+
+    ``k_blk`` must bound the true per-row within-ONE-block neighbor count
+    (≤ min(global k, N/D) always works) — same top_k superset contract as
+    :func:`epnn_tpu.ops.fused.build_neighbors`.
+
+    Conservation: both orderings of a near pair are evaluated from the
+    SAME circulated arrays on both owners (d² is bitwise symmetric:
+    (a−b)² ≡ (b−a)² in IEEE), so the global transfer matrix stays exactly
+    antisymmetric and Σq is preserved at f32 summation grade.
+
+    Per-device, per-round cost: O(N²/D) featureless + O(N·k_blk)
+    featurized (the near term does not divide by D in the worst case —
+    slot buffers are sized for all neighbors landing in one block; sort
+    atoms spatially and the cond-skip recovers the division in practice).
+    Per-device memory: O(N/D·(state) + D·N/D·k_blk) = O(N·k_blk) for the
+    stored selection — no O(N) replicated state.
+    """
+    b, n = x.shape[:2]
+    n_at = mesh.shape[ATOM_AXIS]
+    n_dp = mesh.shape.get(DATA_AXIS, 1)
+    if n % n_at:
+        raise ValueError(f"N={n} not divisible by atoms axis {n_at}")
+    if b % n_dp:
+        raise ValueError(f"B={b} not divisible by data axis {n_dp}")
+    nd = n // n_at
+    if k_blk > nd:
+        raise ValueError(f"k_blk={k_blk} exceeds the block width {nd}")
+    if cfg.compute_dtype == "bfloat16":
+        # same dtype policy as forward_blocked / the atom-sharded twin:
+        # bf16 message/update pipeline, f32 pass rounds (bitwise
+        # antisymmetry), f32 charges/coordinates/result
+        bf = jnp.bfloat16
+        fused = FusedParams(
+            messages=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                            fused.messages),
+            passes=fused.passes,
+            update=jax.tree_util.tree_map(lambda a: a.astype(bf),
+                                          fused.update),
+        )
+        out = forward_ring_sharded_nbr_batch(
+            fused, x.astype(bf), q0, xyz, node_mask.astype(bf),
+            cfg.replace(compute_dtype="float32", matmul_precision="default",
+                        highest_precision=False),
+            mesh, k_blk=k_blk, use_pallas=False, remat=remat,
+        )
+        return out.astype(jnp.float32) * node_mask
+    prec = _resolve_precision(cfg)
+    dense_name = getattr(cfg, "dense_matmul_precision", "")
+    if dense_name == "bf16x3":
+        prec_dense = "bf16x3"
+    elif dense_name == "int8":
+        prec_dense = None
+    elif dense_name:
+        prec_dense = {"default": None, "high": jax.lax.Precision.HIGH,
+                      "highest": jax.lax.Precision.HIGHEST}[dense_name]
+    else:
+        prec_dense = prec
+    pallas_ok = use_pallas and prec_dense != "bf16x3"
+    mid_dtype = "int8" if dense_name == "int8" else "float32"
+    prec_name = ("default" if dense_name == "int8" else dense_name) or \
+        getattr(cfg, "matmul_precision", "") or (
+        "highest" if cfg.highest_precision else "default")
+
+    if pallas_ok:
+        from epnn_tpu.ops.pallas_kernels import (dense_message_pad,
+                                                 dense_message_rowsum)
+
+        h1 = int(fused.messages.b1.shape[-1])
+        bi, bjp = (128, 64) if nd >= 128 else (8, 8)
+        r_pad = int(-(-nd // bi) * bi)
+        lcm = dense_message_pad(bi, bjp, h1)
+        c_pad = int(-(-nd // lcm) * lcm)
+
+    def fwd_rows(fused, x_d, q0_d, xyz_d, mask_d):
+        """One graph's local shard: my nd rows, ring over D blocks."""
+        D = jax.lax.axis_size(ATOM_AXIS)
+        perm = [(i, (i + 1) % D) for i in range(D)]
+        my_start = jax.lax.axis_index(ATOM_AXIS) * nd
+        dt = x_d.dtype
+
+        # ---- geometry-only pre-pass: near pairs of my rows vs each block
+        def sel_step(blk, _):
+            xyz_j, mask_j, start_j = blk
+            idx, m, d2 = block_neighbor_select(
+                xyz_j, mask_j, my_start - start_j, xyz_d, mask_d,
+                cfg.cutoff, k_blk, with_d2=True)
+            return jax.lax.ppermute(blk, ATOM_AXIS, perm), (idx, m, d2)
+
+        _, (idx_s, m_s, d2_s) = jax.lax.scan(
+            sel_step, (xyz_d, mask_d.astype(jnp.float32), my_start), None,
+            length=D)
+        m_s = m_s.astype(dt)                 # (D, nd, k_blk)
+
+        if cfg.mask_messages:
+            msg_count = mask_d * jax.lax.psum(jnp.sum(mask_d), ATOM_AXIS)
+        else:
+            msg_count = jnp.full((nd,), float(n), dt)
+
+        h_d = jnp.zeros((nd, cfg.h_dim), dt)
+        q_d = q0_d
+        nm = mask_d[:, None]
+
+        def atom_inputs(h, q):
+            return jnp.concatenate([x_d, h, q[:, None].astype(dt)], axis=-1)
+
+        def dense_nofeat(pi, pj_j, mask_j, w):
+            """Far-field Σ over ONE circulating block's columns."""
+            jvec = mask_j if cfg.mask_messages else jnp.ones_like(mask_j)
+            if pallas_ok and len(w.mids) == 1:
+                (w2, b2), = w.mids
+                return dense_message_rowsum(
+                    jnp.pad(pi, ((0, r_pad - nd), (0, 0))),
+                    jnp.pad(pj_j, ((0, c_pad - nd), (0, 0))),
+                    jnp.pad(jvec, (0, c_pad - nd)), w2, b2,
+                    block_i=bi, block_jp=bjp, precision=prec_name,
+                    mid_dtype=mid_dtype)[:nd]
+            hid = jax.nn.relu(pi[:, None, :] + pj_j[None, :, :])
+            for wm, bm in w.mids:
+                hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec_dense) + bm)
+            return jnp.einsum("n,bnh->bh", jvec, hid, precision=prec_dense)
+
+        def message_round(carry, w: PairMLPWeights):
+            h_d, q_d = carry
+            a = atom_inputs(h_d, q_d)
+            pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
+            pj = jnp.dot(a, w.w1_j, precision=prec)
+
+            def ring_step(c2, sel):
+                acc, blk = c2
+                idx, m, d2 = sel
+                pj_j, mask_j = blk
+                acc = acc + dense_nofeat(pi, pj_j, mask_j, w)
+
+                def near(acc):
+                    rbf, _ = rbf_and_gate(d2, m, cfg, dtype=dt)
+                    pj_nbr = pj_j[idx]                    # local gather
+                    epart = jnp.dot(rbf, w.w1_e, precision=prec)
+                    base = pi[:, None, :] + pj_nbr
+                    hf, hn = jax.nn.relu(base + epart), jax.nn.relu(base)
+                    for wm, bm in w.mids:
+                        hf = jax.nn.relu(jnp.dot(hf, wm, precision=prec) + bm)
+                        hn = jax.nn.relu(jnp.dot(hn, wm, precision=prec) + bm)
+                    return acc + jnp.sum((hf - hn) * m[:, :, None], axis=1)
+
+                acc = jax.lax.cond(jnp.sum(m) > 0, near, lambda a_: a_, acc)
+                return (acc, jax.lax.ppermute(blk, ATOM_AXIS, perm)), None
+
+            acc0 = jnp.zeros((nd, pi.shape[-1]), dt)
+            (hsum, _), _ = jax.lax.scan(
+                ring_step, (acc0, (pj, mask_d.astype(dt))),
+                (idx_s, m_s, d2_s), length=D)
+            messages = (jnp.dot(hsum, w.w_out, precision=prec)
+                        + msg_count[:, None] * w.b_out)
+            upd = jnp.concatenate([h_d, messages], axis=-1) * nm
+            h_d = _apply_mlp(fused.update, upd, prec) * nm
+            return (h_d, q_d), None
+
+        if remat:
+            message_round = jax.checkpoint(message_round)
+        (h_d, q_d), _ = jax.lax.scan(message_round, (h_d, q_d),
+                                     fused.messages)
+
+        def pass_round(q_d, w: PairMLPWeights):
+            a = atom_inputs(h_d, q_d).astype(w.w1_i.dtype)
+            pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
+            pj = jnp.dot(a, w.w1_j, precision=prec)
+
+            def ring_step(c2, sel):
+                acc, blk = c2
+                idx, m, d2 = sel
+                pi_j, pj_j = blk
+
+                def near(acc):
+                    rbf, gate = rbf_and_gate(d2, m, cfg,
+                                             dtype=w.w1_e.dtype)
+                    gate = gate * m
+                    pp_nbr = jnp.concatenate([pi_j, pj_j], -1)[idx]
+                    h1 = pi.shape[-1]
+                    pi_nbr, pj_nbr = pp_nbr[..., :h1], pp_nbr[..., h1:]
+                    epart = jnp.dot(rbf, w.w1_e, precision=prec)
+                    hid_n = jax.nn.relu((pi[:, None, :] + pj_nbr) + epart)
+                    hid_t = jax.nn.relu((pi_nbr + pj[:, None, :]) + epart)
+                    for wm, bm in w.mids:
+                        hid_n = jax.nn.relu(
+                            jnp.dot(hid_n, wm, precision=prec) + bm)
+                        hid_t = jax.nn.relu(
+                            jnp.dot(hid_t, wm, precision=prec) + bm)
+                    diff = (hid_n - hid_t).astype(jnp.float32)
+                    g32 = gate.astype(jnp.float32)
+                    return acc + jnp.sum(0.5 * g32[:, :, None] * diff, 1)
+
+                acc = jax.lax.cond(jnp.sum(m) > 0, near, lambda a_: a_, acc)
+                return (acc, jax.lax.ppermute(blk, ATOM_AXIS, perm)), None
+
+            acc0 = jnp.zeros((nd, pi.shape[-1]), jnp.float32)
+            (dsum, _), _ = jax.lax.scan(
+                ring_step, (acc0, (pi, pj)), (idx_s, m_s, d2_s), length=D)
+            dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
+                         precision=prec)[:, 0]
+            return q_d + dq, None
+
+        if remat:
+            pass_round = jax.checkpoint(pass_round)
+        q_d, _ = jax.lax.scan(pass_round, q_d, fused.passes)
+        return q_d * mask_d
+
+    rows = P(DATA_AXIS, ATOM_AXIS)
+    full_rows = P(DATA_AXIS, ATOM_AXIS)
+    local_b = b // n_dp
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        # fused rides as an explicit replicated operand (jax.checkpoint
+        # inside shard_map re-materializes closure captures with Auto-mesh
+        # annotations — a mesh-type mismatch; same gotcha as atom_shard)
+        in_specs=(rep, rows, full_rows, rows, full_rows),
+        out_specs=rows,
+        check_vma=False,
+    )
+    def run(fused, x_b, q0_b, xyz_b, mask_b):
+        if local_b == 1:
+            return fwd_rows(fused, x_b[0], q0_b[0], xyz_b[0], mask_b[0])[None]
+        return jax.vmap(
+            lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
+        )(x_b, q0_b, xyz_b, mask_b)
+
+    return run(fused, x, q0, xyz, node_mask)

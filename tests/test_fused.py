@@ -529,3 +529,29 @@ def test_predictor_reuse_neighbors_staleness_guard(rng):
     q2_ref = fresh.predict_batch(batch)
     np.testing.assert_allclose(q2, q2_ref, atol=1e-5)
     assert np.abs(q2 - q1).max() > 1e-4  # geometry change had an effect
+
+
+def test_entry_padding_pallas_nbr_path(rng):
+    """The atom-axis entry padding (lcm of the packed kernel tiles) that
+    kills the per-round pi/pj pad copies must be numerics-neutral: a
+    non-multiple N >= 128 through use_pallas+neighbor_k matches the
+    unpadded XLA path, with and without precomputed neighbors."""
+    from epnn_tpu.ops.fused import build_neighbors_batch
+
+    cfg = EPNNConfig()
+    b, n, n_real = 1, 136, 130  # pads to 256 inside
+    _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=b, n=n,
+                                                n_real=n_real)
+    k = 24
+    qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=64, neighbor_k=k, use_pallas=True))
+    qx = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=64, neighbor_k=k, use_pallas=False))
+    scale = np.abs(qx).max() + 1.0
+    assert np.abs(qp - qx).max() < 1e-5 * scale
+    assert qp.shape == (b, n)
+    nbrs = build_neighbors_batch(xyz, mask, cfg.cutoff, k)
+    qn = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=64, neighbor_k=k, use_pallas=True,
+                                    neighbors=nbrs))
+    np.testing.assert_array_equal(qp, qn)

@@ -452,3 +452,110 @@ class TestRingSharding:
         scale = np.abs(q_blocked).max() + 1.0
         assert np.abs(q_ring - q_blocked).max() < 1e-5 * scale
         assert np.all(q_ring[nr:] == 0.0)
+
+
+@needs_devices
+class TestRingNbrSharding:
+    """Neighbor-split ring (SURVEY §7 stage 6): per-step far-field kernel +
+    gathered near pairs from a geometry-only selection pre-pass."""
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_matches_blocked_forward(self, rng, use_pallas):
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n = 2, 48
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)  # nd = 12
+        out = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=12,
+            use_pallas=use_pallas))
+        ref = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16))
+        scale = np.abs(ref).max() + 1.0
+        assert np.abs(out - ref).max() < 1e-4 * scale
+        want = (q0 * mask).sum(1)
+        np.testing.assert_allclose(out.sum(1), want, atol=2e-5)
+
+    def test_matches_atom_sharded(self, rng):
+        """VERDICT done-criterion: ring nbr ≈ atom-sharded nbr ≤ 1e-4."""
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg = SMALL
+        fused = fuse_params(init_params(cfg, jax.random.key(1)), cfg)
+        b, n = 1, 64
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 9, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.full((b, n), -1.0 / n, np.float32)
+        mesh = make_mesh(n_data=1, n_atoms=8)  # nd = 8
+        ring = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=8))
+        atom = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=24))
+        scale = np.abs(atom).max() + 1.0
+        assert np.abs(ring - atom).max() < 1e-4 * scale
+
+    def test_ring_training_loss_decreases(self, rng):
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.parallel.sharding import shard_state
+        from epnn_tpu.train.loop import TrainState
+        import optax
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(3))
+        b, n = 1, 48
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(size=(b, n)).astype(np.float32) * 0.1
+        w = np.ones((b,), np.float32)
+
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        opt = optax.adam(1e-2)
+        state = TrainState(params=params, opt_state=opt.init(params), step=0)
+        step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=6,
+                                       shard_mode="ring")
+        losses = []
+        for _ in range(5):
+            state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_predictor_ring_mode_batched(self, rng):
+        """Predictor(shard_mode='ring') runs the whole batch in one sharded
+        program and matches the single-chip predictor."""
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(4))
+        g = np.random.default_rng(11)
+        mols = [Molecule(name=f"m{i}", symbols=["C"] * 30,
+                         xyz=g.uniform(0, 7, (30, 3)).astype(np.float32),
+                         total_charge=float(i - 1))
+                for i in range(2)]
+        table = table_for_n_elems(cfg.n_elems)
+        batch = pad_molecules(mols, table, pad_to=32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        plain = Predictor(params=params, cfg=cfg,
+                          force_mode="blocked").predict_batch(batch)
+        ring = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         shard_mode="ring").predict_batch(batch)
+        scale = np.abs(plain).max() + 1.0
+        assert np.abs(ring - plain).max() < 1e-4 * scale
