@@ -38,6 +38,35 @@ CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      ".cache", "refdata")
 
 
+def run_cell_compare(tag, xyz_np, mask_np, cutoff, k):
+    from epnn_tpu.ops.fused import (build_neighbors, build_neighbors_cell,
+                                    cell_grid_params)
+
+    z = jax.device_put(xyz_np)
+    m = jax.device_put(mask_np)
+    ncells, cap = cell_grid_params(xyz_np, mask_np, cutoff)
+    print(f"  {tag}: k={k} ncells_pad={ncells} cell_cap={cap}")
+
+    def chain(fn):
+        # data-dependent chain on the coordinates, scalar-free wall timing
+        return lambda zz: zz + 0.0 * fn(zz)[2].sum()
+
+    def topk_fn(zz):
+        return build_neighbors(zz, m, cutoff, k, with_d2=True)
+
+    def cell_fn(zz):
+        return build_neighbors_cell(zz, m, cutoff, k, ncells, cap,
+                                    with_d2=True)
+
+    scan_time(f"  top_k builder {tag}", chain(topk_fn), z, iters=10)
+    scan_time(f"  cell builder  {tag}", chain(cell_fn), z, iters=10)
+    i1, m1, _ = topk_fn(z)
+    i2, m2, _ = cell_fn(z)
+    n1 = int(np.asarray(m1).sum())
+    n2 = int(np.asarray(m2).sum())
+    print(f"    pair counts: topk {n1}  cell {n2}  (must match)")
+
+
 def main():
     dev = jax.devices()[0]
     print("device:", dev)
@@ -141,6 +170,27 @@ def main():
         run(c_par, "parity (cold nbrs)")
     except Exception as e:
         print("  parity FAILED:", f"{type(e).__name__}: {e}"[:300])
+
+    # ---- D. neighbor builders: top_k vs cell list ----------------------
+    if "cell" in sys.argv[1:]:
+        from epnn_tpu.ops.fused import (build_neighbors, build_neighbors_cell,
+                                        cell_grid_params)
+        from scripts.profile_util import synth_molecule
+
+        print("== D. neighbor selection: top_k vs cell list ==")
+        for tag, z, m, cut in [
+            ("protein N=2220", np.asarray(batch.xyz[0]),
+             np.asarray(batch.node_mask[0]), cfg.cutoff),
+        ]:
+            run_cell_compare(tag, z, m, cut, int(k))
+        gbig = np.random.default_rng(0)
+        big = synth_molecule(17760, gbig)
+        bb = pad_molecules([big], table, pad_to=17760)
+        from epnn_tpu.ops.fused import max_neighbor_count
+        kb = round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                         cfg.cutoff) + 4, 8)
+        run_cell_compare("synth N=17760", np.asarray(bb.xyz[0]),
+                         np.asarray(bb.node_mask[0]), cfg.cutoff, int(kb))
 
     # ---- C. profiler trace ---------------------------------------------
     if "trace" in sys.argv[1:]:

@@ -555,3 +555,56 @@ def test_entry_padding_pallas_nbr_path(rng):
                                     block=64, neighbor_k=k, use_pallas=True,
                                     neighbors=nbrs))
     np.testing.assert_array_equal(qp, qn)
+
+
+@pytest.mark.parametrize("n,n_real", [(64, 64), (80, 70)])
+def test_cell_list_matches_topk(rng, n, n_real):
+    """build_neighbors_cell must produce the same within-cutoff candidate
+    SET (and d2 values) as the top_k builder — the superset contract."""
+    from epnn_tpu.ops.fused import (build_neighbors, build_neighbors_cell,
+                                    cell_grid_params, max_neighbor_count)
+
+    xyz = rng.uniform(0, 9, size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[n_real:] = 0.0
+    cutoff = 3.0
+    k = max_neighbor_count(xyz, mask, cutoff) + 2
+    ncells, cap = cell_grid_params(xyz, mask, cutoff)
+
+    i1, m1, d1 = (np.asarray(a) for a in
+                  build_neighbors(xyz, mask, cutoff, k, with_d2=True))
+    i2, m2, d2 = (np.asarray(a) for a in
+                  build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                                       with_d2=True))
+    for r in range(n):
+        s1 = set(i1[r][m1[r] > 0].tolist())
+        s2 = set(i2[r][m2[r] > 0].tolist())
+        assert s1 == s2, (r, s1 ^ s2)
+        # d2 values match per neighbor
+        dd1 = dict(zip(i1[r][m1[r] > 0].tolist(), d1[r][m1[r] > 0]))
+        dd2 = dict(zip(i2[r][m2[r] > 0].tolist(), d2[r][m2[r] > 0]))
+        for j in s1:
+            assert abs(dd1[j] - dd2[j]) < 1e-5, (r, j)
+
+
+def test_cell_list_through_forward(rng):
+    """Cell-list neighbors fed through forward_blocked(neighbors=...) match
+    the in-forward top_k selection to fp association noise."""
+    from epnn_tpu.ops.fused import (build_neighbors_cell, cell_grid_params,
+                                    max_neighbor_count)
+
+    cfg = EPNNConfig()
+    b, n, n_real = 1, 48, 44
+    _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=b, n=n, n_real=n_real)
+    k = max_neighbor_count(xyz[0], mask[0], cfg.cutoff) + 2
+    ncells, cap = cell_grid_params(xyz[0], mask[0], cfg.cutoff)
+    nbrs = build_neighbors_cell(xyz[0], mask[0], cfg.cutoff, int(k),
+                                ncells, cap, with_d2=True)
+    nbrs = tuple(a[None] for a in nbrs)
+    qa = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=int(k)))
+    qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=int(k),
+                                    neighbors=nbrs))
+    scale = np.abs(qa).max() + 1.0
+    assert np.abs(qb - qa).max() < 1e-5 * scale

@@ -559,3 +559,34 @@ class TestRingNbrSharding:
                          shard_mode="ring").predict_batch(batch)
         scale = np.abs(plain).max() + 1.0
         assert np.abs(ring - plain).max() < 1e-4 * scale
+
+
+@needs_devices
+def test_scaling_work_divides(rng):
+    """Work-division proxy (no real multi-chip here): the per-device SPMD
+    module's flop count for the sharded nbr forward must fall ~1/D —
+    catches structural non-scaling (e.g. accidentally replicated pair
+    work).  Full sweep: scripts/mesh_scaling_sweep.py."""
+    from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+    cfg = SMALL
+    fused = fuse_params(init_params(cfg, jax.random.key(0)), cfg)
+    n, k = 256, 16
+    x = rng.normal(size=(1, n, cfg.n_elems)).astype(np.float32)
+    xyz = rng.uniform(0, 14, size=(1, n, 3)).astype(np.float32)
+    mask = np.ones((1, n), np.float32)
+    q0 = np.zeros((1, n), np.float32)
+
+    def flops(d):
+        mesh = make_mesh(n_data=1, n_atoms=d)
+
+        def f(fused, x, q0, xyz, mask):
+            return forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k=k)
+
+        ca = jax.jit(f).lower(fused, x, q0, xyz, mask).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+
+    f2, f8 = flops(2), flops(8)
+    assert f8 < f2 / 2.5, (f2, f8)  # ideal 4.0x, slack for O(N·k) residue
