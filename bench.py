@@ -118,6 +118,15 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    # static cell-grid bounds for the in-forward cell-list selection
+    # (measured 1.4x over the O(N²)-scored top_k at this size, identical
+    # candidate sets — benchmarks/RESULTS.md round-4); rounded so similar
+    # geometries would share the compiled program
+    from epnn_tpu.ops.fused import cell_grid_params
+
+    nc_, cap_ = cell_grid_params(batch.xyz[0], batch.node_mask[0], cfg.cutoff)
+    grid = (round_up(nc_, 512), round_up(cap_, 4))
+
     def measure(c, neighbors=None):
         # the packed Pallas far-field kernel wins on TPU whenever the far
         # field runs at default precision (benchmarks/RESULTS.md)
@@ -129,7 +138,8 @@ def main():
             return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
                                    block=block, neighbor_k=k,
                                    use_pallas=use_pallas,
-                                   neighbors=neighbors)
+                                   neighbors=neighbors,
+                                   neighbor_grid=grid)
 
         q = np.asarray(fn(q0_d))[0]  # compile (readback = true sync)
         np.asarray(fn(q0_d))
@@ -207,10 +217,15 @@ def main():
             nbrs_b = jax.block_until_ready(
                 build_neighbors_batch(zb, mb, c.cutoff, int(kb)))
 
-            def fn_big(q0_in):
+            ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0],
+                                         cfg.cutoff)
+            grid_b = (round_up(ncb, 512), round_up(capb, 4))
+
+            def fn_big(q0_in, neighbors=nbrs_b):
                 return forward_blocked(fused, xb, q0_in, zb, mb, c,
                                        block=256, neighbor_k=int(kb),
-                                       use_pallas=on_tpu, neighbors=nbrs_b)
+                                       use_pallas=on_tpu, neighbors=neighbors,
+                                       neighbor_grid=grid_b)
 
             q_big = np.asarray(fn_big(qb))[0]
             # discard a full ~15-iteration loop after the fresh compile
@@ -230,6 +245,23 @@ def main():
             sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
             extra["scaling_17760_ms"] = round(sc_ms, 2)
             extra["scaling_17760_conservation"] = float(abs(q_big.sum()))
+
+            # COLD single-shot at 17,760 (in-forward cell-list selection —
+            # the r2-verdict target: <110 ms where the top_k path was ~147)
+            np.asarray(fn_big(qb, neighbors=None))[0]
+            q0_in = qb
+            for _ in range(8):
+                out = fn_big(q0_in, neighbors=None)
+                q0_in = qb + 0.0 * out[:, :1]
+            np.asarray(out)
+            q0_in = qb
+            t0 = time.perf_counter()
+            for _ in range(sc_iters):
+                out = fn_big(q0_in, neighbors=None)
+                q0_in = qb + 0.0 * out[:, :1]
+            np.asarray(out)
+            extra["scaling_17760_cold_ms"] = round(
+                (time.perf_counter() - t0) / sc_iters * 1e3, 2)
         except Exception as e:
             extra["scaling_17760_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -32,6 +32,13 @@ from epnn_tpu.ops import forward_blocked, fuse_params
 #: (B, N, N, 2F+E) intermediates grow past VMEM-friendly sizes).
 DENSE_MAX_ATOMS = 256
 
+#: From this padded width up, 'auto' neighbor selection uses the cell-list
+#: builder (one top_k over 27·cell_cap candidates instead of N columns);
+#: below it the grid's static-shape recompiles outweigh the win and small
+#: batches keep vmap, where batched top_k over a short candidate axis is
+#: already cheap.
+CELL_GRID_MIN_ATOMS = 1024
+
 
 @dataclasses.dataclass
 class Predictor:
@@ -68,6 +75,14 @@ class Predictor:
     #: mode): Σq matches the net charge to fp ulp, per-atom charges move by
     #: ≤ residue/n_real.
     renormalize: bool = False
+    #: In-forward neighbor selection: ``'auto'`` uses the cell-list builder
+    #: for big cold graphs (≥ :data:`CELL_GRID_MIN_ATOMS` padded atoms —
+    #: measured 2.7× faster than the O(N²)-scored top_k at N=17,760,
+    #: 1.4× at protein scale; identical candidate sets) and top_k
+    #: otherwise; ``'topk'``/``'cell'`` force one.  The cell grid's static
+    #: bounds are cached per batch (geometry-fingerprinted) and rounded up
+    #: so similar geometries share a compiled program.
+    neighbor_method: str = "auto"
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -81,6 +96,7 @@ class Predictor:
 
         self._k_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
         self._nbr_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        self._grid_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -234,8 +250,42 @@ class Predictor:
                 self.cfg, block=min(self.block, batch.padded_atoms),
                 neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
                 neighbors=self._neighbors(batch, max(k, 1)),
+                neighbor_grid=self._neighbor_grid(batch),
             )
         return np.asarray(q)
+
+    def _neighbor_grid(self, batch: MolBatch):
+        """Static (ncells_pad, cell_cap) for the cell-list builder, or None
+        when top_k should be used (small graphs / forced method).  Cached
+        per batch with the geometry fingerprint; bounds cover every graph
+        in the batch and are rounded up (ncells to 512, cap to 4) so
+        MD-style drift / similar geometries reuse the compiled program."""
+        if self.neighbor_method == "topk":
+            return None
+        if (self.neighbor_method == "auto"
+                and batch.padded_atoms < CELL_GRID_MIN_ATOMS):
+            return None
+        fp = self._geom_fingerprint(batch)
+        try:
+            cached_fp, grid = self._grid_cache[batch]
+            if cached_fp == fp:
+                return grid
+        except (KeyError, TypeError):
+            pass
+        from epnn_tpu.data.dataset import round_up
+        from epnn_tpu.ops.fused import cell_grid_params
+
+        ncells, cap = 1, 1
+        for b in range(batch.batch_size):
+            nc, cc = cell_grid_params(batch.xyz[b], batch.node_mask[b],
+                                      self.cfg.cutoff)
+            ncells, cap = max(ncells, nc), max(cap, cc)
+        grid = (round_up(ncells, 512), round_up(cap, 4))
+        try:
+            self._grid_cache[batch] = (fp, grid)
+        except TypeError:
+            pass
+        return grid
 
     def _neighbors(self, batch: MolBatch, k: int):
         """Cached (idx, nbr_mask, d2) batch arrays when reuse_neighbors is
@@ -296,12 +346,13 @@ class Predictor:
             k = max(self._neighbor_k(batch), 1)
             nbrs = self._neighbors(batch, k)
             block = min(self.block, batch.padded_atoms)
+            grid = self._neighbor_grid(batch)
 
             def fn(q0_in):
                 return forward_blocked(
                     self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
                     neighbor_k=k, use_pallas=self._use_pallas(),
-                    neighbors=nbrs,
+                    neighbors=nbrs, neighbor_grid=grid,
                 )
 
         return benchmark_chained(fn, q0, iters=iters,

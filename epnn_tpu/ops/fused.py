@@ -343,6 +343,116 @@ def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
     return best
 
 
+def cell_grid_params(xyz, node_mask, cutoff: float,
+                     pad_cells: float = 1.25) -> Tuple[int, int]:
+    """Host-side static grid bounds for :func:`build_neighbors_cell`:
+    ``(ncells_pad, cell_cap)``.
+
+    ``cell_cap`` is the exact max occupancy of one cutoff-sided cell (the
+    superset contract's analog of ``k``); ``ncells_pad`` bounds nx·ny·nz,
+    padded by ``pad_cells`` so MD-style coordinate drift doesn't force a
+    recompile every step (the program is static in these two numbers)."""
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float64)
+    m = np.asarray(node_mask) > 0
+    pts = xyz[m]
+    if len(pts) == 0:
+        return 1, 1
+    cell = np.floor((pts - pts.min(0)) / cutoff).astype(np.int64)
+    dims = cell.max(0) + 1
+    _, counts = np.unique(cell, axis=0, return_counts=True)
+    return (int(np.ceil(np.prod(dims) * pad_cells)), int(counts.max()))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cutoff", "k", "ncells_pad", "cell_cap",
+                                    "with_d2"))
+def build_neighbors_cell(
+    xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
+    ncells_pad: int, cell_cap: int, with_d2: bool = False,
+):
+    """Cell-list neighbor selection: same ``(idx, nbr_mask[, d2])`` contract
+    as :func:`build_neighbors`, built from a spatial grid instead of an
+    O(N²) score matrix — the standard MD answer to top_k being ~40% of
+    cold large-N latency (benchmarks/RESULTS.md).
+
+    Atoms are binned into cutoff-sided cells laid out as a padded
+    ``(ncells_pad+1, cell_cap)`` table (sort by cell id + rank-in-cell
+    scatter); each atom's candidates are the 27 neighboring cells' rows —
+    27 row-gathers per atom instead of an N-wide score row, then one
+    top_k over 27·cell_cap candidates.  Exactness: a true neighbor is
+    within ±1 cell on every axis (cell side = cutoff) and within its
+    cell's first ``cell_cap`` slots, so the candidate set is a strict
+    superset of {d < cutoff}; the same top_k + d²-score tail as
+    :func:`block_neighbor_select` keeps the output contract identical.
+
+    ``ncells_pad``/``cell_cap`` are STATIC (get them from
+    :func:`cell_grid_params`); like ``k``, undersizing ``cell_cap``
+    silently drops pairs — honor the contract.
+    """
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    real = node_mask > 0
+    big = jnp.float32(3e38)
+    origin = jnp.min(jnp.where(real[:, None], xyz, big), axis=0)
+    c3 = jnp.floor((xyz - origin) * (1.0 / cutoff)).astype(jnp.int32)
+    c3 = jnp.clip(c3, 0, jnp.int32(2**30))
+    dims = jnp.max(jnp.where(real[:, None], c3, 0), axis=0) + 1
+    lid = c3[:, 0] + dims[0] * (c3[:, 1] + dims[1] * c3[:, 2])
+    lid = jnp.where(real, jnp.minimum(lid, ncells_pad - 1), ncells_pad)
+
+    # rank within cell: position among same-cell atoms in sorted order
+    # (segment heads + cummax — cheaper than a per-element binary search)
+    order = jnp.argsort(lid)                     # (N,) sorted-pos -> orig
+    s_lid = lid[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), s_lid[1:] != s_lid[:-1]])
+    first = jax.lax.cummax(jnp.where(head, pos, 0))
+    rank = pos - first
+
+    # padded (cell, slot) table; rank >= cell_cap drops (the cell_cap
+    # contract), sentinel row ncells_pad collects masked atoms and is
+    # never referenced by a valid neighbor cell.  ONE 5-channel f32 table
+    # [x, y, z, mask, orig_id] so the per-atom candidate fetch is a
+    # single 27-row gather (ids ride as f32 — exact to 2^24 >> any N)
+    slot = jnp.where(rank < cell_cap, s_lid * cell_cap + rank,
+                     (ncells_pad + 1) * cell_cap)  # out-of-bounds -> drop
+    xyzmi = jnp.concatenate(
+        [xyz, node_mask.astype(jnp.float32)[:, None],
+         pos.astype(jnp.float32)[:, None]], axis=1)  # (N, 5) by orig id
+    tblx = jnp.full(((ncells_pad + 1) * cell_cap, 5), 0.0, jnp.float32)
+    tblx = tblx.at[:, 4].set(float(n))
+    tblx = tblx.at[slot].set(xyzmi[order], mode="drop")
+    tblx = tblx.reshape(ncells_pad + 1, cell_cap, 5)
+
+    # 27 neighbor-cell ids per atom (invalid/off-grid -> sentinel row)
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)], jnp.int32)       # (27, 3)
+    nc = c3[:, None, :] + offs[None, :, :]       # (N, 27, 3)
+    ok = jnp.all((nc >= 0) & (nc < dims[None, None, :]), axis=-1)
+    nlid = nc[..., 0] + dims[0] * (nc[..., 1] + dims[1] * nc[..., 2])
+    nlid = jnp.where(ok & real[:, None], jnp.minimum(nlid, ncells_pad - 1),
+                     ncells_pad)
+
+    cx = tblx[nlid].reshape(n, 27 * cell_cap, 5)
+    cand = cx[..., 4].astype(jnp.int32)          # (N, C) original ids
+    d2 = jnp.sum((xyz[:, None, :] - cx[..., :3]) ** 2, axis=-1)
+    valid = ((cand < n)
+             & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
+             & (cx[..., 3] > 0) & real[:, None]
+             & (d2 < cutoff * cutoff))
+    score = jnp.where(valid, -d2, -jnp.inf)
+    vals, sel = jax.lax.top_k(score, k)
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    nbr_mask = (vals > -jnp.inf).astype(xyz.dtype)
+    idx = jnp.clip(idx, 0, n - 1)
+    if with_d2:
+        return idx, nbr_mask, jnp.where(vals > -jnp.inf, -vals, 0.0)
+    return idx, nbr_mask
+
+
 def _rbf_gathered(xyz_i, xyz_nbr, nbr_mask, cfg: EPNNConfig,
                   dtype=jnp.float32):
     """RBF + gate for gathered neighbor pairs. xyz_i: (N,3), xyz_nbr: (N,K,3)."""
@@ -363,6 +473,7 @@ def _forward_single_nbr(
     pack_to: int = 1,
     remat: bool = False,
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
+    neighbor_grid: Tuple[int, int] | None = None,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -408,6 +519,7 @@ def _forward_single_nbr(
                 fused, _pad0(x), _pad0(q0), _pad0(xyz), _pad0(node_mask),
                 cfg, block=block, k=k, use_pallas=use_pallas,
                 pack_to=pack_to, remat=remat, neighbors=neighbors,
+                neighbor_grid=neighbor_grid,
             )[:n0]
 
     n = x.shape[0]
@@ -431,6 +543,10 @@ def _forward_single_nbr(
             idx, nbr_mask, d2_nbr = neighbors
         else:
             idx, nbr_mask = neighbors
+    elif neighbor_grid is not None:
+        idx, nbr_mask, d2_nbr = build_neighbors_cell(
+            xyz, node_mask, cfg.cutoff, k, neighbor_grid[0],
+            neighbor_grid[1], with_d2=True)
     else:
         idx, nbr_mask, d2_nbr = build_neighbors(xyz, node_mask, cfg.cutoff,
                                                 k, with_d2=True)
@@ -816,7 +932,7 @@ def _forward_single(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
-                     "remat"),
+                     "remat", "neighbor_grid"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -831,8 +947,15 @@ def forward_blocked(
     pack_to: int = 1,
     remat: bool = False,
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
+    neighbor_grid: Tuple[int, int] | None = None,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
+
+    ``neighbor_grid`` — optional STATIC ``(ncells_pad, cell_cap)`` from
+    :func:`cell_grid_params`: in-forward neighbor selection then uses the
+    cell-list builder (:func:`build_neighbors_cell`, one top_k over
+    27·cell_cap candidates) instead of the O(N²)-scored top_k — the cold
+    single-shot win at large N.  Ignored when ``neighbors`` is given.
 
     ``neighbors`` — optional precomputed ``(idx, nbr_mask[, d2])`` batch
     arrays, each (B, N, neighbor_k), as built by
@@ -889,6 +1012,7 @@ def forward_blocked(
                         highest_precision=False),
             block=block, neighbor_k=neighbor_k, use_pallas=False,
             pack_to=pack_to, remat=remat, neighbors=neighbors,
+            neighbor_grid=neighbor_grid,
         )
         return out.astype(jnp.float32) * node_mask
 
@@ -899,6 +1023,7 @@ def forward_blocked(
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
             use_pallas=use_pallas, pack_to=pack_to, remat=remat,
+            neighbor_grid=neighbor_grid,
         )
     elif use_pallas and len(fused.messages.mids) == 1:
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction

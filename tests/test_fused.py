@@ -608,3 +608,22 @@ def test_cell_list_through_forward(rng):
                                     neighbors=nbrs))
     scale = np.abs(qa).max() + 1.0
     assert np.abs(qb - qa).max() < 1e-5 * scale
+
+
+def test_cell_list_in_forward(rng):
+    """forward_blocked(neighbor_grid=...) selects in-forward via the cell
+    list and matches the top_k selection to fp association noise."""
+    from epnn_tpu.ops.fused import cell_grid_params, max_neighbor_count
+
+    cfg = EPNNConfig()
+    b, n, n_real = 1, 48, 44
+    _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=b, n=n, n_real=n_real)
+    k = int(max_neighbor_count(xyz[0], mask[0], cfg.cutoff) + 2)
+    grid = cell_grid_params(xyz[0], mask[0], cfg.cutoff)
+    qa = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=k))
+    qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=k,
+                                    neighbor_grid=grid))
+    scale = np.abs(qa).max() + 1.0
+    assert np.abs(qb - qa).max() < 1e-5 * scale
