@@ -627,3 +627,33 @@ def test_cell_list_in_forward(rng):
                                     neighbor_grid=grid))
     scale = np.abs(qa).max() + 1.0
     assert np.abs(qb - qa).max() < 1e-5 * scale
+
+
+def test_cell_list_edge_cases(rng):
+    """Degenerate geometries: coincident atoms (one cell), a single real
+    atom, and fully masked input must not crash or emit false pairs."""
+    from epnn_tpu.ops.fused import build_neighbors_cell, cell_grid_params
+
+    cutoff = 3.0
+    # all atoms coincident -> one cell, cap == n_real
+    xyz = np.zeros((8, 3), np.float32)
+    mask = np.ones(8, np.float32)
+    nc, cap = cell_grid_params(xyz, mask, cutoff)
+    assert cap == 8
+    idx, m = build_neighbors_cell(xyz, mask, cutoff, 8, nc, cap)
+    m = np.asarray(m)
+    assert (m.sum(1) == 7).all()  # everyone neighbors everyone but self
+
+    # one real atom -> no pairs
+    mask1 = np.zeros(8, np.float32)
+    mask1[0] = 1.0
+    nc, cap = cell_grid_params(xyz, mask1, cutoff)
+    _, m1 = build_neighbors_cell(xyz, mask1, cutoff, 4, nc, cap)
+    assert np.asarray(m1).sum() == 0
+
+    # fully masked -> no pairs, no NaNs
+    mask0 = np.zeros(8, np.float32)
+    nc, cap = cell_grid_params(xyz, mask0, cutoff)
+    i0, m0 = build_neighbors_cell(xyz, mask0, cutoff, 4, nc, cap)
+    assert np.asarray(m0).sum() == 0
+    assert np.isfinite(np.asarray(i0)).all()
