@@ -249,8 +249,10 @@ def main():
             # COLD single-shot at 17,760 (in-forward cell-list selection —
             # the r2-verdict target: <110 ms where the top_k path was ~147)
             np.asarray(fn_big(qb, neighbors=None))[0]
+            # discard a full ~15-iteration loop after the fresh compile
+            # (per-executable inflation, CLAUDE.md) before timing
             q0_in = qb
-            for _ in range(8):
+            for _ in range(15):
                 out = fn_big(q0_in, neighbors=None)
                 q0_in = qb + 0.0 * out[:, :1]
             np.asarray(out)

@@ -100,17 +100,20 @@ class Predictor:
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
-        """Cheap coordinate fingerprint guarding the per-batch caches.
+        """Exact coordinate fingerprint guarding the per-batch caches.
 
         Both caches key on the batch OBJECT, but their values depend on the
         batch's geometry — a caller that mutates ``batch.xyz`` in place (the
         MD-style loop reuse_neighbors is named for) would otherwise silently
-        get stale neighbors/d² and wrong charges.  The fingerprint (array
-        identity + shape + two moments, O(B·N) — negligible next to a
-        forward) forces a rebuild on any in-place coordinate change."""
-        xyz = np.asarray(batch.xyz)
-        return (id(batch.xyz), xyz.shape, float(xyz.sum()),
-                float(np.abs(xyz[..., 0]).sum()))
+        get stale neighbors/d² and wrong charges.  A CRC over the raw bytes
+        (O(B·N·12) bytes ≈ 26 KB for the whole protein — negligible next to
+        a forward) detects EVERY coordinate change, including sum-preserving
+        ones (symmetric moves, row swaps) that moment-based fingerprints
+        miss."""
+        import zlib
+
+        xyz = np.ascontiguousarray(np.asarray(batch.xyz))
+        return (id(batch.xyz), xyz.shape, zlib.crc32(xyz.tobytes()))
 
     def _neighbor_k(self, batch: MolBatch) -> int:
         """Exact safe neighbor_k for a batch, cached per batch object (with

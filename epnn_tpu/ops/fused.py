@@ -343,6 +343,13 @@ def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
     return best
 
 
+def _CELL_INV(cutoff: float) -> float:
+    """Shared binning reciprocal: cells of side cutoff/(1-1e-6) — slightly
+    LARGER than the cutoff, so even with f32 rounding of the product a
+    true neighbor pair (d < cutoff) is always within ±1 cell per axis."""
+    return (1.0 - 1e-6) / cutoff
+
+
 def cell_grid_params(xyz, node_mask, cutoff: float,
                      pad_cells: float = 1.25) -> Tuple[int, int]:
     """Host-side static grid bounds for :func:`build_neighbors_cell`:
@@ -354,12 +361,16 @@ def cell_grid_params(xyz, node_mask, cutoff: float,
     recompile every step (the program is static in these two numbers)."""
     import numpy as np
 
-    xyz = np.asarray(xyz, np.float64)
+    xyz = np.asarray(xyz, np.float32)
     m = np.asarray(node_mask) > 0
     pts = xyz[m]
     if len(pts) == 0:
         return 1, 1
-    cell = np.floor((pts - pts.min(0)) / cutoff).astype(np.int64)
+    # mirror build_neighbors_cell's DEVICE binning bit-for-bit (f32
+    # subtract + f32 reciprocal multiply): a boundary atom must land in
+    # the same cell here as on device, or the exact cap bound is wrong
+    cell = np.floor((pts - pts.min(0)) * np.float32(_CELL_INV(cutoff))
+                    ).astype(np.int64)
     dims = cell.max(0) + 1
     _, counts = np.unique(cell, axis=0, return_counts=True)
     return (int(np.ceil(np.prod(dims) * pad_cells)), int(counts.max()))
@@ -396,7 +407,8 @@ def build_neighbors_cell(
     real = node_mask > 0
     big = jnp.float32(3e38)
     origin = jnp.min(jnp.where(real[:, None], xyz, big), axis=0)
-    c3 = jnp.floor((xyz - origin) * (1.0 / cutoff)).astype(jnp.int32)
+    c3 = jnp.floor((xyz - origin) * np.float32(_CELL_INV(cutoff))
+                   ).astype(jnp.int32)
     c3 = jnp.clip(c3, 0, jnp.int32(2**30))
     dims = jnp.max(jnp.where(real[:, None], c3, 0), axis=0) + 1
     lid = c3[:, 0] + dims[0] * (c3[:, 1] + dims[1] * c3[:, 2])
@@ -498,8 +510,16 @@ def _forward_single_nbr(
     # device time at protein scale, parsed trace r4 — the residue of the
     # r3 "0.22 ms of copies" after the in-tile lane spread) never exist.
     # Padded rows carry node_mask 0, so every other term is unchanged.
+    # COMPAT EXCEPTION: with mask_messages=False the Q10 semantics count
+    # ALL columns of the caller's padded width — growing that width here
+    # would add the new zero rows to every message sum and inflate
+    # msg_count (hidden on the trained reference checkpoints only because
+    # their update MLP saturates; garbage with random weights — see
+    # tests/test_fused.py::test_entry_padding_compat_mode_unchanged).
+    # Compat configs keep the per-round kernel pads instead.
     dense_name_pre = getattr(cfg, "dense_matmul_precision", "")
-    if use_pallas and dense_name_pre != "bf16x3" and x.shape[0] >= 128:
+    if (use_pallas and dense_name_pre != "bf16x3" and x.shape[0] >= 128
+            and cfg.mask_messages):
         from epnn_tpu.ops.pallas_kernels import dense_message_pad
 
         h1_pre = int(fused.messages.b1.shape[-1])

@@ -407,8 +407,9 @@ def forward_ring_sharded_nbr_batch(
         q_d, _ = jax.lax.scan(pass_round, q_d, fused.passes)
         return q_d * mask_d
 
+    # every batch operand is fully (data, atoms)-sharded: the ring
+    # replicates NOTHING (unlike atom_shard, where q0/mask stay whole)
     rows = P(DATA_AXIS, ATOM_AXIS)
-    full_rows = P(DATA_AXIS, ATOM_AXIS)
     local_b = b // n_dp
     rep = P()
 
@@ -417,7 +418,7 @@ def forward_ring_sharded_nbr_batch(
         # fused rides as an explicit replicated operand (jax.checkpoint
         # inside shard_map re-materializes closure captures with Auto-mesh
         # annotations — a mesh-type mismatch; same gotcha as atom_shard)
-        in_specs=(rep, rows, full_rows, rows, full_rows),
+        in_specs=(rep, rows, rows, rows, rows),
         out_specs=rows,
         check_vma=False,
     )

@@ -657,3 +657,22 @@ def test_cell_list_edge_cases(rng):
     i0, m0 = build_neighbors_cell(xyz, mask0, cutoff, 4, nc, cap)
     assert np.asarray(m0).sum() == 0
     assert np.isfinite(np.asarray(i0)).all()
+
+
+def test_entry_padding_compat_mode_unchanged(rng):
+    """mask_messages=False (reference-compat Q10): message sums run over
+    the CALLER's padded width — the Pallas entry padding must not grow it
+    (it counts zero-pad columns in every sum and inflates msg_count; the
+    trained reference checkpoints hide this via update-MLP saturation,
+    random weights do not)."""
+    cfg = EPNNConfig(mask_messages=False)
+    b, n = 1, 136  # would entry-pad to 256 if the compat gate were missing
+    _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=b, n=n, n_real=n)
+    qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=64, neighbor_k=24,
+                                    use_pallas=True))
+    qx = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=64, neighbor_k=24,
+                                    use_pallas=False))
+    scale = np.abs(qx).max() + 1.0
+    assert np.abs(qp - qx).max() < 1e-4 * scale
