@@ -141,14 +141,26 @@ def main():
                                    neighbors=neighbors,
                                    neighbor_grid=grid)
 
+        # the zero-weighted chain dependency is FUSED into the jitted call:
+        # one dispatch per iteration instead of forward + an eager add
+        # (the eager add is a second tunnel RPC — measured ~1.6 ms/iter of
+        # pure dispatch in the r4c harness battery; same serialized-chain
+        # methodology, terminal readback unchanged)
+        fn_chained = jax.jit(lambda q0_base, prev: fn(
+            q0_base + 0.0 * prev[:, :1]))
+
         q = np.asarray(fn(q0_d))[0]  # compile (readback = true sync)
-        np.asarray(fn(q0_d))
-        q0_in = q0_d
+        prev = fn_chained(q0_d, q0_d)                      # compile chain
+        np.asarray(prev)
+        prev = q0_d
+        for _ in range(iters):
+            prev = fn_chained(q0_d, prev)
+        np.asarray(prev)
+        prev = q0_d
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(q0_in)
-            q0_in = q0_d + 0.0 * out[:, :1]
-        np.asarray(out)
+            prev = fn_chained(q0_d, prev)
+        np.asarray(prev)
         ms = (time.perf_counter() - t0) / iters * 1e3
         return ms, q
 
@@ -227,41 +239,41 @@ def main():
                                        use_pallas=on_tpu, neighbors=neighbors,
                                        neighbor_grid=grid_b)
 
+            fnb_chained = jax.jit(lambda q0_base, prev: fn_big(
+                q0_base + 0.0 * prev[:, :1]))
             q_big = np.asarray(fn_big(qb))[0]
             # discard a full ~15-iteration loop after the fresh compile
             # (per-executable inflation, CLAUDE.md) before timing
-            q0_in = qb
+            prev = qb
             for _ in range(15):
-                out = fn_big(q0_in)
-                q0_in = qb + 0.0 * out[:, :1]
-            np.asarray(out)
+                prev = fnb_chained(qb, prev)
+            np.asarray(prev)
             sc_iters = 8
-            q0_in = qb
+            prev = qb
             t0 = time.perf_counter()
             for _ in range(sc_iters):
-                out = fn_big(q0_in)
-                q0_in = qb + 0.0 * out[:, :1]
-            np.asarray(out)
+                prev = fnb_chained(qb, prev)
+            np.asarray(prev)
             sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
             extra["scaling_17760_ms"] = round(sc_ms, 2)
             extra["scaling_17760_conservation"] = float(abs(q_big.sum()))
 
             # COLD single-shot at 17,760 (in-forward cell-list selection —
             # the r2-verdict target: <110 ms where the top_k path was ~147)
+            fnb_cold = jax.jit(lambda q0_base, prev: fn_big(
+                q0_base + 0.0 * prev[:, :1], neighbors=None))
             np.asarray(fn_big(qb, neighbors=None))[0]
             # discard a full ~15-iteration loop after the fresh compile
             # (per-executable inflation, CLAUDE.md) before timing
-            q0_in = qb
+            prev = qb
             for _ in range(15):
-                out = fn_big(q0_in, neighbors=None)
-                q0_in = qb + 0.0 * out[:, :1]
-            np.asarray(out)
-            q0_in = qb
+                prev = fnb_cold(qb, prev)
+            np.asarray(prev)
+            prev = qb
             t0 = time.perf_counter()
             for _ in range(sc_iters):
-                out = fn_big(q0_in, neighbors=None)
-                q0_in = qb + 0.0 * out[:, :1]
-            np.asarray(out)
+                prev = fnb_cold(qb, prev)
+            np.asarray(prev)
             extra["scaling_17760_cold_ms"] = round(
                 (time.perf_counter() - t0) / sc_iters * 1e3, 2)
         except Exception as e:

@@ -414,29 +414,51 @@ def build_neighbors_cell(
     lid = c3[:, 0] + dims[0] * (c3[:, 1] + dims[1] * c3[:, 2])
     lid = jnp.where(real, jnp.minimum(lid, ncells_pad - 1), ncells_pad)
 
-    # rank within cell: position among same-cell atoms in sorted order
-    # (segment heads + cummax — cheaper than a per-element binary search)
-    order = jnp.argsort(lid)                     # (N,) sorted-pos -> orig
-    s_lid = lid[order]
+    # Slot assignment within each cell.  XLA's TPU sort costs a FIXED
+    # ~3 ms at ANY size here (measured N=2,220 and 17,760 — r4 stage
+    # battery), so the default is a sort-free iterative claim: cell_cap
+    # unrolled rounds of scatter-min, where each round the smallest
+    # unplaced atom index per cell wins slot r.  Cost: 2 O(N) ops per
+    # round — ~0.5 ms where argsort alone was 3.  For degenerate grids
+    # (cell_cap > 32, e.g. many coincident atoms) fall back to the
+    # sort + segment-rank form, whose cost does not grow with cap.
     pos = jnp.arange(n, dtype=jnp.int32)
-    head = jnp.concatenate([jnp.ones((1,), bool), s_lid[1:] != s_lid[:-1]])
-    first = jax.lax.cummax(jnp.where(head, pos, 0))
-    rank = pos - first
+    tbl_len = (ncells_pad + 1) * cell_cap
+    if cell_cap <= 32:
+        tbl_ids = jnp.full((tbl_len,), n, jnp.int32)
+        remaining = jnp.ones((n,), bool)
+        for r in range(cell_cap):
+            claim = jnp.full((ncells_pad + 1,), n, jnp.int32).at[
+                jnp.where(remaining, lid, ncells_pad + 1)
+            ].min(pos, mode="drop")
+            won = (claim[lid] == pos) & remaining
+            tbl_ids = tbl_ids.at[
+                jnp.where(won, lid * cell_cap + r, tbl_len)
+            ].set(pos, mode="drop")
+            remaining = remaining & ~won
+    else:
+        order = jnp.argsort(lid)                 # (N,) sorted-pos -> orig
+        s_lid = lid[order]
+        head = jnp.concatenate([jnp.ones((1,), bool),
+                                s_lid[1:] != s_lid[:-1]])
+        first = jax.lax.cummax(jnp.where(head, pos, 0))
+        rank = pos - first
+        slot = jnp.where(rank < cell_cap, s_lid * cell_cap + rank, tbl_len)
+        tbl_ids = jnp.full((tbl_len,), n, jnp.int32)
+        tbl_ids = tbl_ids.at[slot].set(order.astype(jnp.int32), mode="drop")
 
-    # padded (cell, slot) table; rank >= cell_cap drops (the cell_cap
-    # contract), sentinel row ncells_pad collects masked atoms and is
-    # never referenced by a valid neighbor cell.  ONE 5-channel f32 table
-    # [x, y, z, mask, orig_id] so the per-atom candidate fetch is a
-    # single 27-row gather (ids ride as f32 — exact to 2^24 >> any N)
-    slot = jnp.where(rank < cell_cap, s_lid * cell_cap + rank,
-                     (ncells_pad + 1) * cell_cap)  # out-of-bounds -> drop
+    # ONE 5-channel f32 table [x, y, z, mask, orig_id] in (cell, slot)
+    # layout, so the per-atom candidate fetch is a single 27-row gather
+    # (ids ride as f32 — exact to 2^24 >> any N); unfilled slots map to
+    # the sentinel row of xyzmi_ext (mask 0, id n)
     xyzmi = jnp.concatenate(
         [xyz, node_mask.astype(jnp.float32)[:, None],
          pos.astype(jnp.float32)[:, None]], axis=1)  # (N, 5) by orig id
-    tblx = jnp.full(((ncells_pad + 1) * cell_cap, 5), 0.0, jnp.float32)
-    tblx = tblx.at[:, 4].set(float(n))
-    tblx = tblx.at[slot].set(xyzmi[order], mode="drop")
-    tblx = tblx.reshape(ncells_pad + 1, cell_cap, 5)
+    xyzmi_ext = jnp.concatenate(
+        [xyzmi, jnp.asarray([[0.0, 0.0, 0.0, 0.0, float(n)]], jnp.float32)],
+        axis=0)
+    tblx = xyzmi_ext[jnp.minimum(tbl_ids, n)].reshape(
+        ncells_pad + 1, cell_cap, 5)
 
     # 27 neighbor-cell ids per atom (invalid/off-grid -> sentinel row)
     offs = jnp.asarray(

@@ -58,14 +58,19 @@ def benchmark_chained(
     """
     import jax.numpy as jnp
 
+    # the zero-weighted dependency rides INSIDE the jitted call: one
+    # dispatch per iteration instead of forward + an eager chain-add (the
+    # eager add is a second tunnel RPC — ~1.6 ms/iter of pure dispatch on
+    # the hosted tunnel, r4c battery); shape-agnostic scalar broadcast
+    fn_chained = jax.jit(
+        lambda q0_base, prev: fn(q0_base + 0.0 * jnp.reshape(prev, (-1,))[:1])
+    )
+
     def loop():
-        q0_in = q0
-        out = None
+        prev = q0
         for _ in range(iters):
-            out = fn(q0_in)
-            # zero-weighted scalar dependency, shape-agnostic broadcast
-            q0_in = q0 + 0.0 * jnp.reshape(out, (-1,))[:1]
-        np.asarray(out)  # terminal readback = true sync
+            prev = fn_chained(q0, prev)
+        np.asarray(prev)  # terminal readback = true sync
 
     for _ in range(max(warmup_loops, 1)):
         loop()

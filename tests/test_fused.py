@@ -676,3 +676,26 @@ def test_entry_padding_compat_mode_unchanged(rng):
                                     use_pallas=False))
     scale = np.abs(qx).max() + 1.0
     assert np.abs(qp - qx).max() < 1e-4 * scale
+
+
+def test_cell_list_sort_fallback_large_cap(rng):
+    """cell_cap > 32 (degenerate dense cells) takes the sort-based
+    placement branch — same contract as the claim-based default."""
+    from epnn_tpu.ops.fused import (build_neighbors, build_neighbors_cell,
+                                    cell_grid_params, max_neighbor_count)
+
+    n = 48
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:40] = rng.uniform(0, 1.5, size=(40, 3))   # one dense cell: cap 40
+    xyz[40:] = rng.uniform(5, 8, size=(8, 3))
+    mask = np.ones(n, np.float32)
+    cutoff = 3.0
+    k = max_neighbor_count(xyz, mask, cutoff) + 2
+    ncells, cap = cell_grid_params(xyz, mask, cutoff)
+    assert cap > 32
+    i1, m1 = (np.asarray(a) for a in build_neighbors(xyz, mask, cutoff, k))
+    i2, m2 = (np.asarray(a) for a in
+              build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap))
+    for r in range(n):
+        assert (set(i1[r][m1[r] > 0].tolist())
+                == set(i2[r][m2[r] > 0].tolist())), r
