@@ -385,9 +385,25 @@ class TestPredictorMesh:
 
 @needs_devices
 def test_graft_dryrun():
-    import __graft_entry__ as ge
+    # Run in a SUBPROCESS (exactly how the driver invokes it): executing a
+    # second ring-training program after the dryrun's in ONE process hits
+    # an XLA:CPU virtual-device collectives abort (SIGABRT, no message;
+    # jax.clear_caches() does not dodge it) — isolating the dryrun's
+    # backend state fixes the suite without losing any coverage.
+    import os
+    import subprocess
+    import sys
 
-    ge.dryrun_multichip(8)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "dryrun_multichip OK" in proc.stdout, proc.stdout
 
 
 def test_graft_entry_compiles():
@@ -506,33 +522,62 @@ class TestRingNbrSharding:
         scale = np.abs(atom).max() + 1.0
         assert np.abs(ring - atom).max() < 1e-4 * scale
 
-    def test_ring_training_loss_decreases(self, rng):
-        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
-        from epnn_tpu.parallel.sharding import shard_state
-        from epnn_tpu.train.loop import TrainState
-        import optax
+    def test_ring_training_loss_decreases(self):
+        """Ring-sharded training works (loss decreases through the ppermute
+        scans).  Runs in a SUBPROCESS: XLA:CPU's virtual-device collectives
+        abort (SIGABRT, no message) when a ring-training executable runs
+        after other sharded-training programs in one process (reproducible
+        with the preceding 2DMesh/DP train-step tests; jax.clear_caches()
+        does not dodge it) — an artifact of the 8-virtual-device CPU
+        backend, not of the ring code, which passes in any fresh process."""
+        import os
+        import subprocess
+        import sys
 
-        cfg = SMALL
-        params = init_params(cfg, jax.random.key(3))
-        b, n = 1, 48
-        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
-        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
-        mask = np.ones((b, n), np.float32)
-        q0 = np.zeros((b, n), np.float32)
-        y = rng.normal(size=(b, n)).astype(np.float32) * 0.1
-        w = np.ones((b,), np.float32)
+        code = """
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import optax
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.parallel import make_mesh
+from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+from epnn_tpu.train.loop import TrainState
 
-        mesh = make_mesh(n_data=1, n_atoms=8)
-        opt = optax.adam(1e-2)
-        state = TrainState(params=params, opt_state=opt.init(params), step=0)
-        step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=6,
-                                       shard_mode="ring")
-        losses = []
-        for _ in range(5):
-            state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
-            losses.append(float(loss))
-        assert losses[-1] < losses[0]
-        assert np.isfinite(losses).all()
+cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+params = init_params(cfg, jax.random.key(3))
+rng = np.random.default_rng(0)
+b, n = 1, 48
+x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+mask = np.ones((b, n), np.float32)
+q0 = np.zeros((b, n), np.float32)
+y = rng.normal(size=(b, n)).astype(np.float32) * 0.1
+w = np.ones((b,), np.float32)
+mesh = make_mesh(n_data=1, n_atoms=8)
+opt = optax.adam(1e-2)
+state = TrainState(params=params, opt_state=opt.init(params), step=0)
+step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=6,
+                               shard_mode="ring")
+losses = []
+for _ in range(5):
+    state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
+    losses.append(float(loss))
+assert losses[-1] < losses[0], losses
+assert np.isfinite(losses).all()
+print("RING_TRAIN_OK", losses[0], losses[-1])
+"""
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
+                              env=env, capture_output=True, text=True,
+                              timeout=900)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "RING_TRAIN_OK" in proc.stdout, proc.stdout
 
     def test_predictor_ring_mode_batched(self, rng):
         """Predictor(shard_mode='ring') runs the whole batch in one sharded
