@@ -471,11 +471,18 @@ def build_neighbors_cell(
                      ncells_pad)
 
     cx = tblx[nlid].reshape(n, 27 * cell_cap, 5)
-    cand = cx[..., 4].astype(jnp.int32)          # (N, C) original ids
-    d2 = jnp.sum((xyz[:, None, :] - cx[..., :3]) ** 2, axis=-1)
+    # channel-major relayout: the gathered (N, C, 5) array has a 5-wide
+    # minor dim (lane-padded ~25× on TPU — its slices/fusions were
+    # ~1.6 ms/inference at protein scale in the r4 cold trace); one
+    # explicit transpose makes every downstream elementwise op run over
+    # the lane-aligned C axis
+    cxT = jnp.transpose(cx, (2, 0, 1))           # (5, N, C)
+    cand = cxT[4].astype(jnp.int32)              # (N, C) original ids
+    d2 = ((xyz[:, 0:1] - cxT[0]) ** 2 + (xyz[:, 1:2] - cxT[1]) ** 2
+          + (xyz[:, 2:3] - cxT[2]) ** 2)
     valid = ((cand < n)
              & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
-             & (cx[..., 3] > 0) & real[:, None]
+             & (cxT[3] > 0) & real[:, None]
              & (d2 < cutoff * cutoff))
     score = jnp.where(valid, -d2, -jnp.inf)
     vals, sel = jax.lax.top_k(score, k)

@@ -106,6 +106,17 @@ def main():
     measure("(b) jitted chain (one dispatch/iter)", loop_jitted)
     measure("(c) lax.scan in one jit (device time)", loop_scan)
 
+    if "trace" in sys.argv[1:]:
+        import shutil
+
+        shutil.rmtree("/tmp/r4cold", ignore_errors=True)
+        prev = q0_d
+        with jax.profiler.trace("/tmp/r4cold"):
+            for _ in range(10):
+                prev = fwd_chained(q0_d, prev)
+            np.asarray(prev)
+        print("trace written to /tmp/r4cold")
+
 
 if __name__ == "__main__":
     main()
