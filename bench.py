@@ -127,6 +127,26 @@ def main():
     nc_, cap_ = cell_grid_params(batch.xyz[0], batch.node_mask[0], cfg.cutoff)
     grid = (round_up(nc_, 512), round_up(cap_, 4))
 
+
+    def chain_time(fn, q0_base, n_iters, discard_loops=1):
+        """One copy of the jitted-chain methodology for every bench loop:
+        the zero-weighted dependency rides INSIDE the jitted call (the
+        eager chain-add is a second tunnel RPC, ~1.6 ms/iter measured —
+        benchmarks/RESULTS.md r4), full discard loops absorb the
+        per-executable inflation, one terminal readback per loop."""
+        chained = jax.jit(lambda q0b, prev: fn(q0b + 0.0 * prev[:, :1]))
+        for _ in range(max(discard_loops, 1)):
+            prev = q0_base
+            for _ in range(n_iters):
+                prev = chained(q0_base, prev)
+            np.asarray(prev)
+        prev = q0_base
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            prev = chained(q0_base, prev)
+        np.asarray(prev)
+        return (time.perf_counter() - t0) / n_iters * 1e3
+
     def measure(c, neighbors=None):
         # the packed Pallas far-field kernel wins on TPU whenever the far
         # field runs at default precision (benchmarks/RESULTS.md)
@@ -141,27 +161,8 @@ def main():
                                    neighbors=neighbors,
                                    neighbor_grid=grid)
 
-        # the zero-weighted chain dependency is FUSED into the jitted call:
-        # one dispatch per iteration instead of forward + an eager add
-        # (the eager add is a second tunnel RPC — measured ~1.6 ms/iter of
-        # pure dispatch in the r4c harness battery; same serialized-chain
-        # methodology, terminal readback unchanged)
-        fn_chained = jax.jit(lambda q0_base, prev: fn(
-            q0_base + 0.0 * prev[:, :1]))
-
-        q = np.asarray(fn(q0_d))[0]  # compile (readback = true sync)
-        prev = fn_chained(q0_d, q0_d)                      # compile chain
-        np.asarray(prev)
-        prev = q0_d
-        for _ in range(iters):
-            prev = fn_chained(q0_d, prev)
-        np.asarray(prev)
-        prev = q0_d
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            prev = fn_chained(q0_d, prev)
-        np.asarray(prev)
-        ms = (time.perf_counter() - t0) / iters * 1e3
+        q = np.asarray(fn(q0_d))[0]  # predictions for the parity checks
+        ms = chain_time(fn, q0_d, iters)
         return ms, q
 
     # discard the first in-process measurement (tunnel warm-up inflation)
@@ -239,43 +240,18 @@ def main():
                                        use_pallas=on_tpu, neighbors=neighbors,
                                        neighbor_grid=grid_b)
 
-            fnb_chained = jax.jit(lambda q0_base, prev: fn_big(
-                q0_base + 0.0 * prev[:, :1]))
             q_big = np.asarray(fn_big(qb))[0]
-            # discard a full ~15-iteration loop after the fresh compile
-            # (per-executable inflation, CLAUDE.md) before timing
-            prev = qb
-            for _ in range(15):
-                prev = fnb_chained(qb, prev)
-            np.asarray(prev)
             sc_iters = 8
-            prev = qb
-            t0 = time.perf_counter()
-            for _ in range(sc_iters):
-                prev = fnb_chained(qb, prev)
-            np.asarray(prev)
-            sc_ms = (time.perf_counter() - t0) / sc_iters * 1e3
+            # two 8-iter discard loops ~= the CLAUDE.md 15-iteration rule
+            sc_ms = chain_time(fn_big, qb, sc_iters, discard_loops=2)
             extra["scaling_17760_ms"] = round(sc_ms, 2)
             extra["scaling_17760_conservation"] = float(abs(q_big.sum()))
 
             # COLD single-shot at 17,760 (in-forward cell-list selection —
             # the r2-verdict target: <110 ms where the top_k path was ~147)
-            fnb_cold = jax.jit(lambda q0_base, prev: fn_big(
-                q0_base + 0.0 * prev[:, :1], neighbors=None))
-            np.asarray(fn_big(qb, neighbors=None))[0]
-            # discard a full ~15-iteration loop after the fresh compile
-            # (per-executable inflation, CLAUDE.md) before timing
-            prev = qb
-            for _ in range(15):
-                prev = fnb_cold(qb, prev)
-            np.asarray(prev)
-            prev = qb
-            t0 = time.perf_counter()
-            for _ in range(sc_iters):
-                prev = fnb_cold(qb, prev)
-            np.asarray(prev)
-            extra["scaling_17760_cold_ms"] = round(
-                (time.perf_counter() - t0) / sc_iters * 1e3, 2)
+            extra["scaling_17760_cold_ms"] = round(chain_time(
+                lambda q0_in: fn_big(q0_in, neighbors=None), qb,
+                sc_iters, discard_loops=2), 2)
         except Exception as e:
             extra["scaling_17760_error"] = f"{type(e).__name__}: {e}"[:200]
 

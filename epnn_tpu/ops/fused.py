@@ -414,14 +414,15 @@ def build_neighbors_cell(
     lid = c3[:, 0] + dims[0] * (c3[:, 1] + dims[1] * c3[:, 2])
     lid = jnp.where(real, jnp.minimum(lid, ncells_pad - 1), ncells_pad)
 
-    # Slot assignment within each cell.  XLA's TPU sort costs a FIXED
-    # ~3 ms at ANY size here (measured N=2,220 and 17,760 — r4 stage
-    # battery), so the default is a sort-free iterative claim: cell_cap
-    # unrolled rounds of scatter-min, where each round the smallest
-    # unplaced atom index per cell wins slot r.  Cost: 2 O(N) ops per
-    # round — ~0.5 ms where argsort alone was 3.  For degenerate grids
-    # (cell_cap > 32, e.g. many coincident atoms) fall back to the
-    # sort + segment-rank form, whose cost does not grow with cap.
+    # Slot assignment within each cell: cell_cap unrolled rounds of
+    # scatter-min, where each round the smallest unplaced atom index per
+    # cell wins slot r (2 O(N) ops per round).  In-context this measured
+    # IDENTICAL to the sort+segment-rank form on v5e (the early "argsort
+    # costs ~3 ms" stage reading was mostly scan-harness floor —
+    # benchmarks/RESULTS.md r4); both are kept because their costs scale
+    # differently: claim rounds grow with cell_cap, the sort does not,
+    # so degenerate grids (cell_cap > 32, e.g. many coincident atoms)
+    # take the sort branch.
     pos = jnp.arange(n, dtype=jnp.int32)
     tbl_len = (ncells_pad + 1) * cell_cap
     if cell_cap <= 32:

@@ -52,7 +52,11 @@ def benchmark_chained(
     latency with dispatch pipelined, exactly bench.py's methodology.
 
     ``fn(q0) -> out`` must accept the chained array as its only positional
-    argument; ``warmup_loops`` full loops run first (the first compiles;
+    argument AND be purely JAX-traceable — it is wrapped in ``jax.jit``
+    (with the chain dependency fused in), so per-call host work
+    (np.asarray, device_put, Python side effects) would be traced once,
+    not executed per iteration; ``warmup_loops`` full loops run first
+    (the first compiles;
     execution-time inflation is per compiled executable on the tunnel, so
     a whole measurement loop is discarded after every fresh compile).
     """

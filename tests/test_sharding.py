@@ -534,7 +534,7 @@ class TestRingNbrSharding:
         import subprocess
         import sys
 
-        code = """
+        code = f"""
 import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
@@ -547,7 +547,7 @@ from epnn_tpu.parallel import make_mesh
 from epnn_tpu.parallel.atom_shard import make_sharded_train_step
 from epnn_tpu.train.loop import TrainState
 
-cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+cfg = {SMALL!r}  # the module's shared SMALL config, interpolated
 params = init_params(cfg, jax.random.key(3))
 rng = np.random.default_rng(0)
 b, n = 1, 48
