@@ -1081,6 +1081,12 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, mid_dtype, res, gbar):
     r, h = pi.shape
     n = pj.shape[0]
     pack = max(1, 128 // h) if 128 % h == 0 else 1
+    # The backward tile holds ~5 (BI·BJP, P·H) temporaries (z1/a1/z2/e2/
+    # z1bar) plus the in-tile repeats; at the forward's (128, 64) blocks
+    # Mosaic's scoped-vmem stack overflows on v5e (r4e battery: compile
+    # "Ran out of memory in memory space vmem").  Half-size rows keep the
+    # backward comfortably inside while the grid merely doubles.
+    block_i = min(block_i, 64)
     if interpret is None:
         interpret = not _on_tpu()
     prec = {
