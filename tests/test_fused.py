@@ -699,3 +699,45 @@ def test_cell_list_sort_fallback_large_cap(rng):
     for r in range(n):
         assert (set(i1[r][m1[r] > 0].tolist())
                 == set(i2[r][m2[r] > 0].tolist())), r
+
+
+def test_int8_tier_end_to_end(rng):
+    """dense_matmul_precision='int8' through forward_blocked: charges track
+    the default-precision forward to the quantization tier's tolerance and
+    conservation stays exact (message numerics never touch the
+    antisymmetric pass rounds)."""
+    cfg = EPNNConfig(dense_matmul_precision="int8",
+                     matmul_precision="default", highest_precision=False)
+    b, n, n_real = 1, 48, 44
+    _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=b, n=n,
+                                                n_real=n_real)
+    q8 = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=20, use_pallas=True))
+    qf = np.asarray(forward_blocked(
+        fused, x, q0, xyz, mask,
+        cfg.replace(dense_matmul_precision="default"),
+        block=8, neighbor_k=20, use_pallas=True))
+    scale = np.abs(qf).max() + 1.0
+    assert np.abs(q8 - qf).max() < 0.05 * scale   # ~1% quant tier
+    assert np.abs(q8 - qf).max() > 0.0            # tier actually engaged
+    cons = np.abs(q8.sum(1) - q_total)
+    assert np.all(cons < 2e-6 * (np.abs(q8).sum(1) + 1))
+
+
+def test_neighbors_override_grid(rng):
+    """Precedence: explicit precomputed neighbors win over neighbor_grid
+    (the reuse path must not silently rebuild via the cell list)."""
+    from epnn_tpu.ops.fused import build_neighbors_batch, cell_grid_params
+
+    cfg = EPNNConfig()
+    b, n = 1, 48
+    _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=b, n=n, n_real=n)
+    k = 20
+    nbrs = build_neighbors_batch(xyz, mask, cfg.cutoff, k)
+    grid = cell_grid_params(xyz[0], mask[0], cfg.cutoff)
+    qa = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=k, neighbors=nbrs))
+    qb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                    block=8, neighbor_k=k, neighbors=nbrs,
+                                    neighbor_grid=grid))
+    np.testing.assert_array_equal(qa, qb)
