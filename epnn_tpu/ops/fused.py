@@ -378,10 +378,11 @@ def cell_grid_params(xyz, node_mask, cutoff: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("cutoff", "k", "ncells_pad", "cell_cap",
-                                    "with_d2"))
+                                    "with_d2", "table_layout"))
 def build_neighbors_cell(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
     ncells_pad: int, cell_cap: int, with_d2: bool = False,
+    table_layout: str = "rows",
 ):
     """Cell-list neighbor selection: same ``(idx, nbr_mask[, d2])`` contract
     as :func:`build_neighbors`, built from a spatial grid instead of an
@@ -401,6 +402,19 @@ def build_neighbors_cell(
     ``ncells_pad``/``cell_cap`` are STATIC (get them from
     :func:`cell_grid_params`); like ``k``, undersizing ``cell_cap``
     silently drops pairs — honor the contract.
+
+    ``table_layout`` selects the device layout of the cell table and the
+    candidate fetch (identical outputs bit-for-bit — the candidate
+    enumeration order is the same (cell-major, slot-minor) in all three):
+
+    * ``"rows"`` — (ncells+1, cap, 5) slot-major rows (r4 default).
+    * ``"flat"`` — channel-blocked flat rows (ncells+1, 5·cap): each
+      gathered row is one 5·cap-lane vector instead of a (cap, 5)
+      slab of lane-padded 5-wide sublanes; one channel-major transpose
+      of the small table replaces the big post-gather transpose.
+    * ``"slices"`` — same flat table, but downstream consumes lane
+      SLICES of the (N, 27, 5·cap) gather (no channel transpose at
+      all); only the final top_k score/cand pair is reshaped.
     """
     n = xyz.shape[0]
     xyz = xyz.astype(jnp.float32)
@@ -471,21 +485,50 @@ def build_neighbors_cell(
     nlid = jnp.where(ok & real[:, None], jnp.minimum(nlid, ncells_pad - 1),
                      ncells_pad)
 
-    cx = tblx[nlid].reshape(n, 27 * cell_cap, 5)
-    # channel-major relayout: the gathered (N, C, 5) array has a 5-wide
-    # minor dim (lane-padded ~25× on TPU — its slices/fusions were
-    # ~1.6 ms/inference at protein scale in the r4 cold trace); one
-    # explicit transpose makes every downstream elementwise op run over
-    # the lane-aligned C axis
-    cxT = jnp.transpose(cx, (2, 0, 1))           # (5, N, C)
-    cand = cxT[4].astype(jnp.int32)              # (N, C) original ids
-    d2 = ((xyz[:, 0:1] - cxT[0]) ** 2 + (xyz[:, 1:2] - cxT[1]) ** 2
-          + (xyz[:, 2:3] - cxT[2]) ** 2)
-    valid = ((cand < n)
-             & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
-             & (cxT[3] > 0) & real[:, None]
-             & (d2 < cutoff * cutoff))
-    score = jnp.where(valid, -d2, -jnp.inf)
+    cut2 = cutoff * cutoff
+    self_id = jnp.arange(n, dtype=jnp.int32)
+    if table_layout in ("flat", "slices"):
+        # channel-blocked flat rows: one gathered row per neighbor cell
+        # is a single 5·cap-lane vector [x·cap | y·cap | z·cap |
+        # mask·cap | id·cap] — the gather fetches 27 wide rows per atom
+        # instead of 27 (cap, 5) slabs of 5-lane (→128-pad) sublanes
+        tblf = jnp.transpose(tblx, (0, 2, 1)).reshape(
+            ncells_pad + 1, 5 * cell_cap)
+        cxf = tblf[nlid]                          # (N, 27, 5·cap)
+        if table_layout == "flat":
+            cx4 = cxf.reshape(n, 27, 5, cell_cap)
+            cxT = jnp.transpose(cx4, (2, 0, 1, 3)).reshape(
+                5, n, 27 * cell_cap)
+        else:
+            cc = cell_cap
+            xs, ys, zs = (cxf[:, :, i * cc:(i + 1) * cc] for i in range(3))
+            ms_, ids = cxf[:, :, 3 * cc:4 * cc], cxf[:, :, 4 * cc:5 * cc]
+            d2_3 = ((xyz[:, 0:1, None] - xs) ** 2
+                    + (xyz[:, 1:2, None] - ys) ** 2
+                    + (xyz[:, 2:3, None] - zs) ** 2)
+            cand3 = ids.astype(jnp.int32)
+            valid3 = ((cand3 < n) & (cand3 != self_id[:, None, None])
+                      & (ms_ > 0) & real[:, None, None] & (d2_3 < cut2))
+            score = jnp.where(valid3, -d2_3, -jnp.inf).reshape(
+                n, 27 * cell_cap)
+            cand = cand3.reshape(n, 27 * cell_cap)
+    else:
+        cx = tblx[nlid].reshape(n, 27 * cell_cap, 5)
+        # channel-major relayout: the gathered (N, C, 5) array has a
+        # 5-wide minor dim (lane-padded ~25× on TPU — its slices/fusions
+        # were ~1.6 ms/inference at protein scale in the r4 cold trace);
+        # one explicit transpose makes every downstream elementwise op
+        # run over the lane-aligned C axis
+        cxT = jnp.transpose(cx, (2, 0, 1))       # (5, N, C)
+    if table_layout != "slices":
+        cand = cxT[4].astype(jnp.int32)          # (N, C) original ids
+        d2 = ((xyz[:, 0:1] - cxT[0]) ** 2 + (xyz[:, 1:2] - cxT[1]) ** 2
+              + (xyz[:, 2:3] - cxT[2]) ** 2)
+        valid = ((cand < n)
+                 & (cand != self_id[:, None])
+                 & (cxT[3] > 0) & real[:, None]
+                 & (d2 < cut2))
+        score = jnp.where(valid, -d2, -jnp.inf)
     vals, sel = jax.lax.top_k(score, k)
     idx = jnp.take_along_axis(cand, sel, axis=1)
     nbr_mask = (vals > -jnp.inf).astype(xyz.dtype)
@@ -516,6 +559,7 @@ def _forward_single_nbr(
     remat: bool = False,
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
     neighbor_grid: Tuple[int, int] | None = None,
+    compat_width: int | None = None,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -540,16 +584,17 @@ def _forward_single_nbr(
     # device time at protein scale, parsed trace r4 — the residue of the
     # r3 "0.22 ms of copies" after the in-tile lane spread) never exist.
     # Padded rows carry node_mask 0, so every other term is unchanged.
-    # COMPAT EXCEPTION: with mask_messages=False the Q10 semantics count
-    # ALL columns of the caller's padded width — growing that width here
+    # COMPAT NOTE: with mask_messages=False the Q10 semantics count ALL
+    # columns of the caller's padded width — growing that width naively
     # would add the new zero rows to every message sum and inflate
     # msg_count (hidden on the trained reference checkpoints only because
     # their update MLP saturates; garbage with random weights — see
     # tests/test_fused.py::test_entry_padding_compat_mode_unchanged).
-    # Compat configs keep the per-round kernel pads instead.
+    # The recursion therefore pins ``compat_width`` to the ORIGINAL width
+    # so the compat sums run over exactly the caller's columns.
     dense_name_pre = getattr(cfg, "dense_matmul_precision", "")
     if (use_pallas and dense_name_pre != "bf16x3" and x.shape[0] >= 128
-            and cfg.mask_messages):
+            and compat_width is None):
         from epnn_tpu.ops.pallas_kernels import dense_message_pad
 
         h1_pre = int(fused.messages.b1.shape[-1])
@@ -570,6 +615,7 @@ def _forward_single_nbr(
                 cfg, block=block, k=k, use_pallas=use_pallas,
                 pack_to=pack_to, remat=remat, neighbors=neighbors,
                 neighbor_grid=neighbor_grid,
+                compat_width=None if cfg.mask_messages else n0,
             )[:n0]
 
     n = x.shape[0]
@@ -596,7 +642,9 @@ def _forward_single_nbr(
     elif neighbor_grid is not None:
         idx, nbr_mask, d2_nbr = build_neighbors_cell(
             xyz, node_mask, cfg.cutoff, k, neighbor_grid[0],
-            neighbor_grid[1], with_d2=True)
+            neighbor_grid[1], with_d2=True,
+            table_layout=(neighbor_grid[2] if len(neighbor_grid) > 2
+                          else "rows"))
     else:
         idx, nbr_mask, d2_nbr = build_neighbors(xyz, node_mask, cfg.cutoff,
                                                 k, with_d2=True)
@@ -610,10 +658,13 @@ def _forward_single_nbr(
     gate_nbr = gate_nbr * nbr_mask
 
     pairm = node_mask[:, None] * node_mask[None, :]
+    # Q10 compat width: the caller's ORIGINAL padded width (entry padding
+    # pins it via compat_width so added kernel-pad columns never count)
+    n_compat = compat_width if compat_width is not None else n
     if cfg.mask_messages:
         msg_count = jnp.sum(pairm, axis=1)
     else:
-        msg_count = jnp.full((n,), float(n), x.dtype)
+        msg_count = jnp.full((n,), float(n_compat), x.dtype)
 
     h = jnp.zeros((n, cfg.h_dim), x.dtype)
     q = q0
@@ -660,7 +711,8 @@ def _forward_single_nbr(
         if cfg.mask_messages:
             col_vec = jnp.pad(node_mask, (0, n_pad - n))
         else:
-            col_vec = jnp.pad(jnp.ones((n,), x.dtype), (0, n_pad - n))
+            col_vec = jnp.pad(jnp.ones((n_compat,), x.dtype),
+                              (0, n_pad - n_compat))
         mid_dtype = "int8" if dense_name == "int8" else "float32"
         prec_name = ("default" if dense_name == "int8" else dense_name) or \
             getattr(cfg, "matmul_precision", "") or (
@@ -671,7 +723,8 @@ def _forward_single_nbr(
     # reduce; in clean mode it carries the column mask (row mask is applied
     # downstream by the node-masked update), in compat mode all original
     # columns count (SURVEY §8 Q10)
-    jvec = node_mask if cfg.mask_messages else jnp.ones((n,), x.dtype)
+    jvec = node_mask if cfg.mask_messages else jnp.pad(
+        jnp.ones((n_compat,), x.dtype), (0, n - n_compat))
 
     def message_round(carry, w: PairMLPWeights):
         h, q = carry

@@ -587,6 +587,32 @@ def test_cell_list_matches_topk(rng, n, n_real):
             assert abs(dd1[j] - dd2[j]) < 1e-5, (r, j)
 
 
+def test_cell_table_layouts_bitwise_identical(rng):
+    """The three cell-table device layouts (rows / flat / slices) are pure
+    relayouts of the same candidate enumeration — outputs must be
+    BITWISE identical (same cell-major slot-minor order, so even top_k
+    tie-breaks agree)."""
+    from epnn_tpu.ops.fused import (build_neighbors_cell, cell_grid_params,
+                                    max_neighbor_count)
+
+    n = 300
+    xyz = rng.uniform(0, 14, size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[-9:] = 0.0
+    cutoff = 3.0
+    k = max_neighbor_count(xyz, mask, cutoff) + 2
+    ncells, cap = cell_grid_params(xyz, mask, cutoff)
+    ref = [np.asarray(a) for a in
+           build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                                with_d2=True, table_layout="rows")]
+    for lay in ("flat", "slices"):
+        out = [np.asarray(a) for a in
+               build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                                    with_d2=True, table_layout=lay)]
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_cell_list_through_forward(rng):
     """Cell-list neighbors fed through forward_blocked(neighbors=...) match
     the in-forward top_k selection to fp association noise."""
@@ -661,12 +687,13 @@ def test_cell_list_edge_cases(rng):
 
 def test_entry_padding_compat_mode_unchanged(rng):
     """mask_messages=False (reference-compat Q10): message sums run over
-    the CALLER's padded width — the Pallas entry padding must not grow it
-    (it counts zero-pad columns in every sum and inflates msg_count; the
-    trained reference checkpoints hide this via update-MLP saturation,
-    random weights do not)."""
+    the CALLER's padded width — the Pallas entry padding now fires here
+    too, but pins ``compat_width`` to the original width so the added
+    zero-pad columns never enter a sum or msg_count (naively growing the
+    width inflates both; the trained reference checkpoints hide that via
+    update-MLP saturation, random weights do not)."""
     cfg = EPNNConfig(mask_messages=False)
-    b, n = 1, 136  # would entry-pad to 256 if the compat gate were missing
+    b, n = 1, 136  # entry-pads to 256 inside; Q10 sums must stay at 136
     _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=b, n=n, n_real=n)
     qp = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
                                     block=64, neighbor_k=24,
