@@ -382,7 +382,7 @@ def cell_grid_params(xyz, node_mask, cutoff: float,
 def build_neighbors_cell(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
     ncells_pad: int, cell_cap: int, with_d2: bool = False,
-    table_layout: str = "rows",
+    table_layout: str = "slices",
 ):
     """Cell-list neighbor selection: same ``(idx, nbr_mask[, d2])`` contract
     as :func:`build_neighbors`, built from a spatial grid instead of an
@@ -407,14 +407,18 @@ def build_neighbors_cell(
     candidate fetch (identical outputs bit-for-bit — the candidate
     enumeration order is the same (cell-major, slot-minor) in all three):
 
-    * ``"rows"`` — (ncells+1, cap, 5) slot-major rows (r4 default).
-    * ``"flat"`` — channel-blocked flat rows (ncells+1, 5·cap): each
-      gathered row is one 5·cap-lane vector instead of a (cap, 5)
-      slab of lane-padded 5-wide sublanes; one channel-major transpose
-      of the small table replaces the big post-gather transpose.
-    * ``"slices"`` — same flat table, but downstream consumes lane
-      SLICES of the (N, 27, 5·cap) gather (no channel transpose at
-      all); only the final top_k score/cand pair is reshaped.
+    * ``"slices"`` — DEFAULT: channel-blocked flat table rows
+      (ncells+1, 5·cap) — one gathered row per neighbor cell is a
+      single 5·cap-lane vector [x·cap | y·cap | z·cap | mask·cap |
+      id·cap] instead of a (cap, 5) slab of lane-padded 5-wide
+      sublanes — and downstream consumes lane SLICES of the
+      (N, 27, 5·cap) gather directly (no channel transpose at all);
+      only the final top_k score/cand pair is reshaped.  Measured
+      (r5 battery, v5e): builder 19.4 → 11.8 ms at N=17,760
+      (cold forward 124.7 → 117.2), 5.1 → 4.0 ms at N=2,220.
+    * ``"flat"`` — same flat table, but a channel-major transpose after
+      the gather (between rows and slices at both sizes).
+    * ``"rows"`` — (ncells+1, cap, 5) slot-major rows (the r4 layout).
     """
     n = xyz.shape[0]
     xyz = xyz.astype(jnp.float32)
@@ -644,7 +648,7 @@ def _forward_single_nbr(
             xyz, node_mask, cfg.cutoff, k, neighbor_grid[0],
             neighbor_grid[1], with_d2=True,
             table_layout=(neighbor_grid[2] if len(neighbor_grid) > 2
-                          else "rows"))
+                          else "slices"))
     else:
         idx, nbr_mask, d2_nbr = build_neighbors(xyz, node_mask, cfg.cutoff,
                                                 k, with_d2=True)
