@@ -432,39 +432,25 @@ def build_neighbors_cell(
     lid = c3[:, 0] + dims[0] * (c3[:, 1] + dims[1] * c3[:, 2])
     lid = jnp.where(real, jnp.minimum(lid, ncells_pad - 1), ncells_pad)
 
-    # Slot assignment within each cell: cell_cap unrolled rounds of
-    # scatter-min, where each round the smallest unplaced atom index per
-    # cell wins slot r (2 O(N) ops per round).  In-context this measured
-    # IDENTICAL to the sort+segment-rank form on v5e (the early "argsort
-    # costs ~3 ms" stage reading was mostly scan-harness floor —
-    # benchmarks/RESULTS.md r4); both are kept because their costs scale
-    # differently: claim rounds grow with cell_cap, the sort does not,
-    # so degenerate grids (cell_cap > 32, e.g. many coincident atoms)
-    # take the sort branch.
+    # Slot assignment within each cell: sort by cell id + segment rank.
+    # argsort is stable, so within a cell ranks run in ascending atom
+    # index — the same slot order the r4 scatter-min claim loop produced
+    # (bit-identical tables).  The claim loop was DELETED in r5: its cost
+    # grows with cell_cap (cap scatter-min rounds ≈ 5.8 ms at N=17,760 on
+    # v5e) while the one sort costs ~0.1 ms at every measured size
+    # (scripts/tpu_profile_r5b.py; the earlier "identical on v5e" r4
+    # reading was scan-harness floor).
     pos = jnp.arange(n, dtype=jnp.int32)
     tbl_len = (ncells_pad + 1) * cell_cap
-    if cell_cap <= 32:
-        tbl_ids = jnp.full((tbl_len,), n, jnp.int32)
-        remaining = jnp.ones((n,), bool)
-        for r in range(cell_cap):
-            claim = jnp.full((ncells_pad + 1,), n, jnp.int32).at[
-                jnp.where(remaining, lid, ncells_pad + 1)
-            ].min(pos, mode="drop")
-            won = (claim[lid] == pos) & remaining
-            tbl_ids = tbl_ids.at[
-                jnp.where(won, lid * cell_cap + r, tbl_len)
-            ].set(pos, mode="drop")
-            remaining = remaining & ~won
-    else:
-        order = jnp.argsort(lid)                 # (N,) sorted-pos -> orig
-        s_lid = lid[order]
-        head = jnp.concatenate([jnp.ones((1,), bool),
-                                s_lid[1:] != s_lid[:-1]])
-        first = jax.lax.cummax(jnp.where(head, pos, 0))
-        rank = pos - first
-        slot = jnp.where(rank < cell_cap, s_lid * cell_cap + rank, tbl_len)
-        tbl_ids = jnp.full((tbl_len,), n, jnp.int32)
-        tbl_ids = tbl_ids.at[slot].set(order.astype(jnp.int32), mode="drop")
+    order = jnp.argsort(lid)                     # (N,) sorted-pos -> orig
+    s_lid = lid[order]
+    head = jnp.concatenate([jnp.ones((1,), bool),
+                            s_lid[1:] != s_lid[:-1]])
+    first = jax.lax.cummax(jnp.where(head, pos, 0))
+    rank = pos - first
+    slot = jnp.where(rank < cell_cap, s_lid * cell_cap + rank, tbl_len)
+    tbl_ids = jnp.full((tbl_len,), n, jnp.int32)
+    tbl_ids = tbl_ids.at[slot].set(order.astype(jnp.int32), mode="drop")
 
     # ONE 5-channel f32 table [x, y, z, mask, orig_id] in (cell, slot)
     # layout, so the per-atom candidate fetch is a single 27-row gather
@@ -513,7 +499,7 @@ def build_neighbors_cell(
             cand3 = ids.astype(jnp.int32)
             valid3 = ((cand3 < n) & (cand3 != self_id[:, None, None])
                       & (ms_ > 0) & real[:, None, None] & (d2_3 < cut2))
-            score = jnp.where(valid3, -d2_3, -jnp.inf).reshape(
+            dkey = jnp.where(valid3, d2_3, jnp.inf).reshape(
                 n, 27 * cell_cap)
             cand = cand3.reshape(n, 27 * cell_cap)
     else:
@@ -532,13 +518,21 @@ def build_neighbors_cell(
                  & (cand != self_id[:, None])
                  & (cxT[3] > 0) & real[:, None]
                  & (d2 < cut2))
-        score = jnp.where(valid, -d2, -jnp.inf)
-    vals, sel = jax.lax.top_k(score, k)
-    idx = jnp.take_along_axis(cand, sel, axis=1)
-    nbr_mask = (vals > -jnp.inf).astype(xyz.dtype)
-    idx = jnp.clip(idx, 0, n - 1)
+        dkey = jnp.where(valid, d2, jnp.inf)
+    # top_k over −d² == one ascending stable sort by d² CARRYING the
+    # candidate ids as payload.  XLA lowers top_k to exactly this sort
+    # (iota payload) plus a take_along element gather that cost 5.8 ms at
+    # N=17,760 (r5b trace fusion.246); sorting the payload directly keeps
+    # the sort cost identical (same operand count/types) and deletes the
+    # gather.  Outputs are bitwise identical: both sorts are stable, so
+    # equal-d² ties keep candidate order — top_k's lowest-index-first rule.
+    dsort, csort = jax.lax.sort((dkey, cand), dimension=1, is_stable=True,
+                                num_keys=1)
+    dk = dsort[:, :k]
+    idx = jnp.clip(csort[:, :k], 0, n - 1)
+    nbr_mask = (dk < jnp.inf).astype(xyz.dtype)
     if with_d2:
-        return idx, nbr_mask, jnp.where(vals > -jnp.inf, -vals, 0.0)
+        return idx, nbr_mask, jnp.where(dk < jnp.inf, dk, 0.0)
     return idx, nbr_mask
 
 
