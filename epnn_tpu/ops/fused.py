@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, List, Tuple
 
 import jax
@@ -724,6 +725,34 @@ def _forward_single_nbr(
     jvec = node_mask if cfg.mask_messages else jnp.pad(
         jnp.ones((n_compat,), x.dtype), (0, n - n_compat))
 
+    # Fused near-field Pallas kernels (r5f): the gathered O(N·k) message
+    # correction and pass reduction run in-tile from pre-gathered FLAT
+    # arrays (near_message_corr / near_pass_rowsum; the row gathers stay
+    # in XLA where they belong).  MEASURED NEUTRAL on v5e — bitwise
+    # identical outputs at every size/mode, and within noise end-to-end
+    # (17,760 cold 108.6 vs 108.8 ms, reuse 103.4 vs 103.2; protein 6.48
+    # vs 6.50; parity 7.07 vs 6.99; train step 26.5 vs 26.8 ms/step —
+    # scripts/tpu_profile_r5f.py): the (N, k, H) layout copies the r5b
+    # trace attributed to the XLA chain overlap with the far-field kernel
+    # in context.  Kept as a tested option (EPNN_NEAR_KERNEL=1), default
+    # off per the measured-win-or-off convention; conditions mirror the
+    # far-field kernel plus f32 compute and single-mid weights.
+    near_kernel = (pallas_ok and pack_to == 1
+                   and x.dtype == jnp.float32
+                   and os.environ.get("EPNN_NEAR_KERNEL", "0") == "1")
+    if near_kernel:
+        from epnn_tpu.ops.pallas_kernels import (
+            near_message_corr,
+            near_pass_rowsum,
+        )
+
+        k_eff = idx.shape[1]
+        idx_flat = idx.reshape(-1)
+        rbf_flat = rbf_nbr.reshape(n * k_eff, -1)
+        gh_pass = (0.5 * gate_nbr).astype(jnp.float32)
+        near_prec = (getattr(cfg, "matmul_precision", "")
+                     or ("highest" if cfg.highest_precision else "default"))
+
     def message_round(carry, w: PairMLPWeights):
         h, q = carry
         a = atom_inputs(h, q)
@@ -760,14 +789,21 @@ def _forward_single_nbr(
             dense_sum = dsum.reshape(nb * block, -1)[:n]
 
         # gathered near part: with features, minus the no-feature double count
-        pj_nbr = pj[idx]                                   # (N, K, H1)
-        epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)   # (N, K, H1)
-        base = pi[:, None, :] + pj_nbr
-        hid_full = _packed_mids(jax.nn.relu(base + epart), w, prec, pack_to)
-        hid_nofeat = _packed_mids(jax.nn.relu(base), w, prec, pack_to)
-        near_corr = jnp.sum(
-            (hid_full - hid_nofeat) * nbr_mask[:, :, None], axis=1
-        )
+        if near_kernel and len(w.mids) == 1:
+            (w2m, b2m), = w.mids
+            near_corr = near_message_corr(
+                pi, pj[idx_flat], rbf_flat, nbr_mask, w.w1_e, w2m, b2m,
+                precision=near_prec)
+        else:
+            pj_nbr = pj[idx]                                  # (N, K, H1)
+            epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)  # (N, K, H1)
+            base = pi[:, None, :] + pj_nbr
+            hid_full = _packed_mids(jax.nn.relu(base + epart), w, prec,
+                                    pack_to)
+            hid_nofeat = _packed_mids(jax.nn.relu(base), w, prec, pack_to)
+            near_corr = jnp.sum(
+                (hid_full - hid_nofeat) * nbr_mask[:, :, None], axis=1
+            )
 
         hsum = dense_sum + near_corr
         messages = (jnp.dot(hsum, w.w_out, precision=prec)
@@ -787,11 +823,20 @@ def _forward_single_nbr(
         a = atom_inputs(h, q).astype(w.w1_i.dtype)
         pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
         pj = jnp.dot(a, w.w1_j, precision=prec)
+        h1 = pi.shape[-1]
+        if near_kernel and len(w.mids) == 1:
+            (w2m, b2m), = w.mids
+            rs = jnp.concatenate([pi, pj], axis=-1)
+            dsum = near_pass_rowsum(
+                rs, rs[idx_flat], rbf_flat, gh_pass, w.w1_e, w2m, b2m,
+                precision=near_prec)
+            dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
+                         precision=prec)[:, 0]
+            return q + dq, None
         # ONE row gather of the concatenated projections: gather cost is
         # per-row, not per-byte (scan-timed r3c: a 32-wide and a 3-wide
         # (N,k) gather both cost ~2.6 ms at N=17,760), so fusing the two
         # halves the pass round's gather bill; values are bitwise identical
-        h1 = pi.shape[-1]
         pp_nbr = jnp.concatenate([pi, pj], axis=-1)[idx]
         pi_nbr = pp_nbr[..., :h1]
         pj_nbr = pp_nbr[..., h1:]

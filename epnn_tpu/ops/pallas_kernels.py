@@ -1153,3 +1153,283 @@ def _dmr_bwd(block_i, block_jp, precision, interpret, mid_dtype, res, gbar):
 
 
 _dense_message_rowsum_cvjp.defvjp(_dmr_fwd, _dmr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused NEAR-FIELD kernels: the gathered O(N·k) message correction and the
+# antisymmetric electron-pass reduction, computed in-tile from pre-gathered
+# flat inputs.
+#
+# Motivation (r5b-r5d batteries, N=17,760): the XLA near paths cost
+# ~1.8 ms/round in context — ~1.0 ms/round of flat row gathers (which these
+# kernels keep in XLA, where gathers belong) plus ~0.8 ms/round of k-minor
+# layout copies and fusion churn around the (N, k, H) elementwise chain
+# (trace copy.235/238, fusion.268/269/287/288).  Reformulating in XLA moved
+# nothing (r5d: four variants within noise); tiling the chain in Pallas
+# removes the layout copies entirely — only (N, ·) and flat (N·k, ·) arrays
+# in their natural {1,0} layouts ever touch HBM.
+#
+# Shapes are Mosaic-safe by construction: leading collapse/split between
+# (BI·K, H) and (BI, K, H) (wide lanes), 2-D masks broadcast onto 3-D via
+# [:, :, None] multiplies, and the pass kernel's pair swap is a lane ROLL of
+# the gathered [pin | pjn] 64-lane rows (pltpu.roll — exact lane copy, same
+# family as the far-field kernel's pltpu.repeat spread).
+#
+# Bitwise antisymmetry of the pass kernel: pair (i, j) appears in row i as
+# lanes [0:H) = relu-chain(pi_i + pj_j + e_ij) minus lanes-rolled
+# relu-chain(pi_i? ...) — concretely d = hid − roll(hid, H), whose [0:H)
+# lanes are hn_ij − ht_ij per slot, exactly the per-slot form of the XLA
+# path; hn_ij and ht_ji are computed from identical gathered values with
+# commuted adds and the same kron-structured matmuls, so they are bitwise
+# equal and every pair's two transfer terms are exact negations — the same
+# conservation argument as ops/fused.py's gathered pass path.
+# ---------------------------------------------------------------------------
+
+
+def _near_msg_kernel(pi_ref, pjn_ref, rbf_ref, mask_ref, w1e_ref, w2_ref,
+                     b2_ref, out_ref, *, k, prec):
+    bi, h = pi_ref.shape
+    pjn = pjn_ref[:]                              # (BI·K, H)
+    epart = jnp.dot(rbf_ref[:], w1e_ref[:],
+                    preferred_element_type=jnp.float32, precision=prec)
+    base = (pi_ref[:][:, None, :] + pjn.reshape(bi, k, h)).reshape(bi * k, h)
+    hf = jax.nn.relu(
+        jnp.dot(jax.nn.relu(base + epart), w2_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+        + b2_ref[:])
+    hn = jax.nn.relu(
+        jnp.dot(jax.nn.relu(base), w2_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+        + b2_ref[:])
+    diff3 = (hf - hn).reshape(bi, k, h)
+    out_ref[:] = jnp.sum(diff3 * mask_ref[:][:, :, None], axis=1)
+
+
+def _near_msg_ref(pi, pjn, rbf, mask, w1e, w2, b2, prec):
+    """XLA twin of the near-message kernel (same math, same op order) —
+    the custom VJP recomputes through this for the backward pass."""
+    n, h = pi.shape
+    k = mask.shape[1]
+    epart = jnp.dot(rbf, w1e, precision=prec)
+    base = (pi[:, None, :] + pjn.reshape(n, k, h)).reshape(n * k, h)
+    hf = jax.nn.relu(jnp.dot(jax.nn.relu(base + epart), w2,
+                             precision=prec) + b2)
+    hn = jax.nn.relu(jnp.dot(jax.nn.relu(base), w2, precision=prec) + b2)
+    return jnp.sum((hf - hn).reshape(n, k, h) * mask[:, :, None], axis=1)
+
+
+def _near_block(n, block_i):
+    b = max(1, min(block_i, n))
+    while n % b:
+        b //= 2
+    return b
+
+
+def _near_msg_impl(pi, pjn, rbf, mask, w1e, w2, b2, block_i, precision,
+                   interpret):
+    n, h = pi.shape
+    k = mask.shape[1]
+    e = rbf.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    bi = _near_block(n, block_i)
+    kernel = functools.partial(_near_msg_kernel, k=k, prec=prec)
+    row = lambda d: pl.BlockSpec((bi, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    flat = lambda d: pl.BlockSpec((bi * k, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[row(h), flat(h), flat(e), row(k),
+                  whole(e, h), whole(h, h), whole(1, h)],
+        out_specs=pl.BlockSpec((bi, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        interpret=interpret,
+    )(pi, pjn, rbf, mask, w1e, w2, b2[None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _near_msg_cvjp(pi, pjn, rbf, mask, w1e, w2, b2, block_i, precision,
+                   interpret):
+    return _near_msg_impl(pi, pjn, rbf, mask, w1e, w2, b2, block_i,
+                          precision, interpret)
+
+
+def _near_msg_fwd(pi, pjn, rbf, mask, w1e, w2, b2, block_i, precision,
+                  interpret):
+    out = _near_msg_impl(pi, pjn, rbf, mask, w1e, w2, b2, block_i,
+                         precision, interpret)
+    return out, (pi, pjn, rbf, mask, w1e, w2, b2)
+
+
+def _near_msg_bwd(block_i, precision, interpret, res, g):
+    pi, pjn, rbf, mask, w1e, w2, b2 = res
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    _, vjp = jax.vjp(
+        lambda *a: _near_msg_ref(*a, prec=prec),
+        pi, pjn, rbf, mask, w1e, w2, b2)
+    return vjp(g)
+
+
+_near_msg_cvjp.defvjp(_near_msg_fwd, _near_msg_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_i", "precision", "interpret"))
+def near_message_corr(
+    pi: jax.Array,        # (N, H) row projections, first-layer bias folded
+    pjn: jax.Array,       # (N·K, H) gathered col projections pj[idx.ravel()]
+    rbf: jax.Array,       # (N·K, E) gathered-pair RBF features (mask-zeroed)
+    mask: jax.Array,      # (N, K) neighbor-slot validity
+    w1e: jax.Array,       # (E, H) first-layer RBF slice
+    w2: jax.Array,        # (H, H) mid layer
+    b2: jax.Array,        # (H,)
+    block_i: int = 64,
+    precision: str = "default",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Near-field message correction, fused in-tile (reference hot op
+    ``charge_gn.py:62-70`` restricted to the gathered near set):
+
+        out_i = Σ_s mask_is · [mlp(pi_i + pjn_is + rbf_is@W1e) −
+                               mlp(pi_i + pjn_is)]          as (N, H)
+
+    with mlp(z) = relu(relu(z) @ W2 + b2) — the "with features minus
+    no-feature double count" term of the neighbor-split decomposition
+    (ops/fused.py:_forward_single_nbr).  Differentiable: the custom VJP
+    recomputes through the XLA twin (_near_msg_ref)."""
+    return _near_msg_cvjp(pi, pjn, rbf, mask, w1e, w2, b2, block_i,
+                          precision, interpret)
+
+
+def _near_pass_kernel(rs_ref, ppn_ref, rbf_ref, gh_ref, w1e2_ref, w22_ref,
+                      b22_ref, out_ref, *, k, h, prec):
+    bi, h2 = rs_ref.shape
+    ppn = ppn_ref[:]                              # (BI·K, 2H) [pin | pjn]
+    pp_rot = pltpu.roll(ppn, h, axis=1)           # [pjn | pin] (exact)
+    epart = jnp.dot(rbf_ref[:], w1e2_ref[:],
+                    preferred_element_type=jnp.float32, precision=prec)
+    base = (rs_ref[:][:, None, :]
+            + pp_rot.reshape(bi, k, h2)).reshape(bi * k, h2) + epart
+    hid = jax.nn.relu(
+        jnp.dot(jax.nn.relu(base), w22_ref[:],
+                preferred_element_type=jnp.float32, precision=prec)
+        + b22_ref[:])
+    d = hid - pltpu.roll(hid, h, axis=1)          # lanes [0:H): hn − ht
+    out_ref[:] = jnp.sum(d.reshape(bi, k, h2) * gh_ref[:][:, :, None],
+                         axis=1)
+
+
+def _near_pass_ref(rs, ppn, rbf, gh, w1e, w2, b2, prec):
+    """XLA twin of the near-pass kernel (per-slot 0.5·gate·(hn − ht) form,
+    identical to ops/fused.py's gathered pass path) — backward recompute."""
+    n, h2 = rs.shape
+    h = h2 // 2
+    k = gh.shape[1]
+    pi_r, pj_r = rs[:, :h], rs[:, h:]
+    pin = ppn[:, :h].reshape(n, k, h)
+    pjn = ppn[:, h:].reshape(n, k, h)
+    epart = jnp.dot(rbf, w1e, precision=prec).reshape(n, k, h)
+    hn = jax.nn.relu((pi_r[:, None, :] + pjn) + epart)
+    ht = jax.nn.relu((pin + pj_r[:, None, :]) + epart)
+    hn = jax.nn.relu(jnp.dot(hn, w2, precision=prec) + b2)
+    ht = jax.nn.relu(jnp.dot(ht, w2, precision=prec) + b2)
+    return jnp.sum(gh[:, :, None] * (hn - ht), axis=1)
+
+
+def _near_pass_impl(rs, ppn, rbf, gh, w1e, w2, b2, block_i, precision,
+                    interpret):
+    n, h2 = rs.shape
+    h = h2 // 2
+    k = gh.shape[1]
+    e = rbf.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    bi = _near_block(n, block_i)
+    w1e2 = jnp.concatenate([w1e, w1e], axis=1)    # (E, 2H)
+    w22 = jnp.kron(jnp.eye(2, dtype=w2.dtype), w2)
+    b22 = jnp.tile(b2, 2)[None, :]
+    kernel = functools.partial(_near_pass_kernel, k=k, h=h, prec=prec)
+    row = lambda d: pl.BlockSpec((bi, d), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    flat = lambda d: pl.BlockSpec((bi * k, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // bi,),
+        in_specs=[row(h2), flat(h2), flat(e), row(k),
+                  whole(e, h2), whole(h2, h2), whole(1, h2)],
+        out_specs=pl.BlockSpec((bi, h2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h2), jnp.float32),
+        interpret=interpret,
+    )(rs, ppn, rbf, gh, w1e2, w22, b22)
+    return out[:, :h]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _near_pass_cvjp(rs, ppn, rbf, gh, w1e, w2, b2, block_i, precision,
+                    interpret):
+    return _near_pass_impl(rs, ppn, rbf, gh, w1e, w2, b2, block_i,
+                           precision, interpret)
+
+
+def _near_pass_fwd(rs, ppn, rbf, gh, w1e, w2, b2, block_i, precision,
+                   interpret):
+    out = _near_pass_impl(rs, ppn, rbf, gh, w1e, w2, b2, block_i,
+                          precision, interpret)
+    return out, (rs, ppn, rbf, gh, w1e, w2, b2)
+
+
+def _near_pass_bwd(block_i, precision, interpret, res, g):
+    rs, ppn, rbf, gh, w1e, w2, b2 = res
+    prec = {"default": None, "high": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[precision]
+    _, vjp = jax.vjp(
+        lambda *a: _near_pass_ref(*a, prec=prec),
+        rs, ppn, rbf, gh, w1e, w2, b2)
+    return vjp(g)
+
+
+_near_pass_cvjp.defvjp(_near_pass_fwd, _near_pass_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_i", "precision", "interpret"))
+def near_pass_rowsum(
+    rs: jax.Array,        # (N, 2H) [pi | pj] row projections (b1 in pi)
+    ppn: jax.Array,       # (N·K, 2H) gathered rows rs[idx.ravel()]
+    rbf: jax.Array,       # (N·K, E) gathered-pair RBF features
+    gh: jax.Array,        # (N, K) 0.5 · gate (pass weighting, mask folded)
+    w1e: jax.Array,       # (E, H)
+    w2: jax.Array,        # (H, H)
+    b2: jax.Array,        # (H,)
+    block_i: int = 64,
+    precision: str = "default",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One electron-passing round's antisymmetric near-pair row sums,
+    fused in-tile (reference ops ``charge_gn.py:101-118`` on the gathered
+    near set):
+
+        out_i = Σ_s gh_is · (mlp(pi_i + pj_{idx_is} + e_is)
+                             − mlp(pi_{idx_is} + pj_i + e_is))   as (N, H)
+
+    The caller applies W_out (b_out cancels in the difference) and adds to
+    q.  Both pair orderings come from one 64-lane lane-roll of the fused
+    [pi | pj] gather, so per-slot terms are exact negations across the two
+    rows of a pair — conservation stays f32-grade (see the section note).
+    Differentiable via XLA-recompute custom VJP (_near_pass_ref)."""
+    return _near_pass_cvjp(rs, ppn, rbf, gh, w1e, w2, b2, block_i,
+                           precision, interpret)

@@ -149,6 +149,45 @@ class TestNeighborPath:
         scale = np.abs(qn).sum(1) + 1.0
         assert np.all(np.abs(qn.sum(1) - q_total) < 2e-6 * scale)
 
+    @pytest.mark.parametrize("mask_messages", [True, False])
+    def test_near_kernel_option_matches(self, rng, mask_messages,
+                                        monkeypatch):
+        """EPNN_NEAR_KERNEL=1 (fused near-field Pallas kernels — measured
+        neutral on v5e, bitwise identical on hardware; non-default) must
+        match the default XLA near path, forward and under grad."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = EPNNConfig(mask_messages=mask_messages)
+        _, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=1, n=24,
+                                                    n_real=20)
+        args = (x, q0, xyz, mask)
+        q_off = np.asarray(forward_blocked(
+            fused, *args, cfg, block=8, neighbor_k=20, use_pallas=True))
+        monkeypatch.setenv("EPNN_NEAR_KERNEL", "1")
+        q_on = np.asarray(forward_blocked.__wrapped__(
+            fused, *args, cfg, block=8, neighbor_k=20, use_pallas=True))
+        scale = np.abs(q_off).max() + 1.0
+        # bitwise identical on TPU (scripts/tpu_profile_r5f.py); CPU
+        # interpret mode carries flat-vs-3D matmul association noise
+        assert np.abs(q_on - q_off).max() < 1e-5 * scale
+        # conservation through the lane-roll antisymmetric pass kernel
+        assert np.abs(q_on.sum(1) - q_total).max() < 2e-6 * (
+            np.abs(q_on).sum(1).max() + 1.0)
+
+        def loss(f, on):
+            out = forward_blocked.__wrapped__(
+                f, *args, cfg, block=8, neighbor_k=20, use_pallas=True)
+            return jnp.sum(out ** 2)
+
+        g_on = jax.grad(loss)(fused, True)
+        monkeypatch.delenv("EPNN_NEAR_KERNEL")
+        g_off = jax.grad(loss)(fused, False)
+        for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                        jax.tree_util.tree_leaves(g_off)):
+            err = float(jnp.abs(a - b).max())
+            assert err < 1e-4 * (float(jnp.abs(b).max()) + 1.0)
+
     def test_max_neighbor_count(self, rng):
         from epnn_tpu.ops.fused import max_neighbor_count
 

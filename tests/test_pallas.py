@@ -410,3 +410,156 @@ def test_dense_message_int8_tier(rng):
     out32 = np.asarray(dense_message_rowsum(pi, pj, nm, w2, b2,
                                             block_i=32, block_jp=8))
     np.testing.assert_allclose(out32, oracle, rtol=1e-5, atol=1e-4)
+
+
+class TestNearFieldKernels:
+    """Fused near-field kernels (r5): gathered O(N·k) message correction
+    and antisymmetric pass reduction from pre-gathered flat inputs."""
+
+    @pytest.fixture()
+    def near_setup(self, rng):
+        import jax.numpy as jnp
+
+        n, k, h, e = 96, 12, 32, 16
+        pi = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+        pj = jnp.asarray(rng.normal(size=(n, h)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, n, size=(n, k)), jnp.int32)
+        mask = jnp.asarray(rng.uniform(size=(n, k)) > 0.3, jnp.float32)
+        rbf = jnp.asarray(rng.normal(size=(n * k, e)), jnp.float32) \
+            * mask.reshape(-1, 1)
+        w1e = jnp.asarray(rng.normal(size=(e, h)) * 0.3, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(h, h)) * 0.3, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(h,)), jnp.float32)
+        return n, k, h, pi, pj, idx, mask, rbf, w1e, w2, b2
+
+    def test_message_corr_matches_ref(self, near_setup):
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.pallas_kernels import (
+            _near_msg_ref,
+            near_message_corr,
+        )
+
+        n, k, h, pi, pj, idx, mask, rbf, w1e, w2, b2 = near_setup
+        pjn = pj[idx.reshape(-1)]
+        out = near_message_corr(pi, pjn, rbf, mask, w1e, w2, b2,
+                                block_i=32)
+        ref = _near_msg_ref(pi, pjn, rbf, mask, w1e, w2, b2, prec=None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_message_corr_grads(self, near_setup):
+        import jax
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.pallas_kernels import (
+            _near_msg_ref,
+            near_message_corr,
+        )
+
+        n, k, h, pi, pj, idx, mask, rbf, w1e, w2, b2 = near_setup
+        pjn = pj[idx.reshape(-1)]
+        t = jnp.sin(jnp.arange(n * h, dtype=jnp.float32)).reshape(n, h)
+
+        def loss_k(pi, pjn, rbf, w1e, w2, b2):
+            return jnp.sum(near_message_corr(
+                pi, pjn, rbf, mask, w1e, w2, b2, block_i=32) * t)
+
+        def loss_r(pi, pjn, rbf, w1e, w2, b2):
+            return jnp.sum(_near_msg_ref(
+                pi, pjn, rbf, mask, w1e, w2, b2, prec=None) * t)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(6)))(
+            pi, pjn, rbf, w1e, w2, b2)
+        gr = jax.grad(loss_r, argnums=tuple(range(6)))(
+            pi, pjn, rbf, w1e, w2, b2)
+        for name, a, b in zip(("dpi", "dpjn", "drbf", "dw1e", "dw2",
+                               "db2"), gk, gr):
+            err = float(jnp.abs(a - b).max())
+            scale = float(jnp.abs(b).max()) + 1.0
+            assert err < 1e-4 * scale, (name, err, scale)
+
+    def test_pass_rowsum_matches_ref(self, near_setup):
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.pallas_kernels import (
+            _near_pass_ref,
+            near_pass_rowsum,
+        )
+
+        n, k, h, pi, pj, idx, mask, rbf, w1e, w2, b2 = near_setup
+        rs = jnp.concatenate([pi, pj], axis=-1)
+        ppn = rs[idx.reshape(-1)]
+        gh = 0.5 * mask
+        out = near_pass_rowsum(rs, ppn, rbf, gh, w1e, w2, b2, block_i=32)
+        ref = _near_pass_ref(rs, ppn, rbf, gh, w1e, w2, b2, prec=None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pass_rowsum_antisymmetric(self, rng):
+        """A symmetric neighbor structure must conserve: Σ_i out_i @ w_out
+        is exactly the sum of gh_ij·(hn−ht) over both orderings of every
+        pair, which cancel bitwise."""
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.pallas_kernels import near_pass_rowsum
+
+        n, h, e = 64, 32, 16
+        k = 4
+        # ring topology: i's neighbors are i±1, i±2 (symmetric by design)
+        base = np.arange(n)
+        idx = np.stack([(base + 1) % n, (base - 1) % n,
+                        (base + 2) % n, (base - 2) % n], axis=1)
+        idx = jnp.asarray(idx, jnp.int32)
+        # symmetric pair features: e_ij = f(|i-j| mod ring) same both ways
+        rng2 = np.random.default_rng(7)
+        pi = jnp.asarray(rng2.normal(size=(n, h)), jnp.float32)
+        pj = jnp.asarray(rng2.normal(size=(n, h)), jnp.float32)
+        rs = jnp.concatenate([pi, pj], axis=-1)
+        ppn = rs[idx.reshape(-1)]
+        ring_d = np.minimum((idx - base[:, None]) % n,
+                            (base[:, None] - idx) % n)
+        feat = rng2.normal(size=(3, e)).astype(np.float32)
+        rbf = jnp.asarray(feat[np.minimum(ring_d, 2).reshape(-1) - 1],
+                          jnp.float32)
+        gh = jnp.asarray(0.5 / (1.0 + ring_d), jnp.float32)
+        w1e = jnp.asarray(rng2.normal(size=(e, h)) * 0.3, jnp.float32)
+        w2 = jnp.asarray(rng2.normal(size=(h, h)) * 0.3, jnp.float32)
+        b2 = jnp.asarray(rng2.normal(size=(h,)), jnp.float32)
+        out = near_pass_rowsum(rs, ppn, rbf, gh, w1e, w2, b2, block_i=16)
+        w_out = jnp.asarray(rng2.normal(size=(h,)), jnp.float32)
+        total = float(jnp.sum(out @ w_out))
+        assert abs(total) < 1e-3
+
+    def test_pass_rowsum_grads(self, near_setup):
+        import jax
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.pallas_kernels import (
+            _near_pass_ref,
+            near_pass_rowsum,
+        )
+
+        n, k, h, pi, pj, idx, mask, rbf, w1e, w2, b2 = near_setup
+        rs = jnp.concatenate([pi, pj], axis=-1)
+        ppn = rs[idx.reshape(-1)]
+        gh = 0.5 * mask
+        t = jnp.cos(jnp.arange(n * h, dtype=jnp.float32)).reshape(n, h)
+
+        def loss_k(rs, ppn, rbf, gh, w1e, w2, b2):
+            return jnp.sum(near_pass_rowsum(
+                rs, ppn, rbf, gh, w1e, w2, b2, block_i=32) * t)
+
+        def loss_r(rs, ppn, rbf, gh, w1e, w2, b2):
+            return jnp.sum(_near_pass_ref(
+                rs, ppn, rbf, gh, w1e, w2, b2, prec=None) * t)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(7)))(
+            rs, ppn, rbf, gh, w1e, w2, b2)
+        gr = jax.grad(loss_r, argnums=tuple(range(7)))(
+            rs, ppn, rbf, gh, w1e, w2, b2)
+        for name, a, b in zip(("drs", "dppn", "drbf", "dgh", "dw1e",
+                               "dw2", "db2"), gk, gr):
+            err = float(jnp.abs(a - b).max())
+            scale = float(jnp.abs(b).max()) + 1.0
+            assert err < 1e-4 * scale, (name, err, scale)
