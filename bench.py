@@ -116,6 +116,13 @@ def main():
     )
     iters = int(os.environ.get("EPNN_BENCH_ITERS", "20"))
 
+    # round-1 far-field collapse (bitwise-identical on TPU, ~5% protein /
+    # ~15% at 17,760 atoms — benchmarks/RESULTS.md round-6); pad_molecules
+    # batches satisfy the contract, but verify rather than assume
+    from epnn_tpu.data.dataset import uniform_q0_contract
+
+    uq0 = uniform_q0_contract(batch.x, batch.q0, batch.node_mask)
+
     on_tpu = jax.devices()[0].platform == "tpu"
 
     # static cell-grid bounds for the in-forward cell-list selection
@@ -159,7 +166,7 @@ def main():
                                    block=block, neighbor_k=k,
                                    use_pallas=use_pallas,
                                    neighbors=neighbors,
-                                   neighbor_grid=grid)
+                                   neighbor_grid=grid, uniform_q0=uq0)
 
         q = np.asarray(fn(q0_d))[0]  # predictions for the parity checks
         ms = chain_time(fn, q0_d, iters)
@@ -234,11 +241,13 @@ def main():
                                          cfg.cutoff)
             grid_b = (round_up(ncb, 512), round_up(capb, 4))
 
+            uq0_b = uniform_q0_contract(bb.x, bb.q0, bb.node_mask)
+
             def fn_big(q0_in, neighbors=nbrs_b):
                 return forward_blocked(fused, xb, q0_in, zb, mb, c,
                                        block=256, neighbor_k=int(kb),
                                        use_pallas=on_tpu, neighbors=neighbors,
-                                       neighbor_grid=grid_b)
+                                       neighbor_grid=grid_b, uniform_q0=uq0_b)
 
             q_big = np.asarray(fn_big(qb))[0]
             sc_iters = 8

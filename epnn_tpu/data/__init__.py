@@ -13,6 +13,7 @@ from epnn_tpu.data.dataset import (
     pad_molecules,
     round_up,
     train_val_split,
+    uniform_q0_contract,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "pad_molecules",
     "round_up",
     "train_val_split",
+    "uniform_q0_contract",
 ]

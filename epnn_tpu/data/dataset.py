@@ -176,3 +176,30 @@ def train_val_split(
     idx = np.arange(n)
     tr, va = train_test_split(idx, test_size=test_size, random_state=seed)
     return tr, va
+
+
+def uniform_q0_contract(x: np.ndarray, q0: np.ndarray,
+                        node_mask: np.ndarray) -> bool:
+    """Host-side check of the round-1 far-field collapse contract
+    (:func:`epnn_tpu.ops.fused.forward_blocked` ``uniform_q0``): per graph,
+    valid atoms first, one q0 value on all valid atoms (the
+    :func:`pad_molecules` convention ``q0 = Q/n``), zeros on padding; x rows
+    exactly ``[Z, onehot]`` with one Z per element slot across the batch.
+    O(B·N·E) NumPy — negligible next to a forward.  Arrays are the batched
+    ``MolBatch`` fields ``(B, N, F) / (B, N) / (B, N)``."""
+    x = np.asarray(x)
+    q0 = np.asarray(q0)
+    mask = np.asarray(node_mask)
+    if not (np.all(np.diff(mask, axis=1) <= 0)           # valid-first
+            and np.all((q0 == q0[:, :1]) | (mask == 0))  # uniform valid
+            and np.all(q0 * (1 - mask) == 0)):           # zero padding
+        return False
+    oh = x[..., 1:]
+    if not (np.all((oh == 0) | (oh == 1))
+            and np.array_equal(oh.sum(axis=-1), mask)):
+        return False
+    # one Z per element slot (a single table across the batch)
+    z = x[..., 0]
+    zmax = np.max(z[..., None] * oh, axis=(0, 1))
+    zmin = np.min(np.where(oh > 0, z[..., None], np.inf), axis=(0, 1))
+    return bool(np.all((zmin == np.inf) | (zmax == zmin)))

@@ -83,6 +83,18 @@ class Predictor:
     #: bounds are cached per batch (geometry-fingerprinted) and rounded up
     #: so similar geometries share a compiled program.
     neighbor_method: str = "auto"
+    #: Round-1 far-field collapse: message round 1 runs with h = 0 and
+    #: q = q0, so when every valid atom of a graph carries the same initial
+    #: charge (the ``pad_molecules`` convention q0 = Q/n) and the atom
+    #: features follow the ``[Z, onehot]`` ElementTable layout, the j-side
+    #: projections take one value per element and round 1's O(N²) far-field
+    #: reduction collapses to a count-weighted per-element grid
+    #: (association-level fp change only — see
+    #: :func:`epnn_tpu.ops.fused.forward_blocked`).  ``'auto'`` verifies
+    #: the contract on the host per batch and enables the collapse when it
+    #: holds; ``'off'`` disables it (parity-critical runs that must match
+    #: the uncollapsed summation order bit-for-bit-ish).
+    collapse_round1: str = "auto"
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -114,6 +126,18 @@ class Predictor:
 
         xyz = np.ascontiguousarray(np.asarray(batch.xyz))
         return (id(batch.xyz), xyz.shape, zlib.crc32(xyz.tobytes()))
+
+    def _uniform_q0(self, batch: MolBatch) -> bool:
+        """Host-side check of the round-1 collapse contract (see
+        ``collapse_round1``): per graph, valid atoms first, one q0 value on
+        all valid atoms, zeros on padding; x rows exactly ``[Z, onehot]``
+        with one Z per element slot.  O(B·N·E) NumPy — negligible next to
+        a forward."""
+        if self.collapse_round1 != "auto":
+            return False
+        from epnn_tpu.data.dataset import uniform_q0_contract
+
+        return uniform_q0_contract(batch.x, batch.q0, batch.node_mask)
 
     def _neighbor_k(self, batch: MolBatch) -> int:
         """Exact safe neighbor_k for a batch, cached per batch object (with
@@ -254,6 +278,7 @@ class Predictor:
                 neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
                 neighbors=self._neighbors(batch, max(k, 1)),
                 neighbor_grid=self._neighbor_grid(batch),
+                uniform_q0=self._uniform_q0(batch),
             )
         return np.asarray(q)
 
@@ -351,11 +376,13 @@ class Predictor:
             block = min(self.block, batch.padded_atoms)
             grid = self._neighbor_grid(batch)
 
+            uq0 = self._uniform_q0(batch)
+
             def fn(q0_in):
                 return forward_blocked(
                     self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
                     neighbor_k=k, use_pallas=self._use_pallas(),
-                    neighbors=nbrs, neighbor_grid=grid,
+                    neighbors=nbrs, neighbor_grid=grid, uniform_q0=uq0,
                 )
 
         return benchmark_chained(fn, q0, iters=iters,

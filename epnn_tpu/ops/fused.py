@@ -559,9 +559,22 @@ def _forward_single_nbr(
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
     neighbor_grid: Tuple[int, int] | None = None,
     compat_width: int | None = None,
+    uniform_q0: bool = False,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
+
+    ``uniform_q0`` (static) asserts the caller's contract that every valid
+    atom carries the same initial charge (the ``pad_molecules`` convention
+    ``q0 = Q/n``, zeros on padding) and that x rows follow the
+    ``ElementTable.feature_row`` layout ``[Z, onehot]`` (zeros on padding)
+    — then message round 1 is special: h is still zero and q is still q0,
+    so the j-side projection ``a_j @ w1_j`` (no bias) takes at most
+    ``n_elems`` distinct values — one per element plus the all-zero
+    padding row.  The O(N²) no-feature dense reduction of round 1
+    collapses exactly to a count-weighted (N, E+1) grid; the only fp
+    difference vs the dense sum is summation association.  Rounds 2+
+    (h ≠ 0) run unchanged.
 
     Key identity: beyond the cutoff the RBF features are exactly zero, so a
     far pair's first-layer activation is ``relu(pi_i + pj_j + b1)`` — no
@@ -615,6 +628,7 @@ def _forward_single_nbr(
                 pack_to=pack_to, remat=remat, neighbors=neighbors,
                 neighbor_grid=neighbor_grid,
                 compat_width=None if cfg.mask_messages else n0,
+                uniform_q0=uniform_q0,
             )[:n0]
 
     n = x.shape[0]
@@ -753,13 +767,48 @@ def _forward_single_nbr(
         near_prec = (getattr(cfg, "matmul_precision", "")
                      or ("highest" if cfg.highest_precision else "default"))
 
-    def message_round(carry, w: PairMLPWeights):
+    def _message_round(carry, w: PairMLPWeights, collapse: bool):
         h, q = carry
         a = atom_inputs(h, q)
         pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1  # b1 folded once/atom
         pj = jnp.dot(a, w.w1_j, precision=prec)
 
-        if pallas_ok and len(w.mids) == 1:
+        if collapse:
+            # uniform_q0 round-1 collapse: a valid atom's input row is
+            # [Z_e, onehot_e | 0_h | q0] — fully determined by its element
+            # (``ElementTable.feature_row``) — and padding rows are all
+            # zero, so Σ_j jvec_j · mids(relu(pi_i + pj_j)) becomes a
+            # count-weighted reduction over an (E+1)-row grid rebuilt from
+            # x itself: counts from the exact one-hot slots 1.., Z per
+            # element as max_j x[j,0]·x[j,1+e] (exact — absent elements get
+            # Z 0 but also count 0).  Counts and the weighted reduce run in
+            # f32 at HIGHEST (default-precision dots would round integer
+            # counts through bf16 — 17,760 is not representable);
+            # everything here is O(N·E), so precision is free.
+            oh = x[:, 1:]                                       # (N, E)
+            e_cnt = oh.shape[1]
+            zvec = jnp.max(x[:, :1] * oh, axis=0)               # (E,)
+            grid_in = jnp.concatenate([
+                zvec[:, None],
+                jnp.eye(e_cnt, dtype=x.dtype),
+                jnp.zeros((e_cnt, cfg.h_dim), x.dtype),
+                jnp.full((e_cnt, 1), q[0].astype(x.dtype)),
+            ], axis=1)
+            grid_in = jnp.concatenate(
+                [grid_in, jnp.zeros((1, grid_in.shape[1]), x.dtype)], axis=0)
+            pj_grid = jnp.dot(grid_in, w.w1_j, precision=prec)
+            jvec32 = jvec.astype(jnp.float32)
+            counts = jnp.einsum("n,ne->e", jvec32, oh.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST)
+            counts = jnp.concatenate(
+                [counts, (jnp.sum(jvec32) - jnp.sum(counts))[None]])
+            hid_g = _packed_mids(
+                jax.nn.relu(pi[:, None, :] + pj_grid[None, :, :]),
+                w, prec, pack_to)
+            dense_sum = jnp.einsum(
+                "e,neh->nh", counts, hid_g.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+        elif pallas_ok and len(w.mids) == 1:
             (w2, b2), = w.mids
             # pi already carries b1 (folded once per atom above) — the
             # kernel's first layer is bias-free by contract
@@ -812,9 +861,21 @@ def _forward_single_nbr(
         h = _apply_mlp(fused.update, upd_in, prec) * nm
         return (h, q), None
 
+    def message_round(carry, w: PairMLPWeights):
+        return _message_round(carry, w, False)
+
     if remat:
         message_round = jax.checkpoint(message_round)
-    (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
+    if uniform_q0:
+        round1 = lambda carry, w: _message_round(carry, w, True)  # noqa: E731
+        if remat:
+            round1 = jax.checkpoint(round1)
+        w_first = jax.tree_util.tree_map(lambda a: a[0], fused.messages)
+        w_rest = jax.tree_util.tree_map(lambda a: a[1:], fused.messages)
+        carry, _ = round1((h, q), w_first)
+        (h, q), _ = jax.lax.scan(message_round, carry, w_rest)
+    else:
+        (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
 
     # electron passing: gathered pairs only (the gate is zero off the near set)
     def pass_round(q, w: PairMLPWeights):
@@ -1078,7 +1139,7 @@ def _forward_single(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
-                     "remat", "neighbor_grid"),
+                     "remat", "neighbor_grid", "uniform_q0"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -1094,8 +1155,17 @@ def forward_blocked(
     remat: bool = False,
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
     neighbor_grid: Tuple[int, int] | None = None,
+    uniform_q0: bool = False,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
+
+    ``uniform_q0`` (static) — caller asserts every graph's valid atoms all
+    carry the same initial charge with valid rows first (the
+    ``pad_molecules`` layout ``q0 = Q/n``) and ``[Z, onehot]`` element
+    features; the neighbor-split path then collapses message round 1's
+    O(N²) far-field reduction to a count-weighted per-element grid (see
+    :func:`_forward_single_nbr`).  Association-level fp change only;
+    ignored by the dense paths.
 
     ``neighbor_grid`` — optional STATIC ``(ncells_pad, cell_cap)`` from
     :func:`cell_grid_params`: in-forward neighbor selection then uses the
@@ -1158,7 +1228,7 @@ def forward_blocked(
                         highest_precision=False),
             block=block, neighbor_k=neighbor_k, use_pallas=False,
             pack_to=pack_to, remat=remat, neighbors=neighbors,
-            neighbor_grid=neighbor_grid,
+            neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
         )
         return out.astype(jnp.float32) * node_mask
 
@@ -1169,7 +1239,7 @@ def forward_blocked(
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
             use_pallas=use_pallas, pack_to=pack_to, remat=remat,
-            neighbor_grid=neighbor_grid,
+            neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
         )
     elif use_pallas and len(fused.messages.mids) == 1:
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction

@@ -143,34 +143,37 @@ def eval_step(params, model: EPNN, loss_name: str,
 
 
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
-                   x, q0, xyz, node_mask, y, weight):
+                   x, q0, xyz, node_mask, y, weight, uniform_q0=False):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
     back to the same flax params pytree the dense path trains.  With
     ``use_pallas`` the far-field reduction runs in the packed Mosaic kernel
-    forward AND backward (recompute-in-tile custom VJP)."""
+    forward AND backward (recompute-in-tile custom VJP).  ``uniform_q0``
+    asserts the pad_molecules round-1 collapse contract (see
+    :func:`epnn_tpu.ops.fused.forward_blocked`; 25.6 → 20.7 ms/step at
+    protein scale, scripts/tpu_profile_r6.py)."""
     from epnn_tpu.ops import forward_blocked, fuse_params
 
     fused = fuse_params(params, cfg)
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
                            block=block, neighbor_k=neighbor_k, remat=True,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, uniform_q0=uniform_q0)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
-                              "neighbor_k", "use_pallas")
+                              "neighbor_k", "use_pallas", "uniform_q0")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
                      neighbor_k: int, x, q0, xyz, node_mask, y, weight,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False, uniform_q0: bool = False):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
-        x, q0, xyz, node_mask, y, weight
+        x, q0, xyz, node_mask, y, weight, uniform_q0
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -182,13 +185,14 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "block", "neighbor_k",
-                              "use_pallas")
+                              "use_pallas", "uniform_q0")
 )
 def eval_step_fused(params, cfg: EPNNConfig, loss_name: str, block: int,
                     neighbor_k: int, x, q0, xyz, node_mask, y, weight,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, uniform_q0: bool = False):
     loss, pred = _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
-                                use_pallas, x, q0, xyz, node_mask, y, weight)
+                                use_pallas, x, q0, xyz, node_mask, y, weight,
+                                uniform_q0)
     mets = M.mae_sums(pred, y, node_mask, weight)
     return loss, pred, mets
 
@@ -381,6 +385,22 @@ def train(
         _on_tpu = False
     fused_pallas = _on_tpu and _dense_prec == "default"
 
+    # round-1 far-field collapse (bitwise-identical on TPU, ~19% off the
+    # protein-scale train step — scripts/tpu_profile_r6.py): bucket rows
+    # come from pad_molecules so the contract normally holds, but verify
+    # per bucket rather than assume (minibatch row-subset/tiling preserves
+    # a bucket-level pass)
+    _uq0_cache: Dict[int, bool] = {}
+
+    def bucket_uq0(bucket: MolBatch) -> bool:
+        key = id(bucket)
+        if key not in _uq0_cache:
+            from epnn_tpu.data.dataset import uniform_q0_contract
+
+            _uq0_cache[key] = uniform_q0_contract(
+                bucket.x, bucket.q0, bucket.node_mask)
+        return _uq0_cache[key]
+
     def bucket_plan(pad: int, bucket: MolBatch):
         """(batch_size, neighbor_k or None) for one bucket."""
         bs = min(tc.batch_size, round_up(bucket.batch_size, n_dev))
@@ -419,7 +439,8 @@ def train(
                 else:
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
-                        *put(mb, n_real), use_pallas=fused_pallas
+                        *put(mb, n_real), use_pallas=fused_pallas,
+                        uniform_q0=bucket_uq0(bucket)
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()
@@ -437,7 +458,8 @@ def train(
                 else:
                     loss, _, mets = eval_step_fused(
                         state.params, cfg, tc.loss, min(fused_block, pad), k,
-                        *put(mb, n_real), use_pallas=fused_pallas
+                        *put(mb, n_real), use_pallas=fused_pallas,
+                        uniform_q0=bucket_uq0(bucket)
                     )
                 vacc.update(loss, mets)
 

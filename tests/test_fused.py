@@ -807,3 +807,112 @@ def test_neighbors_override_grid(rng):
                                     block=8, neighbor_k=k, neighbors=nbrs,
                                     neighbor_grid=grid))
     np.testing.assert_array_equal(qa, qb)
+
+
+class TestUniformQ0Collapse:
+    """Round-1 far-field collapse (uniform_q0): with the pad_molecules data
+    contract (q0 = Q/n on valid atoms, [Z, onehot] features), message round
+    1's O(N²) no-feature reduction collapses to a count-weighted
+    per-element grid — association-level fp change only."""
+
+    @staticmethod
+    def _contract_batch(seed=0, n_mols=3, natoms=34, pad_to=40):
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+
+        g = np.random.default_rng(seed)
+        mols = [
+            Molecule(
+                name=f"m{i}",
+                symbols=list(g.choice(["H", "C", "N", "O", "S"], natoms)),
+                xyz=g.uniform(0, 8, (natoms, 3)).astype(np.float32),
+                total_charge=float(i - 1),
+            )
+            for i in range(n_mols)
+        ]
+        return pad_molecules(mols, table_for_n_elems(10), pad_to=pad_to)
+
+    @staticmethod
+    def _params(cfg, seed=0):
+        from epnn_tpu.models import init_params
+
+        params = init_params(cfg, jax.random.key(seed))
+        # biases load-bearing (see build()); keeps the collapse's b1/b_out
+        # handling honest
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        return params, fuse_params(params, cfg)
+
+    @pytest.mark.parametrize("mask_messages", [True, False])
+    def test_matches_uncollapsed(self, mask_messages):
+        cfg = EPNNConfig(mask_messages=mask_messages)
+        _, fused = self._params(cfg)
+        b = self._contract_batch()
+        args = (fused, b.x, b.q0, b.xyz, b.node_mask, cfg)
+        base = np.asarray(forward_blocked(*args, block=16, neighbor_k=12))
+        col = np.asarray(forward_blocked(*args, block=16, neighbor_k=12,
+                                         uniform_q0=True))
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(col - base).max() < 1e-5 * scale
+        # conservation unaffected (collapse never touches the pass rounds)
+        cons = np.abs((col * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1))
+        assert np.all(cons < 1e-5 * scale)
+
+    def test_gradients_match(self):
+        import jax.numpy as jnp
+
+        cfg = EPNNConfig()
+        _, fused = self._params(cfg)
+        b = self._contract_batch()
+
+        def loss(f, on):
+            q = forward_blocked(f, b.x, b.q0, b.xyz, b.node_mask, cfg,
+                                block=16, neighbor_k=12, remat=True,
+                                uniform_q0=on)
+            return jnp.sum(q**2 * b.node_mask)
+
+        g0 = jax.grad(loss)(fused, False)
+        g1 = jax.grad(loss)(fused, True)
+        l0 = jax.tree_util.tree_leaves(g0)
+        scale = max(float(jnp.abs(a).max()) for a in l0) + 1.0
+        # association-level only; the perturbed-bias test weights produce
+        # O(1e3) charges and a squared loss, amplifying the fp noise floor
+        for a, c in zip(l0, jax.tree_util.tree_leaves(g1)):
+            assert float(jnp.abs(a - c).max()) < 2e-4 * scale
+
+    def test_predictor_auto_detection(self):
+        from epnn_tpu.infer import Predictor
+
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params, _ = self._params(cfg)
+        b = self._contract_batch()
+        pred = Predictor(params=params, cfg=cfg)
+        assert pred._uniform_q0(b) is True
+        assert Predictor(params=params, cfg=cfg,
+                         collapse_round1="off")._uniform_q0(b) is False
+        # contract violations must disable the collapse
+        b2 = self._contract_batch()
+        b2.q0[0, 3] += 1e-3                     # non-uniform valid charge
+        assert pred._uniform_q0(b2) is False
+        b3 = self._contract_batch()
+        b3.x[0, 2, 0] += 1.0                    # inconsistent Z for a slot
+        assert pred._uniform_q0(b3) is False
+        b4 = self._contract_batch()
+        b4.x[1, 5, 1:] = 0.5                    # not one-hot
+        assert pred._uniform_q0(b4) is False
+
+    def test_predictor_outputs_match(self):
+        from epnn_tpu.infer import Predictor
+
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params, _ = self._params(cfg)
+        b = self._contract_batch(natoms=60, pad_to=64)
+        on = Predictor(params=params, cfg=cfg,
+                       force_mode="blocked").predict_batch(b)
+        off = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                        collapse_round1="off").predict_batch(b)
+        scale = np.abs(off).max() + 1.0
+        assert np.abs(on - off).max() < 1e-5 * scale

@@ -288,3 +288,35 @@ def test_repaired_trained_checkpoint_quality(mixed_dir):
     charges = pred.predict_molecules(val)
     errs = np.concatenate([np.abs(q - m.labels) for m, q in zip(val, charges)])
     assert errs.mean() < 0.013
+
+
+def test_train_step_fused_uniform_q0(toy_train_mols):
+    """train_step_fused(uniform_q0=True) — the round-1 far-field collapse
+    (ops/fused.py) — tracks the uncollapsed step's losses step for step on
+    pad_molecules batches (which satisfy the contract by construction)."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules, uniform_q0_contract
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train import create_state, make_optimizer, train_step_fused
+
+    cfg = SMALL
+    tc = TrainConfig(learning_rate=3e-3)
+    opt = make_optimizer(tc)
+    table = table_for_n_elems(cfg.n_elems)
+    batch = pad_molecules(toy_train_mols[:6], table, pad_to=16)
+    assert uniform_q0_contract(batch.x, batch.q0, batch.node_mask)
+    w = np.ones((6,), np.float32)
+    args = (batch.x, batch.q0, batch.xyz, batch.node_mask, batch.y, w)
+
+    losses = {}
+    for uq0 in (False, True):
+        state = create_state(cfg, tc, jax.random.key(0))
+        ls = []
+        for _ in range(4):
+            state, loss, _, _ = train_step_fused(
+                state, cfg, tc.loss, opt, 8, 12, *args, uniform_q0=uq0)
+            ls.append(float(loss))
+        losses[uq0] = ls
+    assert losses[True][-1] < losses[True][0]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
