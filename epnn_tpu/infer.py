@@ -222,7 +222,8 @@ class Predictor:
             k_blk = min(self._neighbor_k(batch), nd)
             q = np.asarray(forward_ring_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
-                k_blk=max(k_blk, 1), use_pallas=self._use_pallas()))
+                k_blk=max(k_blk, 1), use_pallas=self._use_pallas(),
+                uniform_q0=self._uniform_q0(batch)))
             return q[:b, :n]
         if batch.padded_atoms > DENSE_MAX_ATOMS:
             # big graphs: the neighbor-split sharded forward (O(N·k/D)
@@ -235,7 +236,8 @@ class Predictor:
             k = self._neighbor_k(batch)
             q = np.asarray(forward_atom_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
-                k=max(k, 1), use_pallas=self._use_pallas()))
+                k=max(k, 1), use_pallas=self._use_pallas(),
+                uniform_q0=self._uniform_q0(batch)))
             return q[:b, :n]
         from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
 

@@ -182,9 +182,18 @@ def forward_atom_sharded_nbr_batch(
     k: int,
     use_pallas: bool = False,
     remat: bool = False,
+    uniform_q0: bool = False,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
+
+    ``uniform_q0`` (static) — caller asserts the pad_molecules round-1
+    collapse contract (:func:`epnn_tpu.data.dataset.uniform_q0_contract`);
+    round 1's O(N²/D) far-field reduction then collapses to the
+    count-weighted per-element grid exactly as on one chip (the grid and
+    counts are built from the replicated x/jvec, so every device still
+    sees bitwise-identical j-side values — the antisymmetry argument is
+    unchanged).
 
     The dense-featurized :func:`forward_atom_sharded_batch` does O(N²/D)
     featurized pair work per device — at spatially sparse sizes that LOSES
@@ -235,7 +244,7 @@ def forward_atom_sharded_nbr_batch(
             fused, x.astype(bf), q0, xyz, node_mask.astype(bf),
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
-            mesh, k=k, use_pallas=False, remat=remat,
+            mesh, k=k, use_pallas=False, remat=remat, uniform_q0=uniform_q0,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -337,14 +346,45 @@ def forward_atom_sharded_nbr_batch(
             return jnp.concatenate([x_f, h, q[:, None].astype(x_f.dtype)],
                                    axis=-1)
 
-        def message_round(carry, w: PairMLPWeights):
+        def dense_round1_grid(pi_rows, q_f, w: PairMLPWeights):
+            """uniform_q0 round-1 collapse (mirrors ops/fused.py): the
+            j-side input rows are per-element constants, so the O(N²/D)
+            far-field sum becomes a count-weighted (E+1)-row grid reduce.
+            Counts/reduce in f32 HIGHEST so integer counts never round."""
+            oh = x_f[:, 1:]                                     # (N, E)
+            e_cnt = oh.shape[1]
+            zvec = jnp.max(x_f[:, :1] * oh, axis=0)             # (E,)
+            grid_in = jnp.concatenate([
+                zvec[:, None],
+                jnp.eye(e_cnt, dtype=x_f.dtype),
+                jnp.zeros((e_cnt, cfg.h_dim), x_f.dtype),
+                jnp.full((e_cnt, 1), q_f[0].astype(x_f.dtype)),
+            ], axis=1)
+            grid_in = jnp.concatenate(
+                [grid_in, jnp.zeros((1, grid_in.shape[1]), x_f.dtype)],
+                axis=0)
+            pj_grid = jnp.dot(grid_in, w.w1_j, precision=prec)
+            jvec32 = jvec.astype(jnp.float32)
+            counts = jnp.einsum("n,ne->e", jvec32, oh.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST)
+            counts = jnp.concatenate(
+                [counts, (jnp.sum(jvec32) - jnp.sum(counts))[None]])
+            hid = jax.nn.relu(pi_rows[:, None, :] + pj_grid[None, :, :])
+            for wm, bm in w.mids:
+                hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+            return jnp.einsum(
+                "e,reh->rh", counts, hid.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST).astype(x_f.dtype)
+
+        def _message_round(carry, w: PairMLPWeights, collapse: bool):
             h_f, q_f = carry
             a = atom_inputs(h_f, q_f)
             pi_f = jnp.dot(a, w.w1_i, precision=prec) + w.b1
             pj_f = jnp.dot(a, w.w1_j, precision=prec)
             pi_rows = jax.lax.dynamic_slice_in_dim(pi_f, r0, r, 0)
 
-            dense_sum = dense_nofeat(pi_rows, pj_f, w)
+            dense_sum = (dense_round1_grid(pi_rows, q_f, w) if collapse
+                         else dense_nofeat(pi_rows, pj_f, w))
             pj_nbr = pj_f[idx]
             epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
             base = pi_rows[:, None, :] + pj_nbr
@@ -365,10 +405,22 @@ def forward_atom_sharded_nbr_batch(
             h_f = jax.lax.all_gather(h_rows, ATOM_AXIS, tiled=True)
             return (h_f, q_f), None
 
+        def message_round(carry, w: PairMLPWeights):
+            return _message_round(carry, w, False)
+
         if remat:
             message_round = jax.checkpoint(message_round)
-        (h_f, q_f), _ = jax.lax.scan(message_round, (h_f, q_f),
-                                     fused.messages)
+        if uniform_q0:
+            round1 = lambda c, w: _message_round(c, w, True)  # noqa: E731
+            if remat:
+                round1 = jax.checkpoint(round1)
+            w_first = jax.tree_util.tree_map(lambda a: a[0], fused.messages)
+            w_rest = jax.tree_util.tree_map(lambda a: a[1:], fused.messages)
+            carry, _ = round1((h_f, q_f), w_first)
+            (h_f, q_f), _ = jax.lax.scan(message_round, carry, w_rest)
+        else:
+            (h_f, q_f), _ = jax.lax.scan(message_round, (h_f, q_f),
+                                         fused.messages)
 
         def pass_round(q_f, w: PairMLPWeights):
             a = atom_inputs(h_f, q_f).astype(w.w1_i.dtype)
@@ -448,7 +500,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             loss_name: str = "masked_mse",
                             neighbor_k: Optional[int] = None,
                             use_pallas: bool = False,
-                            shard_mode: str = "atom"):
+                            shard_mode: str = "atom",
+                            uniform_q0: bool = False):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -484,11 +537,11 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
-                use_pallas=use_pallas, remat=True)
+                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
-                use_pallas=use_pallas, remat=True)
+                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0)
         else:
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)
@@ -512,7 +565,8 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
                            loss_name: str = "masked_mse",
                            neighbor_k: Optional[int] = None,
                            use_pallas: bool = False,
-                           shard_mode: str = "atom"):
+                           shard_mode: str = "atom",
+                           uniform_q0: bool = False):
     """Atom-sharded eval twin of :func:`make_sharded_train_step`."""
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -529,11 +583,11 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
 
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, uniform_q0=uniform_q0)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, uniform_q0=uniform_q0)
         else:
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)

@@ -181,9 +181,18 @@ def forward_ring_sharded_nbr_batch(
     k_blk: int,
     use_pallas: bool = False,
     remat: bool = False,
+    uniform_q0: bool = False,
 ) -> jax.Array:
     """Neighbor-split ring-sharded forward (SURVEY §7 stage 6: the ring
     variant OF the stage-5 kernel, not of the dense loop).
+
+    ``uniform_q0`` (static) — caller asserts the pad_molecules round-1
+    collapse contract (:func:`epnn_tpu.data.dataset.uniform_q0_contract`);
+    round 1's per-step O(N²/D²) block far-field then collapses to ONE
+    count-weighted per-element grid reduce per device, built with O(E)
+    collectives (``psum`` of element counts, ``pmax`` of the Z table and
+    the shared q0 value) — the ring steps of round 1 carry only the near
+    corrections.
 
     Like :func:`forward_ring_sharded`, nothing is replicated: each device
     owns an N/D atom block and per ring step sees ONE circulating block
@@ -245,6 +254,7 @@ def forward_ring_sharded_nbr_batch(
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
             mesh, k_blk=k_blk, use_pallas=False, remat=remat,
+            uniform_q0=uniform_q0,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -322,7 +332,45 @@ def forward_ring_sharded_nbr_batch(
                 hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec_dense) + bm)
             return jnp.einsum("n,bnh->bh", jvec, hid, precision=prec_dense)
 
-        def message_round(carry, w: PairMLPWeights):
+        def dense_round1_grid(pi, q_d, w: PairMLPWeights):
+            """uniform_q0 round-1 collapse (mirrors ops/fused.py): nothing
+            is replicated here, so the per-element grid is assembled with
+            O(E) collectives — psum of count vectors, pmax of the Z table
+            and of the shared valid-atom q0 value.  Counts/reduce in f32
+            HIGHEST so integer counts never round."""
+            oh_d = x_d[:, 1:]                                   # (nd, E)
+            e_cnt = oh_d.shape[1]
+            zvec = jax.lax.pmax(jnp.max(x_d[:, :1] * oh_d, axis=0),
+                                ATOM_AXIS)
+            # all valid atoms share one q0; blocks that are pure padding
+            # contribute -inf to the max and drop out at the pmax
+            qv = jax.lax.pmax(
+                jnp.max(jnp.where(mask_d > 0, q_d, -jnp.inf)), ATOM_AXIS)
+            qv = jnp.where(jnp.isfinite(qv), qv, 0.0)
+            grid_in = jnp.concatenate([
+                zvec[:, None],
+                jnp.eye(e_cnt, dtype=dt),
+                jnp.zeros((e_cnt, cfg.h_dim), dt),
+                jnp.full((e_cnt, 1), qv.astype(dt)),
+            ], axis=1)
+            grid_in = jnp.concatenate(
+                [grid_in, jnp.zeros((1, grid_in.shape[1]), dt)], axis=0)
+            pj_grid = jnp.dot(grid_in, w.w1_j, precision=prec)
+            jvec_d = mask_d if cfg.mask_messages else jnp.ones_like(mask_d)
+            jvec32 = jvec_d.astype(jnp.float32)
+            counts = jnp.einsum("n,ne->e", jvec32, oh_d.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST)
+            counts = jnp.concatenate(
+                [counts, (jnp.sum(jvec32) - jnp.sum(counts))[None]])
+            counts = jax.lax.psum(counts, ATOM_AXIS)
+            hid = jax.nn.relu(pi[:, None, :] + pj_grid[None, :, :])
+            for wm, bm in w.mids:
+                hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+            return jnp.einsum(
+                "e,reh->rh", counts, hid.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST).astype(dt)
+
+        def _message_round(carry, w: PairMLPWeights, collapse: bool):
             h_d, q_d = carry
             a = atom_inputs(h_d, q_d)
             pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
@@ -332,7 +380,8 @@ def forward_ring_sharded_nbr_batch(
                 acc, blk = c2
                 idx, m, d2 = sel
                 pj_j, mask_j = blk
-                acc = acc + dense_nofeat(pi, pj_j, mask_j, w)
+                if not collapse:
+                    acc = acc + dense_nofeat(pi, pj_j, mask_j, w)
 
                 def near(acc):
                     rbf, _ = rbf_and_gate(d2, m, cfg, dtype=dt)
@@ -348,7 +397,8 @@ def forward_ring_sharded_nbr_batch(
                 acc = jax.lax.cond(jnp.sum(m) > 0, near, lambda a_: a_, acc)
                 return (acc, jax.lax.ppermute(blk, ATOM_AXIS, perm)), None
 
-            acc0 = jnp.zeros((nd, pi.shape[-1]), dt)
+            acc0 = (dense_round1_grid(pi, q_d, w) if collapse
+                    else jnp.zeros((nd, pi.shape[-1]), dt))
             (hsum, _), _ = jax.lax.scan(
                 ring_step, (acc0, (pj, mask_d.astype(dt))),
                 (idx_s, m_s, d2_s), length=D)
@@ -358,10 +408,22 @@ def forward_ring_sharded_nbr_batch(
             h_d = _apply_mlp(fused.update, upd, prec) * nm
             return (h_d, q_d), None
 
+        def message_round(carry, w: PairMLPWeights):
+            return _message_round(carry, w, False)
+
         if remat:
             message_round = jax.checkpoint(message_round)
-        (h_d, q_d), _ = jax.lax.scan(message_round, (h_d, q_d),
-                                     fused.messages)
+        if uniform_q0:
+            round1 = lambda c, w: _message_round(c, w, True)  # noqa: E731
+            if remat:
+                round1 = jax.checkpoint(round1)
+            w_first = jax.tree_util.tree_map(lambda a: a[0], fused.messages)
+            w_rest = jax.tree_util.tree_map(lambda a: a[1:], fused.messages)
+            carry, _ = round1((h_d, q_d), w_first)
+            (h_d, q_d), _ = jax.lax.scan(message_round, carry, w_rest)
+        else:
+            (h_d, q_d), _ = jax.lax.scan(message_round, (h_d, q_d),
+                                         fused.messages)
 
         def pass_round(q_d, w: PairMLPWeights):
             a = atom_inputs(h_d, q_d).astype(w.w1_i.dtype)

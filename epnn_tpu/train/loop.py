@@ -355,25 +355,29 @@ def train(
             make_sharded_train_step,
         )
 
-        # per-neighbor_k step cache: small pads (k=None) use the
-        # dense-featurized sharded form; big buckets the neighbor-split
-        # one (O(N·k/D) featurized + remat'd rounds per device)
-        _sh_cache: Dict[Optional[int], tuple] = {}
+        # per-(neighbor_k, uniform_q0) step cache: small pads (k=None) use
+        # the dense-featurized sharded form; big buckets the neighbor-split
+        # one (O(N·k/D) featurized + remat'd rounds per device).  uniform_q0
+        # is the round-1 far-field collapse — honored by the nbr forms only.
+        _sh_cache: Dict[tuple, tuple] = {}
 
-        def _sharded_steps(k: Optional[int]):
-            if k not in _sh_cache:
-                _sh_cache[k] = (
+        def _sharded_steps(k: Optional[int], uq0: bool = False):
+            uq0 = bool(uq0) and k is not None
+            if (k, uq0) not in _sh_cache:
+                _sh_cache[(k, uq0)] = (
                     make_sharded_train_step(
                         cfg, opt, mesh, tc.loss, neighbor_k=k,
-                        use_pallas=fused_pallas if k else False),
+                        use_pallas=fused_pallas if k else False,
+                        uniform_q0=uq0),
                     make_sharded_eval_step(
                         cfg, mesh, tc.loss, neighbor_k=k,
-                        use_pallas=fused_pallas if k else False),
+                        use_pallas=fused_pallas if k else False,
+                        uniform_q0=uq0),
                 )
-            return _sh_cache[k]
+            return _sh_cache[(k, uq0)]
 
-        sharded_train = lambda k: _sharded_steps(k)[0]
-        sharded_eval = lambda k: _sharded_steps(k)[1]
+        sharded_train = lambda k, uq0=False: _sharded_steps(k, uq0)[0]
+        sharded_eval = lambda k, uq0=False: _sharded_steps(k, uq0)[1]
     fused_k: Dict[int, int] = {}
     # the packed far-field kernel (now differentiable via its custom VJP)
     # wins on TPU when the far field runs at default precision
@@ -433,7 +437,7 @@ def train(
                         state, model, tc.loss, opt, *put(mb, n_real)
                     )
                 elif sharded_train is not None and pad % n_atoms_axis == 0:
-                    state, loss, _, mets = sharded_train(k)(
+                    state, loss, _, mets = sharded_train(k, bucket_uq0(bucket))(
                         state, *_batch_args(mb, n_real)
                     )
                 else:
@@ -452,7 +456,7 @@ def train(
                         state.params, model, tc.loss, *put(mb, n_real)
                     )
                 elif sharded_eval is not None and pad % n_atoms_axis == 0:
-                    loss, _, mets = sharded_eval(k)(
+                    loss, _, mets = sharded_eval(k, bucket_uq0(bucket))(
                         state.params, *_batch_args(mb, n_real)
                     )
                 else:

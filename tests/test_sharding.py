@@ -635,3 +635,109 @@ def test_scaling_work_divides(rng):
 
     f2, f8 = flops(2), flops(8)
     assert f8 < f2 / 2.5, (f2, f8)  # ideal 4.0x, slack for O(N·k) residue
+
+
+@needs_devices
+class TestShardedUniformQ0Collapse:
+    """Round-1 far-field collapse on the multi-chip forwards: with the
+    pad_molecules contract, uniform_q0=True must match the uncollapsed
+    sharded forward to association-level fp noise and keep conservation
+    (ops/fused.py::_forward_single_nbr documents the identity; the atom
+    form rebuilds the grid from replicated x, the ring form from O(E)
+    collectives)."""
+
+    @staticmethod
+    def _contract_batch(seed=0, n_mols=2, natoms=40, pad_to=48):
+        from epnn_tpu.data.dataset import pad_molecules, uniform_q0_contract
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+
+        g = np.random.default_rng(seed)
+        mols = [
+            Molecule(
+                name=f"m{i}",
+                symbols=list(g.choice(["H", "C", "N", "O", "S"], natoms)),
+                xyz=g.uniform(0, 8, (natoms, 3)).astype(np.float32),
+                total_charge=float(i - 1),
+            )
+            for i in range(n_mols)
+        ]
+        b = pad_molecules(mols, table_for_n_elems(10), pad_to=pad_to)
+        assert uniform_q0_contract(b.x, b.q0, b.node_mask)
+        return b
+
+    @staticmethod
+    def _cfg_fused(mask_messages=True):
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2,
+                         mask_messages=mask_messages)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        return cfg, fuse_params(params, cfg)
+
+    @pytest.mark.parametrize("mask_messages", [True, False])
+    def test_atom_nbr_collapse_matches(self, rng, mask_messages):
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg, fused = self._cfg_fused(mask_messages)
+        b = self._contract_batch()
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        args = (fused, b.x, b.q0, b.xyz, b.node_mask, cfg, mesh)
+        base = np.asarray(forward_atom_sharded_nbr_batch(*args, k=16))
+        col = np.asarray(forward_atom_sharded_nbr_batch(
+            *args, k=16, uniform_q0=True))
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(col - base).max() < 1e-5 * scale
+        want = (b.q0 * b.node_mask).sum(1)
+        np.testing.assert_allclose(col.sum(1), want, atol=2e-5)
+
+    def test_ring_nbr_collapse_matches(self, rng):
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg, fused = self._cfg_fused()
+        b = self._contract_batch()
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        args = (fused, b.x, b.q0, b.xyz, b.node_mask, cfg, mesh)
+        base = np.asarray(forward_ring_sharded_nbr_batch(*args, k_blk=12))
+        col = np.asarray(forward_ring_sharded_nbr_batch(
+            *args, k_blk=12, uniform_q0=True))
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(col - base).max() < 1e-5 * scale
+        want = (b.q0 * b.node_mask).sum(1)
+        np.testing.assert_allclose(col.sum(1), want, atol=2e-5)
+
+    def test_sharded_train_step_collapse_tracks(self, rng):
+        """make_sharded_train_step(uniform_q0=True) losses track the
+        uncollapsed step step-for-step (atom mode; the remat'd backward
+        runs through the collapsed round)."""
+        import optax
+
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.train.loop import TrainState
+
+        cfg, _ = self._cfg_fused()
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        b = self._contract_batch()
+        y = np.asarray(
+            np.random.default_rng(1).normal(size=b.q0.shape), np.float32)
+        w = np.ones((b.x.shape[0],), np.float32)
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        opt = optax.adam(3e-3)
+
+        losses = {}
+        for uq0 in (False, True):
+            step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=16,
+                                           uniform_q0=uq0)
+            state = TrainState(params=params, opt_state=opt.init(params),
+                               step=0)
+            ls = []
+            for _ in range(3):
+                state, loss, _, _ = step(state, b.x, b.q0, b.xyz,
+                                         b.node_mask, y, w)
+                ls.append(float(loss))
+            losses[uq0] = ls
+        assert losses[True][-1] < losses[True][0]
+        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
