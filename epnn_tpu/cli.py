@@ -128,6 +128,8 @@ def cmd_infer(args):
     kw = {}
     if getattr(args, "renormalize", False):
         kw["renormalize"] = True
+    if getattr(args, "no_collapse_round1", False):
+        kw["collapse_round1"] = "off"
     shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
     if shard:
         from epnn_tpu.parallel import make_mesh
@@ -204,8 +206,11 @@ def cmd_bench(args):
     from epnn_tpu.data import load_molecule, pad_molecules
     from epnn_tpu.elements import table_for_n_elems
     from epnn_tpu.infer import Predictor
+    kw = {}
+    if getattr(args, "no_collapse_round1", False):
+        kw["collapse_round1"] = "off"
     pred = _make_predictor(
-        args, reuse_neighbors=getattr(args, "reuse_neighbors", False))
+        args, reuse_neighbors=getattr(args, "reuse_neighbors", False), **kw)
     mol = load_molecule(args.path)
     table = table_for_n_elems(pred.cfg.n_elems)
     batch = pad_molecules([mol], table)
@@ -258,6 +263,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "to the reference, <=1e-5 e); fast: default "
                             "matmul precision (conservation stays exact, "
                             "~8%% lower latency)")
+        p.add_argument("--no-collapse-round1", action="store_true",
+                       help="disable the round-1 far-field collapse (auto-"
+                            "detected per batch; measured bitwise-identical "
+                            "on TPU — this flag pins the uncollapsed "
+                            "summation order for strict audits)")
 
     p = sub.add_parser("infer", help="predict charges")
     _ckpt_args(p)

@@ -63,6 +63,14 @@ def test_train_and_infer_cli(tmp_path, toy_molecules):
     q = np.load(preds / files[0])
     assert np.isfinite(q).all()
 
+    # --no-collapse-round1 pins the uncollapsed summation order; outputs
+    # must agree with the default (auto-collapse) run to fp noise
+    preds_nc = tmp_path / "preds_nc"
+    main(["infer", "--checkpoint", str(out / "best"), str(data), "--out",
+          str(preds_nc), "--no-collapse-round1"])
+    q_nc = np.load(preds_nc / files[0])
+    np.testing.assert_allclose(q_nc, q, atol=1e-5)
+
     # fine-tune from the run's best checkpoint through the fused big-graph
     # path (--dense-max-atoms below the bucket width forces the dispatch)
     out2 = tmp_path / "run2"
