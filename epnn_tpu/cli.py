@@ -209,6 +209,8 @@ def cmd_bench(args):
     kw = {}
     if getattr(args, "no_collapse_round1", False):
         kw["collapse_round1"] = "off"
+    if getattr(args, "neighbor_skin", 0.0):
+        kw["neighbor_skin"] = args.neighbor_skin
     pred = _make_predictor(
         args, reuse_neighbors=getattr(args, "reuse_neighbors", False), **kw)
     mol = load_molecule(args.path)
@@ -324,6 +326,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving/MD mode: build the neighbor list once and "
                         "reuse it every iteration (bitwise-identical "
                         "charges; ~40%% faster at protein scale)")
+    p.add_argument("--neighbor-skin", type=float, default=0.0,
+                   help="Verlet-skin MD serving (needs --reuse-neighbors): "
+                        "select once at cutoff+skin, re-gather only the "
+                        "O(N*k) pair distances each step until any atom "
+                        "drifts past skin/2 — the honest per-step cost of "
+                        "an MD loop with moving coordinates (exact charges)")
     p.add_argument("--per-call", action="store_true",
                    help="time independent per-call block_until_ready "
                         "round-trips instead of the serialized-chain "

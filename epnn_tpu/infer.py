@@ -83,6 +83,22 @@ class Predictor:
     #: bounds are cached per batch (geometry-fingerprinted) and rounded up
     #: so similar geometries share a compiled program.
     neighbor_method: str = "auto"
+    #: Verlet-skin neighbor lists for MD serving (requires
+    #: ``reuse_neighbors=True``): the selection runs ONCE at
+    #: ``cutoff + neighbor_skin`` and stays valid while no atom drifts more
+    #: than skin/2 from the build geometry (the standard Verlet criterion —
+    #: any pair now within the cutoff was within cutoff+skin at build
+    #: time); each call only re-gathers the (N, k, 3) pair distances from
+    #: the CURRENT coordinates (:func:`epnn_tpu.ops.fused.
+    #: refresh_neighbor_d2`, O(N·k)) instead of re-running the O(N²) /
+    #: cell-list selection.  Charges are EXACT for the new geometry: shell
+    #: pairs beyond the cutoff carry exactly-zero envelope features and
+    #: zero pass gates, and the skin list is symmetric, so conservation's
+    #: antisymmetry argument is unchanged.  The drift check is a cheap
+    #: host-side O(B·N) max-displacement scan; exceeding skin/2 rebuilds
+    #: automatically.  0.0 disables (plain reuse: any coordinate change
+    #: rebuilds via the CRC staleness guard).
+    neighbor_skin: float = 0.0
     #: Round-1 far-field collapse: message round 1 runs with h = 0 and
     #: q = q0, so when every valid atom of a graph carries the same initial
     #: charge (the ``pad_molecules`` convention q0 = Q/n) and the atom
@@ -109,6 +125,14 @@ class Predictor:
         self._k_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
         self._nbr_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
         self._grid_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        # Verlet-skin state: batch -> (xyz0 copy, idx, nbr_mask) built at
+        # cutoff + neighbor_skin; valid while max displacement <= skin/2
+        self._skin_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        self.skin_rebuilds = 0  # observability: MD loops can track rebuilds
+        if self.neighbor_skin < 0:
+            raise ValueError("neighbor_skin must be >= 0")
+        if self.neighbor_skin > 0 and not self.reuse_neighbors:
+            raise ValueError("neighbor_skin requires reuse_neighbors=True")
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -272,6 +296,15 @@ class Predictor:
         )
         if mode == "dense":
             q = self._dense(batch.x, batch.q0, batch.xyz, batch.node_mask)
+        elif self.neighbor_skin > 0:
+            nbrs = self._neighbors_skin(batch)
+            q = forward_blocked(
+                self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
+                self.cfg, block=min(self.block, batch.padded_atoms),
+                neighbor_k=int(nbrs[0].shape[-1]),
+                use_pallas=self._use_pallas(), neighbors=nbrs,
+                uniform_q0=self._uniform_q0(batch),
+            )
         else:
             k = self._neighbor_k(batch)
             q = forward_blocked(
@@ -283,6 +316,43 @@ class Predictor:
                 uniform_q0=self._uniform_q0(batch),
             )
         return np.asarray(q)
+
+    def _neighbors_skin(self, batch: MolBatch):
+        """Verlet-skin (idx, nbr_mask, d2) for the CURRENT coordinates (see
+        ``neighbor_skin``): selection at cutoff + skin once per drift
+        window, then one O(N·k) distance re-gather per call."""
+        from epnn_tpu.data.dataset import round_up
+        from epnn_tpu.ops.fused import (build_neighbors_batch,
+                                        max_neighbor_count,
+                                        refresh_neighbor_d2)
+
+        xyz = np.asarray(batch.xyz)
+        cached = self._skin_cache.get(batch)
+        if cached is not None:
+            xyz0, idx, nbr_mask = cached
+            if xyz.shape == xyz0.shape:
+                disp2 = float(
+                    (((xyz - xyz0) ** 2).sum(-1)
+                     * (np.asarray(batch.node_mask) > 0)).max())
+                if disp2 <= (self.neighbor_skin / 2.0) ** 2:
+                    d2 = refresh_neighbor_d2(batch.xyz, idx)
+                    return (idx, nbr_mask, d2)
+        cutoff_sel = self.cfg.cutoff + self.neighbor_skin
+        k = max(
+            max_neighbor_count(batch.xyz[b], batch.node_mask[b], cutoff_sel)
+            for b in range(batch.batch_size)
+        )
+        k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
+        idx, nbr_mask, d2 = (
+            np.asarray(a) for a in jax.block_until_ready(
+                build_neighbors_batch(batch.xyz, batch.node_mask,
+                                      float(cutoff_sel), int(k))))
+        self.skin_rebuilds += 1
+        try:
+            self._skin_cache[batch] = (xyz.copy(), idx, nbr_mask)
+        except TypeError:
+            pass
+        return (idx, nbr_mask, d2)
 
     def _neighbor_grid(self, batch: MolBatch):
         """Static (ncells_pad, cell_cap) for the cell-list builder, or None
@@ -372,6 +442,25 @@ class Predictor:
         )
         if mode == "dense":
             fn = lambda q0_in: self._dense(x, q0_in, xyz, mask)  # noqa: E731
+        elif self.neighbor_skin > 0:
+            # honest MD-step cost: the per-step O(N·k) distance re-gather
+            # runs INSIDE the timed call (only the cutoff+skin selection is
+            # amortized across the drift window)
+            from epnn_tpu.ops.fused import refresh_neighbor_d2
+
+            idx0, mask0, _ = self._neighbors_skin(batch)
+            idx0, mask0 = jax.device_put(idx0), jax.device_put(mask0)
+            block = min(self.block, batch.padded_atoms)
+            uq0 = self._uniform_q0(batch)
+            k_skin = int(idx0.shape[-1])
+
+            def fn(q0_in):
+                d2 = refresh_neighbor_d2(xyz, idx0)
+                return forward_blocked(
+                    self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
+                    neighbor_k=k_skin, use_pallas=self._use_pallas(),
+                    neighbors=(idx0, mask0, d2), uniform_q0=uq0,
+                )
         else:
             k = max(self._neighbor_k(batch), 1)
             nbrs = self._neighbors(batch, k)

@@ -327,6 +327,26 @@ def build_neighbors_batch(
     )
 
 
+@jax.jit
+def refresh_neighbor_d2(xyz: jax.Array, idx: jax.Array) -> jax.Array:
+    """(B, N, k) squared distances for a FIXED neighbor index table from
+    CURRENT coordinates — the Verlet-skin serving primitive: one (N, k, 3)
+    gather + subtract/square/sum per graph, O(N·k) instead of the O(N²)
+    selection.
+
+    Same fp ops as :func:`block_neighbor_select`'s scoring (subtract,
+    square, sum over 3 on the same f32 coordinates), so within-cutoff
+    slots match a fresh selection's d² to the bit in practice; exactness
+    of the downstream charges does not depend on that — any faithful d²
+    feeds the same envelope/RBF math, and slots beyond the cutoff produce
+    exactly-zero features (the superset contract,
+    :func:`build_neighbors`).  Invalid slots gather arbitrary rows; the
+    caller's ``nbr_mask`` zeroes them downstream as always."""
+    return jax.vmap(
+        lambda z, i: jnp.sum((z[:, None, :] - z[i]) ** 2, axis=-1)
+    )(xyz, idx)
+
+
 def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
     """Host-side exact max neighbor count (for choosing a safe static k)."""
     import numpy as np

@@ -916,3 +916,99 @@ class TestUniformQ0Collapse:
                         collapse_round1="off").predict_batch(b)
         scale = np.abs(off).max() + 1.0
         assert np.abs(on - off).max() < 1e-5 * scale
+
+
+class TestVerletSkin:
+    """Verlet-skin MD serving (Predictor(neighbor_skin=...)): selection at
+    cutoff+skin once per drift window, O(N·k) distance re-gather per call.
+    Charges must be exact for every geometry (shell pairs carry exactly-zero
+    envelope features), and the rebuild must fire when drift exceeds
+    skin/2."""
+
+    @staticmethod
+    def _batch(seed=0, natoms=48, pad_to=48):
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+
+        g = np.random.default_rng(seed)
+        mol = Molecule(
+            name="md0",
+            symbols=list(g.choice(["H", "C", "N", "O"], natoms)),
+            xyz=g.uniform(0, 7, (natoms, 3)).astype(np.float32),
+            total_charge=1.0,
+        )
+        return pad_molecules([mol], table_for_n_elems(10), pad_to=pad_to)
+
+    @staticmethod
+    def _preds(cfg, params):
+        from epnn_tpu.infer import Predictor
+
+        skin = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                         reuse_neighbors=True, neighbor_skin=0.5)
+        fresh = Predictor(params=params, cfg=cfg, force_mode="blocked")
+        return skin, fresh
+
+    def test_refresh_d2_matches_builder(self, rng):
+        from epnn_tpu.ops.fused import (build_neighbors_batch,
+                                        refresh_neighbor_d2)
+
+        b = self._batch()
+        idx, m, d2_built = (np.asarray(a) for a in build_neighbors_batch(
+            b.xyz, b.node_mask, 3.0, 16))
+        d2_re = np.asarray(refresh_neighbor_d2(b.xyz, idx))
+        np.testing.assert_array_equal(d2_re * m, d2_built * m)
+
+    def test_md_loop_exact_and_rebuilds(self):
+        from epnn_tpu.models import init_params
+
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        skin, fresh = self._preds(cfg, params)
+        b = self._batch()
+        g = np.random.default_rng(7)
+
+        q = skin.predict_batch(b)
+        assert skin.skin_rebuilds == 1
+        np.testing.assert_allclose(q, fresh.predict_batch(self._batch()),
+                                   atol=1e-5)
+
+        # small drift (< skin/2 = 0.25): NO rebuild, charges stay exact
+        for step in range(3):
+            b.xyz += (g.uniform(-1, 1, b.xyz.shape) * 0.04).astype(
+                np.float32) * b.node_mask[..., None]
+            q = skin.predict_batch(b)
+            ref_b = self._batch()
+            ref_b.xyz[:] = b.xyz
+            q_ref = fresh.predict_batch(ref_b)
+            scale = np.abs(q_ref).max() + 1.0
+            assert np.abs(q - q_ref).max() < 1e-5 * scale, f"step {step}"
+            cons = (q * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1)
+            assert np.abs(cons).max() < 1e-5 * scale
+        assert skin.skin_rebuilds == 1
+
+        # large drift (> skin/2): rebuild fires, charges still exact
+        b.xyz += (g.uniform(-1, 1, b.xyz.shape) * 0.4).astype(
+            np.float32) * b.node_mask[..., None]
+        q = skin.predict_batch(b)
+        assert skin.skin_rebuilds == 2
+        ref_b = self._batch()
+        ref_b.xyz[:] = b.xyz
+        q_ref = fresh.predict_batch(ref_b)
+        scale = np.abs(q_ref).max() + 1.0
+        assert np.abs(q - q_ref).max() < 1e-5 * scale
+
+    def test_skin_requires_reuse(self):
+        from epnn_tpu.infer import Predictor
+        from epnn_tpu.models import init_params
+
+        cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8,), T=1)
+        params = init_params(cfg, jax.random.key(0))
+        with pytest.raises(ValueError, match="reuse_neighbors"):
+            Predictor(params=params, cfg=cfg, neighbor_skin=0.5)
+        with pytest.raises(ValueError, match=">= 0"):
+            Predictor(params=params, cfg=cfg, reuse_neighbors=True,
+                      neighbor_skin=-1.0)
