@@ -496,6 +496,30 @@ class Predictor:
             on_tpu = False
         return on_tpu and dense_prec in ("default", "int8")
 
+    def predict_trajectory(
+        self, mol: Molecule, frames: np.ndarray,
+        pad_to: Optional[int] = None,
+    ) -> np.ndarray:
+        """(T, natoms) charges for an MD trajectory of one molecule.
+
+        ``frames`` is (T, natoms, 3).  ONE padded batch is built and its
+        coordinates are mutated in place per frame — with
+        ``reuse_neighbors=True, neighbor_skin=S`` the O(N²)/cell-list
+        selection therefore runs only when cumulative drift exceeds S/2
+        (the per-step work is the O(N·k) distance re-gather + the forward;
+        see ``neighbor_skin``).  Charges are exact per frame."""
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 3 or frames.shape[1:] != (mol.natoms, 3):
+            raise ValueError(
+                f"frames must be (T, {mol.natoms}, 3), got {frames.shape}")
+        table = table_for_n_elems(self.cfg.n_elems)
+        batch = pad_molecules([mol], table, pad_to=pad_to)
+        out = np.empty((len(frames), mol.natoms), np.float32)
+        for t in range(len(frames)):
+            batch.xyz[0, : mol.natoms] = frames[t]
+            out[t] = self.predict_batch(batch)[0, : mol.natoms]
+        return out
+
     def predict_molecules(
         self, mols: Sequence[Molecule], pad_to: Optional[int] = None
     ) -> List[np.ndarray]:

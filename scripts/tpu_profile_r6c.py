@@ -115,7 +115,48 @@ def stage_mixed():
               flush=True)
 
 
+def stage_skin():
+    """Verlet-skin MD-step cost vs plain reuse (protein + 17,760).
+
+    skin: d2 re-gather (O(N·k)) INSIDE the timed step — the honest cost of
+    an MD loop with moving coordinates.  reuse: fixed-geometry lower bound."""
+    from epnn_tpu.ops.fused import refresh_neighbor_d2
+
+    params, cfg, table, fused = load_decay()
+    c = cfg.replace(matmul_precision="default")
+    put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
+    for n in (2220, 17760):
+        mol = synth_molecule(n, np.random.default_rng(0))
+        bb = pad_molecules([mol], table, pad_to=n)
+        x, q0, z, m = (put(bb.x), put(bb.q0), put(bb.xyz),
+                       put(bb.node_mask))
+        for skin in (0.0, 0.5):
+            cut = c.cutoff + skin
+            k = int(round_up(max_neighbor_count(
+                bb.xyz[0], bb.node_mask[0], cut) + 4, 8))
+            nbrs = jax.block_until_ready(build_neighbors(
+                z[0], m[0], cut, k, with_d2=True))
+            idx0, m0, d20 = (a[None] for a in nbrs)
+
+            if skin:
+                def step(qc, idx0=idx0, m0=m0, k=k):
+                    d2 = refresh_neighbor_d2(z, idx0)
+                    return forward_blocked(
+                        fused, x, qc, z, m, c, block=256, neighbor_k=k,
+                        use_pallas=True, neighbors=(idx0, m0, d2),
+                        uniform_q0=True)
+            else:
+                def step(qc, nb=(idx0, m0, d20), k=k):
+                    return forward_blocked(
+                        fused, x, qc, z, m, c, block=256, neighbor_k=k,
+                        use_pallas=True, neighbors=nb, uniform_q0=True)
+
+            scan_time(f"N={n} skin={skin} k={k}", step, q0,
+                      iters=8 if n > 4000 else 15)
+
+
 if __name__ == "__main__":
-    stages = sys.argv[1:] or ["trace", "mixed"]
+    stages = sys.argv[1:] or ["trace", "mixed", "skin"]
     for s in stages:
-        {"trace": stage_trace, "mixed": stage_mixed}[s]()
+        {"trace": stage_trace, "mixed": stage_mixed,
+         "skin": stage_skin}[s]()

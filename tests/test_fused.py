@@ -1012,3 +1012,32 @@ class TestVerletSkin:
         with pytest.raises(ValueError, match=">= 0"):
             Predictor(params=params, cfg=cfg, reuse_neighbors=True,
                       neighbor_skin=-1.0)
+
+    def test_predict_trajectory(self):
+        """predict_trajectory drives the skin loop over frames and matches
+        per-frame fresh predictions."""
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.models import init_params
+
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        skin, fresh = self._preds(cfg, params)
+        g = np.random.default_rng(3)
+        natoms = 48
+        mol = Molecule(name="traj",
+                       symbols=list(g.choice(["H", "C", "O"], natoms)),
+                       xyz=g.uniform(0, 7, (natoms, 3)).astype(np.float32),
+                       total_charge=0.0)
+        frames = mol.xyz[None] + np.cumsum(
+            g.uniform(-1, 1, (4, natoms, 3)) * 0.03, axis=0
+        ).astype(np.float32)
+        qs = skin.predict_trajectory(mol, frames)
+        assert qs.shape == (4, natoms)
+        assert skin.skin_rebuilds == 1  # drift stays within skin/2
+        for t in range(4):
+            m_t = Molecule(name="f", symbols=mol.symbols, xyz=frames[t],
+                           total_charge=0.0)
+            q_ref = fresh.predict_molecules([m_t])[0]
+            scale = np.abs(q_ref).max() + 1.0
+            assert np.abs(qs[t] - q_ref).max() < 1e-5 * scale, t
