@@ -1041,3 +1041,37 @@ class TestVerletSkin:
             q_ref = fresh.predict_molecules([m_t])[0]
             scale = np.abs(q_ref).max() + 1.0
             assert np.abs(qs[t] - q_ref).max() < 1e-5 * scale, t
+
+
+@pytest.mark.parametrize("variant", ["bfloat16", "two_mids", "soft_envelope"])
+def test_uniform_q0_collapse_config_variants(variant):
+    """The round-1 collapse must track the uncollapsed forward across the
+    config surface: bf16 compute (the collapse rides the f32 recursion the
+    bf16 branch dispatches to), stacked mid layers (generic _packed_mids
+    chain over the grid), and soft-envelope pass weighting (untouched by
+    the collapse)."""
+    from epnn_tpu.models import init_params
+
+    kw = dict(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+              mlp_hidden=(8, 8), T=2)
+    if variant == "two_mids":
+        kw["mlp_hidden"] = (8, 8, 8)
+    if variant == "soft_envelope":
+        kw["pass_weighting"] = "soft_envelope"
+    cfg = EPNNConfig(**kw)
+    if variant == "bfloat16":
+        cfg = cfg.replace(compute_dtype="bfloat16")
+    params = init_params(cfg, jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.3 if a.ndim == 1 else a, params)
+    fused = fuse_params(params, cfg)
+    b = TestUniformQ0Collapse._contract_batch()
+    args = (fused, b.x, b.q0, b.xyz, b.node_mask, cfg)
+    base = np.asarray(forward_blocked(*args, block=16, neighbor_k=12))
+    col = np.asarray(forward_blocked(*args, block=16, neighbor_k=12,
+                                     uniform_q0=True))
+    scale = np.abs(base).max() + 1.0
+    tol = 2e-2 if variant == "bfloat16" else 1e-5
+    assert np.abs(col - base).max() < tol * scale
+    cons = np.abs((col * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1))
+    assert np.all(cons < 1e-4 * scale)
