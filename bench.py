@@ -205,6 +205,31 @@ def main():
         md_ms, q_md = measure(c, neighbors=nbrs)
         extra["md_mode_ms"] = round(md_ms, 3)
         extra["md_mode_matches_fast"] = float(np.abs(q_md - q_fast).max())
+
+        # MD with MOVING coordinates (Verlet skin, round 6): selection at
+        # cutoff+skin amortized over the drift window; the per-step cost —
+        # the O(N·k) distance re-gather + forward — runs inside the chain
+        from epnn_tpu.ops.fused import refresh_neighbor_d2
+
+        skin = 0.5
+        k_sk = round_up(max_neighbor_count(
+            batch.xyz[0], batch.node_mask[0], cfg.cutoff + skin) + 4, 8)
+        idx0, m0, _ = (jax.device_put(np.asarray(a)) for a in
+                       build_neighbors_batch(xyz_d, mask_d,
+                                             cfg.cutoff + skin, int(k_sk)))
+
+        def fn_skin(q0_in):
+            d2 = refresh_neighbor_d2(xyz_d, idx0)
+            return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
+                                   block=block, neighbor_k=int(k_sk),
+                                   use_pallas=on_tpu,
+                                   neighbors=(idx0, m0, d2),
+                                   uniform_q0=uq0)
+
+        q_sk = np.asarray(fn_skin(q0_d))[0]
+        chain_time(fn_skin, q0_d, iters)  # discard post-compile loop
+        extra["md_skin_ms"] = round(chain_time(fn_skin, q0_d, iters), 3)
+        extra["md_skin_matches_fast"] = float(np.abs(q_sk - q_fast).max())
     except Exception as e:  # never let the extra kill the headline
         extra["md_mode_error"] = f"{type(e).__name__}: {e}"[:200]
 
