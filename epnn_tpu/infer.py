@@ -257,11 +257,26 @@ class Predictor:
             from epnn_tpu.parallel.atom_shard import (
                 forward_atom_sharded_nbr_batch)
 
-            k = self._neighbor_k(batch)
+            nbrs = None
+            if self.reuse_neighbors:
+                # serving/MD reuse on the mesh: precomputed (B, N, k)
+                # tables, row-padded to the mesh widths (padded rows are
+                # masked atoms; idx 0 gathers valid data that nbr_mask
+                # zeroes downstream)
+                if self.neighbor_skin > 0:
+                    nbrs = self._neighbors_skin(batch)
+                else:
+                    nbrs = self._neighbors(batch, max(self._neighbor_k(batch), 1))
+                nbrs = tuple(
+                    np.pad(np.asarray(a),
+                           [(0, bp - b), (0, np_ - n), (0, 0)])
+                    for a in nbrs)
+            k = int(nbrs[0].shape[-1]) if nbrs is not None \
+                else self._neighbor_k(batch)
             q = np.asarray(forward_atom_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k=max(k, 1), use_pallas=self._use_pallas(),
-                uniform_q0=self._uniform_q0(batch)))
+                uniform_q0=self._uniform_q0(batch), neighbors=nbrs))
             return q[:b, :n]
         from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
 
@@ -282,12 +297,16 @@ class Predictor:
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
         if self.mesh is not None:
-            if self.reuse_neighbors:
+            if self.reuse_neighbors and (
+                self.shard_mode != "atom"
+                or batch.padded_atoms <= DENSE_MAX_ATOMS
+            ):
                 import warnings
 
                 warnings.warn(
-                    "reuse_neighbors has no effect on the multi-chip path "
-                    "(the sharded forwards select pairs per shard)",
+                    "reuse_neighbors only affects the atom-sharded "
+                    "big-graph path on a mesh (the ring/dense sharded "
+                    "forwards select pairs per shard)",
                     stacklevel=2,
                 )
             return self._predict_batch_sharded(batch)

@@ -183,9 +183,20 @@ def forward_atom_sharded_nbr_batch(
     use_pallas: bool = False,
     remat: bool = False,
     uniform_q0: bool = False,
+    neighbors: "Optional[tuple]" = None,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
+
+    ``neighbors`` — optional precomputed ``(idx, nbr_mask, d2)`` batch
+    tables, each (B, N, k) with global column indices (the
+    :func:`epnn_tpu.ops.fused.build_neighbors_batch` /
+    ``refresh_neighbor_d2`` contract, same as ``forward_blocked``'s
+    ``neighbors=``): serving/MD loops skip the per-call in-forward
+    selection; the tables shard over (data, atoms) so each device gets
+    exactly its rows.  Same candidate sets as in-forward selection (top_k
+    is per row); d² can differ in the last ulp across the two scoring
+    shapes, so outputs agree to fp noise rather than bitwise.
 
     ``uniform_q0`` (static) — caller asserts the pad_molecules round-1
     collapse contract (:func:`epnn_tpu.data.dataset.uniform_q0_contract`);
@@ -245,6 +256,7 @@ def forward_atom_sharded_nbr_batch(
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
             mesh, k=k, use_pallas=False, remat=remat, uniform_q0=uniform_q0,
+            neighbors=neighbors,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -266,8 +278,14 @@ def forward_atom_sharded_nbr_batch(
         getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
 
-    def fwd_rows(fused, x_f, q0_f, xyz_f, mask_f):
-        """One graph on one device: my R pair-grid rows vs all N atoms."""
+    def fwd_rows(fused, x_f, q0_f, xyz_f, mask_f, nbr_rows=None):
+        """One graph on one device: my R pair-grid rows vs all N atoms.
+
+        ``nbr_rows`` — optional precomputed (idx, nbr_mask, d2) slices for
+        MY rows, each (R, k) with GLOBAL column indices (the caller shards
+        a full (N, k) table over the atoms axis — serving/MD reuse,
+        mirroring forward_blocked's ``neighbors=``); same candidate sets
+        as the in-forward selection (top_k is per row), d² to the ulp."""
         r0 = jax.lax.axis_index(ATOM_AXIS) * r
         xyz_rows = jax.lax.dynamic_slice_in_dim(xyz_f, r0, r, 0)
         mask_rows = jax.lax.dynamic_slice_in_dim(mask_f, r0, r, 0)
@@ -280,9 +298,12 @@ def forward_atom_sharded_nbr_batch(
         # distance recomputation in featurization.
         from epnn_tpu.ops.fused import block_neighbor_select, rbf_and_gate
 
-        idx, nbr_mask, d2_nbr = block_neighbor_select(
-            xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k,
-            with_d2=True)
+        if nbr_rows is None:
+            idx, nbr_mask, d2_nbr = block_neighbor_select(
+                xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k,
+                with_d2=True)
+        else:
+            idx, nbr_mask, d2_nbr = nbr_rows
         nbr_mask = nbr_mask.astype(x_f.dtype)
         rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
                                          dtype=x_f.dtype)
@@ -458,26 +479,40 @@ def forward_atom_sharded_nbr_batch(
     local_b = b // n_dp
     rep = P()
 
+    # precomputed (B, N, k) neighbor tables shard over (data, atoms): each
+    # device receives exactly its rows' slices (global column indices)
+    nbr_specs = (rows, rows, rows) if neighbors is not None else ()
+
     @functools.partial(
         shard_map, mesh=mesh,
         # fused rides as an explicit replicated operand: a closure capture
         # would carry Auto-mesh sharding annotations that jax.checkpoint
         # re-materializes inside the Manual (shard_map) context — a
         # mesh-type mismatch error under the remat'd backward
-        in_specs=(rep, full, full, full, full), out_specs=rows,
+        in_specs=(rep, full, full, full, full) + nbr_specs, out_specs=rows,
         check_vma=False,
     )
-    def run(fused, x_b, q0_b, xyz_b, mask_b):
+    def run(fused, x_b, q0_b, xyz_b, mask_b, *nbr_b):
+        nb = nbr_b if nbr_b else None
         if local_b == 1:
             # vmapped top_k is the documented ~9× TPU pathology — skip the
             # batch dim entirely for the common one-graph-per-data-shard case
-            return fwd_rows(fused, x_b[0], q0_b[0], xyz_b[0],
-                            mask_b[0])[None]
+            return fwd_rows(
+                fused, x_b[0], q0_b[0], xyz_b[0], mask_b[0],
+                None if nb is None else tuple(a[0] for a in nb))[None]
+        if nb is None:
+            return jax.vmap(
+                lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
+            )(x_b, q0_b, xyz_b, mask_b)
         return jax.vmap(
-            lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
-        )(x_b, q0_b, xyz_b, mask_b)
+            lambda a, b_, c, d, i_, m_, d2_: fwd_rows(
+                fused, a, b_, c, d, (i_, m_, d2_))
+        )(x_b, q0_b, xyz_b, mask_b, *nb)
 
-    return run(fused, x, q0, xyz, node_mask)
+    args = (fused, x, q0, xyz, node_mask)
+    if neighbors is not None:
+        args = args + tuple(neighbors)
+    return run(*args)
 
 
 def forward_atom_sharded(

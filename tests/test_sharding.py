@@ -741,3 +741,83 @@ class TestShardedUniformQ0Collapse:
             losses[uq0] = ls
         assert losses[True][-1] < losses[True][0]
         np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4)
+
+
+@needs_devices
+class TestShardedNeighborReuse:
+    """Precomputed-neighbor serving on the atom-sharded forward: the
+    (B, N, k) tables shard over (data, atoms), each device consumes its
+    row slices — outputs must be identical to in-forward selection (top_k
+    is per row), and the Predictor mesh path must use them when
+    reuse_neighbors / neighbor_skin are set."""
+
+    def test_forward_matches_inforward_selection(self, rng):
+        from epnn_tpu.ops.fused import build_neighbors_batch
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n, k = 2, 48, 16
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        nbrs = tuple(np.asarray(a) for a in build_neighbors_batch(
+            jax.numpy.asarray(xyz), jax.numpy.asarray(mask), cfg.cutoff, k))
+        base = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=k))
+        reuse = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=k, neighbors=nbrs))
+        # the precomputed d2 comes from build_neighbors' (N, N) scoring,
+        # the in-forward one from the shard's (R, N) slice — last-ulp d2
+        # differences are possible across the two shapes, so fp-noise
+        # tolerance, not bitwise
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(reuse - base).max() < 1e-5 * scale
+
+    def test_predictor_mesh_reuse_and_skin(self, rng, monkeypatch):
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)  # force the nbr path
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        g = np.random.default_rng(5)
+        natoms = 40
+        mol = Molecule(name="m",
+                       symbols=list(g.choice(["H", "C", "N", "O"], natoms)),
+                       xyz=g.uniform(0, 7, (natoms, 3)).astype(np.float32),
+                       total_charge=1.0)
+        b = pad_molecules([mol], table_for_n_elems(10), pad_to=40)
+        mesh = make_mesh(n_data=1, n_atoms=4)
+
+        base = Predictor(params=params, cfg=cfg, mesh=mesh).predict_batch(b)
+        reuse = Predictor(params=params, cfg=cfg, mesh=mesh,
+                          reuse_neighbors=True).predict_batch(b)
+        scale0 = np.abs(base).max() + 1.0
+        assert np.abs(reuse - base).max() < 1e-5 * scale0
+
+        skin_pred = Predictor(params=params, cfg=cfg, mesh=mesh,
+                              reuse_neighbors=True, neighbor_skin=0.5)
+        q0_ = skin_pred.predict_batch(b)
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(q0_ - base).max() < 1e-5 * scale
+        # drift within skin/2: no rebuild, still matches a fresh predictor
+        b.xyz += (g.uniform(-1, 1, b.xyz.shape) * 0.05).astype(
+            np.float32) * b.node_mask[..., None]
+        q1 = skin_pred.predict_batch(b)
+        assert skin_pred.skin_rebuilds == 1
+        q1_ref = Predictor(params=params, cfg=cfg, mesh=mesh).predict_batch(b)
+        assert np.abs(q1 - q1_ref).max() < 1e-5 * scale
