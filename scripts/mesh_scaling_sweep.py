@@ -65,8 +65,28 @@ def sweep(n=256, k=16, b=1):
             return forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, mask, cfg, mesh, k_blk=min(k, n // d))
 
+        def fc(fused, x, q0, xyz, mask):
+            # round-6: round-1 far-field collapse (q0 here is all-zero —
+            # uniform — and x is synthetic, so we just exercise the path)
+            return forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k=k, uniform_q0=True)
+
+        from epnn_tpu.ops.fused import build_neighbors_batch
+
+        nbrs = tuple(np.asarray(a) for a in build_neighbors_batch(
+            jax.numpy.asarray(xyz), jax.numpy.asarray(mask), cfg.cutoff, k))
+
+        def fs(fused, x, q0, xyz, mask, nbrs):
+            # round-6: precomputed-neighbor serving (tables shard over
+            # (data, atoms) — the per-device module must lose the O(N²/D)
+            # selection scoring but keep the far-field division)
+            return forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k=k, neighbors=nbrs)
+
         comp_a = jax.jit(fa).lower(fused, x, q0, xyz, mask).compile()
         comp_r = jax.jit(fr).lower(fused, x, q0, xyz, mask).compile()
+        comp_c = jax.jit(fc).lower(fused, x, q0, xyz, mask).compile()
+        comp_s = jax.jit(fs).lower(fused, x, q0, xyz, mask, nbrs).compile()
         step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=k)
         comp_t = step.lower(state, x, q0, xyz, mask, y, w).compile()
 
@@ -75,14 +95,17 @@ def sweep(n=256, k=16, b=1):
             ca = ca[0] if isinstance(ca, list) else ca
             return float(ca.get("flops", float("nan")))
 
-        rows[d] = (stats(comp_a), stats(comp_r), stats(comp_t))
+        rows[d] = (stats(comp_a), stats(comp_r), stats(comp_t),
+                   stats(comp_c), stats(comp_s))
 
     print(f"per-device SPMD-module flops, N={n}, k={k} "
-          "(atom-sharded nbr fwd / ring nbr fwd / sharded train step):")
-    print("| D | atom fwd | ring fwd | train step | atom 1/D ratio |")
-    print("|---|---|---|---|---|")
-    for d, (a, r, t) in rows.items():
-        print(f"| {d} | {a:.3g} | {r:.3g} | {t:.3g} | "
+          "(atom-sharded nbr fwd / ring nbr fwd / sharded train step / "
+          "r6 collapse fwd / r6 reuse fwd):")
+    print("| D | atom fwd | ring fwd | train step | collapse fwd | "
+          "reuse fwd | atom 1/D ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for d, (a, r, t, c_, s_) in rows.items():
+        print(f"| {d} | {a:.3g} | {r:.3g} | {t:.3g} | {c_:.3g} | {s_:.3g} | "
               f"{rows[1][0] / a:.2f}x |")
     return rows
 
