@@ -821,3 +821,66 @@ class TestShardedNeighborReuse:
         assert skin_pred.skin_rebuilds == 1
         q1_ref = Predictor(params=params, cfg=cfg, mesh=mesh).predict_batch(b)
         assert np.abs(q1 - q1_ref).max() < 1e-5 * scale
+
+
+def test_ring_training_uniform_q0_tracks():
+    """Ring-sharded training with the round-1 collapse (uniform_q0=True —
+    pmax/psum grid assembly under remat+grad) tracks the uncollapsed step's
+    losses.  Subprocess-isolated like test_ring_training_loss_decreases
+    (XLA:CPU virtual-device collective SIGABRT artifact)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import optax
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.parallel import make_mesh
+from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+from epnn_tpu.train.loop import TrainState
+from epnn_tpu.data.dataset import pad_molecules, uniform_q0_contract
+from epnn_tpu.data.xyz import Molecule
+from epnn_tpu.elements import table_for_n_elems
+
+cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                 mlp_hidden=(8, 8), T=2)
+params = init_params(cfg, jax.random.key(0))
+g = np.random.default_rng(0)
+mols = [Molecule(name=f"m{i}",
+                 symbols=list(g.choice(["H", "C", "N", "O"], 40)),
+                 xyz=g.uniform(0, 7, (40, 3)).astype(np.float32),
+                 total_charge=0.0) for i in range(2)]
+b = pad_molecules(mols, table_for_n_elems(10), pad_to=48)
+assert uniform_q0_contract(b.x, b.q0, b.node_mask)
+y = g.normal(size=b.q0.shape).astype(np.float32) * 0.1
+w = np.ones((2,), np.float32)
+mesh = make_mesh(n_data=2, n_atoms=4)
+opt = optax.adam(3e-3)
+losses = {}
+for uq0 in (False, True):
+    step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=12,
+                                   shard_mode="ring", uniform_q0=uq0)
+    st = TrainState(params=params, opt_state=opt.init(params), step=0)
+    ls = []
+    for _ in range(3):
+        st, loss, _, _ = step(st, b.x, b.q0, b.xyz, b.node_mask, y, w)
+        ls.append(float(loss))
+    losses[uq0] = ls
+assert losses[True][-1] < losses[True][0], losses
+assert np.allclose(losses[True], losses[False], rtol=1e-4), losses
+print("RING_UQ0_OK", losses[True])
+"""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run([sys.executable, "-c", code], cwd=root,
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "RING_UQ0_OK" in proc.stdout, proc.stdout
