@@ -362,10 +362,31 @@ class Predictor:
             for b in range(batch.batch_size)
         )
         k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
-        idx, nbr_mask, d2 = (
-            np.asarray(a) for a in jax.block_until_ready(
-                build_neighbors_batch(batch.xyz, batch.node_mask,
-                                      float(cutoff_sel), int(k))))
+        if (self.neighbor_method != "topk"
+                and batch.padded_atoms >= CELL_GRID_MIN_ATOMS):
+            # big graphs: the cell-list builder at cutoff+skin (the periodic
+            # rebuild would otherwise pay the O(N²)-scored top_k price —
+            # identical candidate sets, benchmarks/RESULTS.md round-4)
+            from epnn_tpu.ops.fused import build_neighbors_cell, \
+                cell_grid_params
+
+            nc, cap = 1, 1
+            for bi in range(batch.batch_size):
+                c_, p_ = cell_grid_params(batch.xyz[bi], batch.node_mask[bi],
+                                          float(cutoff_sel))
+                nc, cap = max(nc, c_), max(cap, p_)
+            nc, cap = round_up(nc, 512), round_up(cap, 4)
+            outs = [jax.block_until_ready(build_neighbors_cell(
+                batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
+                int(k), nc, cap, with_d2=True))
+                for bi in range(batch.batch_size)]
+            idx, nbr_mask, d2 = (np.stack([np.asarray(o[j]) for o in outs])
+                                 for j in range(3))
+        else:
+            idx, nbr_mask, d2 = (
+                np.asarray(a) for a in jax.block_until_ready(
+                    build_neighbors_batch(batch.xyz, batch.node_mask,
+                                          float(cutoff_sel), int(k))))
         self.skin_rebuilds += 1
         try:
             self._skin_cache[batch] = (xyz.copy(), idx, nbr_mask)

@@ -1013,6 +1013,27 @@ class TestVerletSkin:
             Predictor(params=params, cfg=cfg, reuse_neighbors=True,
                       neighbor_skin=-1.0)
 
+
+    def test_skin_cell_builder_branch(self, monkeypatch):
+        """Big-graph skin rebuilds route through the cell-list builder —
+        identical candidate SETS to the top_k build (slot order can differ
+        on d² ties), so charges match to fp association noise."""
+        import epnn_tpu.infer as I
+        from epnn_tpu.infer import Predictor
+        from epnn_tpu.models import init_params
+
+        monkeypatch.setattr(I, "CELL_GRID_MIN_ATOMS", 16)
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        b = self._batch()
+        kw = dict(params=params, cfg=cfg, force_mode="blocked",
+                  reuse_neighbors=True, neighbor_skin=0.5)
+        q_cell = Predictor(**kw).predict_batch(b)
+        q_topk = Predictor(neighbor_method="topk", **kw).predict_batch(b)
+        scale = np.abs(q_topk).max() + 1.0
+        assert np.abs(q_cell - q_topk).max() < 1e-5 * scale
+
     def test_predict_trajectory(self):
         """predict_trajectory drives the skin loop over frames and matches
         per-frame fresh predictions."""
