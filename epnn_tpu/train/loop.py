@@ -78,6 +78,12 @@ class TrainConfig:
     dense_max_atoms: int = 256
     #: row-block size for the fused training path
     fused_block: int = 256
+    #: round-1 far-field collapse on fused/sharded buckets (exact under the
+    #: pad_molecules contract, which is verified per bucket before use —
+    #: ~19% off the protein-scale train step, benchmarks/RESULTS.md round
+    #: 6).  False pins the uncollapsed round-1 summation order for strict
+    #: audits (the Predictor's collapse_round1='off' analog).
+    collapse_round1: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -397,6 +403,8 @@ def train(
     _uq0_cache: Dict[int, bool] = {}
 
     def bucket_uq0(bucket: MolBatch) -> bool:
+        if not tc.collapse_round1:
+            return False
         key = id(bucket)
         if key not in _uq0_cache:
             from epnn_tpu.data.dataset import uniform_q0_contract
