@@ -35,7 +35,15 @@ def make_mesh(
     """Build a (data, atoms) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_atoms
+        n_data = max(len(devices) // n_atoms, 1)
+    if n_data * n_atoms > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_atoms} atoms) needs "
+            f"{n_data * n_atoms} devices but only {len(devices)} are "
+            f"visible ({devices[0].platform}). On CPU, request virtual "
+            "devices BEFORE jax initializes: "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+        )
     if n_data * n_atoms != len(devices):
         devices = devices[: n_data * n_atoms]
     arr = np.asarray(devices).reshape(n_data, n_atoms)
