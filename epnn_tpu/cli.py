@@ -168,7 +168,10 @@ def cmd_eval_pol(args):
     from epnn_tpu.analysis import polarization_response, split_dimer
     from epnn_tpu.data import load_molecule
 
-    pred = _make_predictor(args)
+    kw = {}
+    if getattr(args, "no_collapse_round1", False):
+        kw["collapse_round1"] = "off"
+    pred = _make_predictor(args, **kw)
     dimer = load_molecule(args.dimer)
     monomers = None
     if args.monomers:
