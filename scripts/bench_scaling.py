@@ -13,7 +13,7 @@ import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from epnn_tpu.data.dataset import pad_molecules, round_up
+from epnn_tpu.data.dataset import pad_molecules, round_up, uniform_q0_contract
 from epnn_tpu.data.xyz import Molecule
 from epnn_tpu.elements import table_for_n_elems
 from epnn_tpu.io.tf_import import import_reference_model
@@ -73,14 +73,15 @@ for n in (555, 1110, 2220, 4440, 8880, 17760):
         np.asarray(prev)
         return 1e3 * (time.perf_counter() - t0) / it, q, compile_s
 
+    uq0 = uniform_q0_contract(b.x, b.q0, b.node_mask)
     ms_cold, q, compile_s = timed(
         lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg, block=256,
                                    neighbor_k=k, use_pallas=on_tpu,
-                                   neighbor_grid=grid))
+                                   neighbor_grid=grid, uniform_q0=uq0))
     ms_reuse, _, _ = timed(
         lambda qi: forward_blocked(fused, x, qi, xyz, mask, cfg, block=256,
                                    neighbor_k=k, use_pallas=on_tpu,
-                                   neighbors=nbrs))
+                                   neighbors=nbrs, uniform_q0=uq0))
     print(json.dumps({
         "natoms": n, "ms": round(ms_cold, 2),
         "ms_reuse_neighbors": round(ms_reuse, 2), "neighbor_k": int(k),
