@@ -19,6 +19,7 @@ import dataclasses
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from epnn_tpu.data.dataset import MolBatch, pad_molecules
@@ -535,6 +536,44 @@ class Predictor:
         except Exception:
             on_tpu = False
         return on_tpu and dense_prec in ("default", "int8")
+
+    def charge_position_vjp(self, batch: MolBatch,
+                            cotangent: np.ndarray) -> np.ndarray:
+        """(B, N, 3) pullback of the charges through atom positions:
+        ``Σ_i cotangent[b, i] · ∂q[b, i]/∂xyz[b]`` — the quantity an MD
+        integrator needs for charge-response forces when its energy
+        depends on the predicted charges (∂E/∂R = this with
+        cotangent = ∂E/∂q).
+
+        Differentiates the exact serving forward (blockwise neighbor
+        split): the within-cutoff candidate INDICES are integer outputs of
+        selection (no gradient, as in any cutoff-based MD force), while
+        the pair distances/features they gather are differentiable — the
+        cosine envelope is C¹ at the cutoff with value 0, so the gradient
+        is continuous as pairs enter/leave the neighbor list.  The
+        electron-pass hard gate is piecewise constant (zero gradient
+        almost everywhere), matching the model's own discontinuous gate
+        semantics.
+
+        Uses the single-chip blocked path (the gradient of a sharded
+        forward is a training concern — see make_sharded_train_step)."""
+        cot = jnp.asarray(cotangent, jnp.float32)
+        if cot.shape != batch.q0.shape:
+            raise ValueError(
+                f"cotangent must be (B, N) = {batch.q0.shape}, "
+                f"got {cot.shape}")
+        k = max(self._neighbor_k(batch), 1)
+        uq0 = self._uniform_q0(batch)
+        block = min(self.block, batch.padded_atoms)
+
+        def fwd(xyz):
+            return forward_blocked(
+                self._fused, batch.x, batch.q0, xyz, batch.node_mask,
+                self.cfg, block=block, neighbor_k=k,
+                use_pallas=self._use_pallas(), uniform_q0=uq0)
+
+        _, pull = jax.vjp(fwd, jnp.asarray(batch.xyz, jnp.float32))
+        return np.asarray(pull(cot)[0])
 
     def predict_trajectory(
         self, mol: Molecule, frames: np.ndarray,

@@ -1096,3 +1096,47 @@ def test_uniform_q0_collapse_config_variants(variant):
     assert np.abs(col - base).max() < tol * scale
     cons = np.abs((col * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1))
     assert np.all(cons < 1e-4 * scale)
+
+
+def test_charge_position_vjp_matches_fd():
+    """Predictor.charge_position_vjp agrees with central finite differences
+    of cot·q(xyz) on coordinates away from cutoff-crossing events, and is
+    zero on padding rows."""
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+
+    cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(11)
+    natoms = 20
+    mol = Molecule(name="fd",
+                   symbols=list(g.choice(["H", "C", "O"], natoms)),
+                   xyz=g.uniform(0, 5, (natoms, 3)).astype(np.float32),
+                   total_charge=0.0)
+    b = pad_molecules([mol], table_for_n_elems(10), pad_to=24)
+    pred = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    cot = g.normal(size=b.q0.shape).astype(np.float32) * b.node_mask
+
+    grad = pred.charge_position_vjp(b, cot)
+    assert grad.shape == b.xyz.shape
+    # padding rows receive zero pull
+    assert np.all(grad[0, natoms:] == 0.0)
+
+    # central differences on a few random (atom, axis) entries; f64 charge
+    # evaluation is unavailable, so tolerate f32 FD noise
+    def f(xyz):
+        bb = pad_molecules([mol], table_for_n_elems(10), pad_to=24)
+        bb.xyz[:] = xyz
+        return float((pred.predict_batch(bb) * cot).sum())
+
+    eps = 3e-3
+    for (i, a) in [(2, 0), (7, 1), (13, 2)]:
+        xp = b.xyz.copy(); xp[0, i, a] += eps
+        xm = b.xyz.copy(); xm[0, i, a] -= eps
+        fd = (f(xp) - f(xm)) / (2 * eps)
+        scale = max(abs(fd), np.abs(grad).max(), 1e-3)
+        assert abs(grad[0, i, a] - fd) < 5e-2 * scale, (i, a, fd, grad[0, i, a])
