@@ -77,9 +77,44 @@ def _protein_molecule():
                     total_charge=2.0), False
 
 
+def _tunnel_watchdog(timeout_s: float = 180.0):
+    """Fail FAST (one diagnostic JSON line, nonzero exit) if the TPU
+    backend is unreachable, instead of hanging the whole benchmark: a
+    wedged axon tunnel blocks even a 256×256 matmul indefinitely
+    (observed: multi-hour outage, CLAUDE.md round 6), and a hung RPC
+    cannot be interrupted from Python — so the probe runs in a daemon
+    thread and the main thread gives up after ``timeout_s``."""
+    import threading
+
+    import jax
+
+    ok = threading.Event()
+
+    def probe():
+        import numpy as _np
+
+        x = jax.device_put(_np.ones((256, 256), _np.float32))
+        jax.jit(lambda a: (a @ a).sum())(x).block_until_ready()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "protein_2220atom_inference_ms", "value": None,
+            "unit": "ms", "vs_baseline": None,
+            "error": f"TPU backend unreachable (probe hung {timeout_s:.0f}s)",
+            "device": "unknown",
+        }))
+        os._exit(1)
+
+
 def main():
     _setup_compile_cache()
     import jax
+
+    _tunnel_watchdog()
 
     from epnn_tpu.data.dataset import pad_molecules, round_up
     from epnn_tpu.elements import table_for_n_elems
