@@ -348,11 +348,28 @@ def refresh_neighbor_d2(xyz: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
-    """Host-side exact max neighbor count (for choosing a safe static k)."""
+    """Host-side exact max neighbor count (for choosing a safe static k).
+
+    Above ``_NEIGHBOR_BLOCK_THRESHOLD`` atoms the count is computed by
+    exact cell binning (vectorized O(N·27·cap) NumPy) instead of the
+    O(N²) pairwise scan — the scan costs seconds at 17,760 atoms, which
+    dominated every Verlet-skin rebuild in MD serving.  Both paths apply
+    the identical ``d² < cutoff²`` predicate in f64, and every true
+    neighbor is within ±1 cutoff-sided cell, so the results are equal by
+    construction (regression test: tests/test_fused.py)."""
     import numpy as np
 
     xyz = np.asarray(xyz, np.float64)
     mask = np.asarray(node_mask) > 0
+    if len(xyz) > _NEIGHBOR_BLOCK_THRESHOLD:
+        return _max_neighbor_count_cells(xyz, mask, cutoff)
+    return _max_neighbor_count_scan(xyz, mask, cutoff)
+
+
+def _max_neighbor_count_scan(xyz, mask, cutoff: float) -> int:
+    """The O(N²) blockwise pairwise scan (oracle for the cell-binned twin)."""
+    import numpy as np
+
     best = 0
     for s in range(0, len(xyz), 512):
         rows = slice(s, min(s + 512, len(xyz)))
@@ -362,6 +379,54 @@ def max_neighbor_count(xyz, node_mask, cutoff: float) -> int:
             near[r, s + r] = False  # exclude self
         best = max(best, int(near.sum(1).max()) if near.size else 0)
     return best
+
+
+def _max_neighbor_count_cells(xyz, mask, cutoff: float) -> int:
+    """Exact cell-binned twin of the O(N²) count (see
+    :func:`max_neighbor_count`): bin valid atoms into cutoff-sided cells,
+    table them as (ncells, cap) padded rows, gather each atom's 27
+    neighboring cells' members, and count ``d² < cutoff²`` in f64 —
+    identical predicate, candidate superset guaranteed by the cell side."""
+    import numpy as np
+
+    pts = xyz[mask]
+    n = len(pts)
+    if n == 0:
+        return 0
+    lo = pts.min(0)
+    cell = np.floor((pts - lo) / cutoff).astype(np.int64)
+    dims = cell.max(0) + 1
+    if int(np.prod(dims)) > 64 * n:
+        # sprawling geometry: the dense cell table would dwarf the O(N²)
+        # scan — compact the occupied cell ids instead of tabling them all
+        return _max_neighbor_count_scan(xyz, mask, cutoff)
+    strides = np.array([dims[1] * dims[2], dims[2], 1], np.int64)
+    cid = cell @ strides
+    order = np.argsort(cid, kind="stable")
+    cid_sorted = cid[order]
+    # rank within cell + capped table of member indices (+1; 0 = empty)
+    uniq, start, counts = np.unique(cid_sorted, return_index=True,
+                                    return_counts=True)
+    cap = int(counts.max())
+    rank = np.arange(n) - np.repeat(start, counts)
+    ncells = int(np.prod(dims))
+    table = np.zeros((ncells, cap), np.int64)
+    table[cid_sorted, rank] = order + 1
+    # 27-cell candidate gather per atom (clipped offsets may alias an
+    # existing cell id — that only ADDS candidates, never drops one, and
+    # the exact d² predicate discards them)
+    offs = np.array([[dx, dy, dz] for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dz in (-1, 0, 1)], np.int64)
+    nbr_cells = cell[:, None, :] + offs[None, :, :]          # (n, 27, 3)
+    valid_c = np.all((nbr_cells >= 0) & (nbr_cells < dims), axis=-1)
+    nbr_ids = np.clip(nbr_cells, 0, dims - 1) @ strides       # (n, 27)
+    cand = table[nbr_ids].reshape(n, 27 * cap)                # 1-based
+    cand_ok = (cand > 0) & np.repeat(valid_c, cap, axis=1)
+    ci = np.maximum(cand - 1, 0)
+    d2 = ((pts[:, None, :] - pts[ci]) ** 2).sum(-1)
+    near = cand_ok & (d2 < cutoff * cutoff) \
+        & (ci != np.arange(n)[:, None])
+    return int(near.sum(1).max())
 
 
 def _CELL_INV(cutoff: float) -> float:

@@ -1140,3 +1140,33 @@ def test_charge_position_vjp_matches_fd():
         fd = (f(xp) - f(xm)) / (2 * eps)
         scale = max(abs(fd), np.abs(grad).max(), 1e-3)
         assert abs(grad[0, i, a] - fd) < 5e-2 * scale, (i, a, fd, grad[0, i, a])
+
+
+def test_max_neighbor_count_cell_binned_matches_scan():
+    """The cell-binned large-N count equals the O(N²) oracle exactly —
+    same f64 predicate, candidate superset by construction — including
+    coincident atoms, masked padding, and a sprawling-geometry fallback."""
+    from epnn_tpu.ops.fused import (_max_neighbor_count_cells,
+                                    _max_neighbor_count_scan)
+
+    g = np.random.default_rng(17)
+    for trial in range(4):
+        n = 600
+        side = (8.0, 12.0, 20.0, 6.0)[trial]
+        xyz = g.uniform(0, side, (n, 3)).astype(np.float64)
+        if trial == 2:
+            xyz[5] = xyz[9]            # coincident pair
+        mask = np.ones(n, bool)
+        mask[-17:] = False
+        want = _max_neighbor_count_scan(xyz, mask, 3.0)
+        got = _max_neighbor_count_cells(xyz, mask, 3.0)
+        assert got == want, (trial, got, want)
+    # sprawling geometry triggers the dense-table guard (falls back to
+    # the scan) and still returns the exact count
+    xyz = g.uniform(0, 4, (5000, 3))
+    xyz[0] += 500.0
+    mask = np.ones(5000, bool)
+    want = _max_neighbor_count_scan(xyz, mask, 3.0)
+    assert _max_neighbor_count_cells(xyz, mask, 3.0) == want
+    # all-masked edge case
+    assert _max_neighbor_count_cells(xyz, np.zeros(5000, bool), 3.0) == 0
