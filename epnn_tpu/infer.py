@@ -358,16 +358,14 @@ class Predictor:
                     d2 = refresh_neighbor_d2(batch.xyz, idx)
                     return (idx, nbr_mask, d2)
         cutoff_sel = self.cfg.cutoff + self.neighbor_skin
-        k = max(
-            max_neighbor_count(batch.xyz[b], batch.node_mask[b], cutoff_sel)
-            for b in range(batch.batch_size)
-        )
-        k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
         if (self.neighbor_method != "topk"
                 and batch.padded_atoms >= CELL_GRID_MIN_ATOMS):
             # big graphs: the cell-list builder at cutoff+skin (the periodic
             # rebuild would otherwise pay the O(N²)-scored top_k price —
-            # identical candidate sets, benchmarks/RESULTS.md round-4)
+            # identical candidate sets, benchmarks/RESULTS.md round-4).
+            # The safe k comes from the builder's own count_only mode —
+            # exact for the subsequent build by construction (same device
+            # predicate) and O(N·27·cap) on device instead of a host scan.
             from epnn_tpu.ops.fused import build_neighbors_cell, \
                 cell_grid_params
 
@@ -377,6 +375,11 @@ class Predictor:
                                           float(cutoff_sel))
                 nc, cap = max(nc, c_), max(cap, p_)
             nc, cap = round_up(nc, 512), round_up(cap, 4)
+            k = max(int(build_neighbors_cell(
+                batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
+                1, nc, cap, count_only=True))
+                for bi in range(batch.batch_size))
+            k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
             outs = [jax.block_until_ready(build_neighbors_cell(
                 batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
                 int(k), nc, cap, with_d2=True))
@@ -384,6 +387,12 @@ class Predictor:
             idx, nbr_mask, d2 = (np.stack([np.asarray(o[j]) for o in outs])
                                  for j in range(3))
         else:
+            k = max(
+                max_neighbor_count(batch.xyz[b], batch.node_mask[b],
+                                   cutoff_sel)
+                for b in range(batch.batch_size)
+            )
+            k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
             idx, nbr_mask, d2 = (
                 np.asarray(a) for a in jax.block_until_ready(
                     build_neighbors_batch(batch.xyz, batch.node_mask,

@@ -464,11 +464,11 @@ def cell_grid_params(xyz, node_mask, cutoff: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("cutoff", "k", "ncells_pad", "cell_cap",
-                                    "with_d2", "table_layout"))
+                                    "with_d2", "table_layout", "count_only"))
 def build_neighbors_cell(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
     ncells_pad: int, cell_cap: int, with_d2: bool = False,
-    table_layout: str = "slices",
+    table_layout: str = "slices", count_only: bool = False,
 ):
     """Cell-list neighbor selection: same ``(idx, nbr_mask[, d2])`` contract
     as :func:`build_neighbors`, built from a spatial grid instead of an
@@ -488,6 +488,10 @@ def build_neighbors_cell(
     ``ncells_pad``/``cell_cap`` are STATIC (get them from
     :func:`cell_grid_params`); like ``k``, undersizing ``cell_cap``
     silently drops pairs — honor the contract.
+
+    ``count_only=True`` returns just the scalar max per-row candidate
+    count from the same predicate (``k`` unused) — the exact safe ``k``
+    for a subsequent full build, computed on device in O(N·27·cap).
 
     ``table_layout`` selects the device layout of the cell table and the
     candidate fetch (identical outputs bit-for-bit — the candidate
@@ -605,6 +609,12 @@ def build_neighbors_cell(
                  & (cxT[3] > 0) & real[:, None]
                  & (d2 < cut2))
         dkey = jnp.where(valid, d2, jnp.inf)
+    if count_only:
+        # exact max per-row neighbor count from the SAME f32 candidate
+        # predicate the full build applies — the safe-k the subsequent
+        # build needs by construction (self-consistent, no f64-vs-f32
+        # borderline risk); k is unused in this mode
+        return jnp.max(jnp.sum((dkey < jnp.inf).astype(jnp.int32), axis=1))
     # top_k over −d² == one ascending stable sort by d² CARRYING the
     # candidate ids as payload.  XLA lowers top_k to exactly this sort
     # (iota payload) plus a take_along element gather that cost 5.8 ms at

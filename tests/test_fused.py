@@ -1170,3 +1170,22 @@ def test_max_neighbor_count_cell_binned_matches_scan():
     assert _max_neighbor_count_cells(xyz, mask, 3.0) == want
     # all-masked edge case
     assert _max_neighbor_count_cells(xyz, np.zeros(5000, bool), 3.0) == 0
+
+
+def test_cell_builder_count_only():
+    """count_only returns the exact max per-row candidate count — equal to
+    the max row-sum of a full build's nbr_mask at ample k."""
+    from epnn_tpu.data.dataset import round_up
+    from epnn_tpu.ops.fused import build_neighbors_cell, cell_grid_params
+
+    g = np.random.default_rng(23)
+    xyz = g.uniform(0, 9, (300, 3)).astype(np.float32)
+    mask = np.ones(300, np.float32)
+    mask[-9:] = 0.0
+    nc, cap = cell_grid_params(xyz, mask, 3.0)
+    nc, cap = round_up(nc, 512), round_up(cap, 4)
+    cnt = int(build_neighbors_cell(xyz, mask, 3.0, 1, nc, cap,
+                                   count_only=True))
+    _, m = build_neighbors_cell(xyz, mask, 3.0, 128, nc, cap)
+    assert cnt == int(np.asarray(m).sum(1).max())
+    assert cnt > 0
