@@ -178,11 +178,23 @@ class Predictor:
         from epnn_tpu.data.dataset import round_up
         from epnn_tpu.ops.fused import max_neighbor_count
 
-        k = max(
-            max_neighbor_count(batch.xyz[b], batch.node_mask[b],
-                               self.cfg.cutoff)
-            for b in range(batch.batch_size)
-        )
+        grid = self._neighbor_grid(batch)
+        if grid is not None:
+            # the forward will select through the cell builder — its own
+            # count_only mode gives the exact safe k for that predicate on
+            # device (the host scan cost ~0.5 s at 17,760 atoms)
+            from epnn_tpu.ops.fused import build_neighbors_cell
+
+            k = max(int(build_neighbors_cell(
+                batch.xyz[b], batch.node_mask[b], float(self.cfg.cutoff),
+                1, grid[0], grid[1], count_only=True))
+                for b in range(batch.batch_size))
+        else:
+            k = max(
+                max_neighbor_count(batch.xyz[b], batch.node_mask[b],
+                                   self.cfg.cutoff)
+                for b in range(batch.batch_size)
+            )
         k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
         try:
             self._k_cache[batch] = (fp, k)
