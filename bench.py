@@ -243,9 +243,8 @@ def main():
 
         # MD with MOVING coordinates (Verlet skin, round 6): selection at
         # cutoff+skin amortized over the drift window; the per-step cost —
-        # the O(N·k) distance re-gather + forward — runs inside the chain
-        from epnn_tpu.ops.fused import refresh_neighbor_d2
-
+        # the O(N·k) distance re-gather + forward — runs inside ONE jitted
+        # call (2-tuple neighbors → in-forward d² from current coords)
         skin = 0.5
         k_sk = round_up(max_neighbor_count(
             batch.xyz[0], batch.node_mask[0], cfg.cutoff + skin) + 4, 8)
@@ -254,11 +253,10 @@ def main():
                                              cfg.cutoff + skin, int(k_sk)))
 
         def fn_skin(q0_in):
-            d2 = refresh_neighbor_d2(xyz_d, idx0)
             return forward_blocked(fused, x_d, q0_in, xyz_d, mask_d, c,
                                    block=block, neighbor_k=int(k_sk),
                                    use_pallas=on_tpu,
-                                   neighbors=(idx0, m0, d2),
+                                   neighbors=(idx0, m0),
                                    uniform_q0=uq0)
 
         q_sk = np.asarray(fn_skin(q0_d))[0]

@@ -329,12 +329,16 @@ class Predictor:
         if mode == "dense":
             q = self._dense(batch.x, batch.q0, batch.xyz, batch.node_mask)
         elif self.neighbor_skin > 0:
-            nbrs = self._neighbors_skin(batch)
+            # 2-tuple (idx, mask): the forward re-gathers the pair
+            # distances from the CURRENT coordinates in the same jitted
+            # program — one dispatch per MD step (a separate
+            # refresh_neighbor_d2 call would be a second tunnel RPC)
+            idx0, mask0, _ = self._neighbors_skin(batch)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
-                neighbor_k=int(nbrs[0].shape[-1]),
-                use_pallas=self._use_pallas(), neighbors=nbrs,
+                neighbor_k=int(idx0.shape[-1]),
+                use_pallas=self._use_pallas(), neighbors=(idx0, mask0),
                 uniform_q0=self._uniform_q0(batch),
             )
         else:
@@ -506,10 +510,8 @@ class Predictor:
             fn = lambda q0_in: self._dense(x, q0_in, xyz, mask)  # noqa: E731
         elif self.neighbor_skin > 0:
             # honest MD-step cost: the per-step O(N·k) distance re-gather
-            # runs INSIDE the timed call (only the cutoff+skin selection is
-            # amortized across the drift window)
-            from epnn_tpu.ops.fused import refresh_neighbor_d2
-
+            # runs INSIDE the timed (single) jitted call — 2-tuple
+            # neighbors make the forward gather d² from current coords
             idx0, mask0, _ = self._neighbors_skin(batch)
             idx0, mask0 = jax.device_put(idx0), jax.device_put(mask0)
             block = min(self.block, batch.padded_atoms)
@@ -517,11 +519,10 @@ class Predictor:
             k_skin = int(idx0.shape[-1])
 
             def fn(q0_in):
-                d2 = refresh_neighbor_d2(xyz, idx0)
                 return forward_blocked(
                     self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
                     neighbor_k=k_skin, use_pallas=self._use_pallas(),
-                    neighbors=(idx0, mask0, d2), uniform_q0=uq0,
+                    neighbors=(idx0, mask0), uniform_q0=uq0,
                 )
         else:
             k = max(self._neighbor_k(batch), 1)

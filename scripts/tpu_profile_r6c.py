@@ -118,10 +118,9 @@ def stage_mixed():
 def stage_skin():
     """Verlet-skin MD-step cost vs plain reuse (protein + 17,760).
 
-    skin: d2 re-gather (O(N·k)) INSIDE the timed step — the honest cost of
-    an MD loop with moving coordinates.  reuse: fixed-geometry lower bound."""
-    from epnn_tpu.ops.fused import refresh_neighbor_d2
-
+    skin: d2 re-gather (O(N·k)) INSIDE the timed step (2-tuple neighbors,
+    one jitted call) — the honest cost of an MD loop with moving
+    coordinates.  reuse: fixed-geometry lower bound."""
     params, cfg, table, fused = load_decay()
     c = cfg.replace(matmul_precision="default")
     put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
@@ -140,10 +139,9 @@ def stage_skin():
 
             if skin:
                 def step(qc, idx0=idx0, m0=m0, k=k):
-                    d2 = refresh_neighbor_d2(z, idx0)
                     return forward_blocked(
                         fused, x, qc, z, m, c, block=256, neighbor_k=k,
-                        use_pallas=True, neighbors=(idx0, m0, d2),
+                        use_pallas=True, neighbors=(idx0, m0),
                         uniform_q0=True)
             else:
                 def step(qc, nb=(idx0, m0, d20), k=k):
