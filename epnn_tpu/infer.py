@@ -275,7 +275,9 @@ class Predictor:
                 # serving/MD reuse on the mesh: precomputed (B, N, k)
                 # tables, row-padded to the mesh widths (padded rows are
                 # masked atoms; idx 0 gathers valid data that nbr_mask
-                # zeroes downstream)
+                # zeroes downstream).  Skin mode passes a 2-tuple — the
+                # sharded forward gathers d² from the current coordinates
+                # in-graph (no host d² round-trip per step)
                 if self.neighbor_skin > 0:
                     nbrs = self._neighbors_skin(batch)
                 else:
@@ -333,7 +335,7 @@ class Predictor:
             # distances from the CURRENT coordinates in the same jitted
             # program — one dispatch per MD step (a separate
             # refresh_neighbor_d2 call would be a second tunnel RPC)
-            idx0, mask0, _ = self._neighbors_skin(batch)
+            idx0, mask0 = self._neighbors_skin(batch)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
@@ -354,13 +356,14 @@ class Predictor:
         return np.asarray(q)
 
     def _neighbors_skin(self, batch: MolBatch):
-        """Verlet-skin (idx, nbr_mask, d2) for the CURRENT coordinates (see
-        ``neighbor_skin``): selection at cutoff + skin once per drift
-        window, then one O(N·k) distance re-gather per call."""
+        """Verlet-skin (idx, nbr_mask) for the CURRENT drift window (see
+        ``neighbor_skin``): selection at cutoff + skin once per window.
+        Callers pass the 2-tuple as ``neighbors=`` so the forward gathers
+        the pair distances from the current coordinates IN-GRAPH (one
+        dispatch per MD step)."""
         from epnn_tpu.data.dataset import round_up
         from epnn_tpu.ops.fused import (build_neighbors_batch,
-                                        max_neighbor_count,
-                                        refresh_neighbor_d2)
+                                        max_neighbor_count)
 
         xyz = np.asarray(batch.xyz)
         cached = self._skin_cache.get(batch)
@@ -371,8 +374,7 @@ class Predictor:
                     (((xyz - xyz0) ** 2).sum(-1)
                      * (np.asarray(batch.node_mask) > 0)).max())
                 if disp2 <= (self.neighbor_skin / 2.0) ** 2:
-                    d2 = refresh_neighbor_d2(batch.xyz, idx)
-                    return (idx, nbr_mask, d2)
+                    return (idx, nbr_mask)
         cutoff_sel = self.cfg.cutoff + self.neighbor_skin
         if (self.neighbor_method != "topk"
                 and batch.padded_atoms >= CELL_GRID_MIN_ATOMS):
@@ -398,10 +400,10 @@ class Predictor:
             k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
             outs = [jax.block_until_ready(build_neighbors_cell(
                 batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
-                int(k), nc, cap, with_d2=True))
+                int(k), nc, cap))
                 for bi in range(batch.batch_size)]
-            idx, nbr_mask, d2 = (np.stack([np.asarray(o[j]) for o in outs])
-                                 for j in range(3))
+            idx, nbr_mask = (np.stack([np.asarray(o[j]) for o in outs])
+                             for j in range(2))
         else:
             k = max(
                 max_neighbor_count(batch.xyz[b], batch.node_mask[b],
@@ -409,7 +411,7 @@ class Predictor:
                 for b in range(batch.batch_size)
             )
             k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
-            idx, nbr_mask, d2 = (
+            idx, nbr_mask, _ = (
                 np.asarray(a) for a in jax.block_until_ready(
                     build_neighbors_batch(batch.xyz, batch.node_mask,
                                           float(cutoff_sel), int(k))))
@@ -418,7 +420,7 @@ class Predictor:
             self._skin_cache[batch] = (xyz.copy(), idx, nbr_mask)
         except TypeError:
             pass
-        return (idx, nbr_mask, d2)
+        return (idx, nbr_mask)
 
     def _neighbor_grid(self, batch: MolBatch):
         """Static (ncells_pad, cell_cap) for the cell-list builder, or None
@@ -512,7 +514,7 @@ class Predictor:
             # honest MD-step cost: the per-step O(N·k) distance re-gather
             # runs INSIDE the timed (single) jitted call — 2-tuple
             # neighbors make the forward gather d² from current coords
-            idx0, mask0, _ = self._neighbors_skin(batch)
+            idx0, mask0 = self._neighbors_skin(batch)
             idx0, mask0 = jax.device_put(idx0), jax.device_put(mask0)
             block = min(self.block, batch.padded_atoms)
             uq0 = self._uniform_q0(batch)

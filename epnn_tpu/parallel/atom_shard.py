@@ -302,8 +302,14 @@ def forward_atom_sharded_nbr_batch(
             idx, nbr_mask, d2_nbr = block_neighbor_select(
                 xyz_f, mask_f, r0, xyz_rows, mask_rows, cfg.cutoff, k,
                 with_d2=True)
-        else:
+        elif len(nbr_rows) == 3:
             idx, nbr_mask, d2_nbr = nbr_rows
+        else:
+            # 2-tuple (idx, mask): Verlet-skin serving — gather d² from
+            # the CURRENT coordinates in-graph (no host d² round-trip)
+            idx, nbr_mask = nbr_rows
+            d2_nbr = jnp.sum(
+                (xyz_rows[:, None, :] - xyz_f[idx]) ** 2, axis=-1)
         nbr_mask = nbr_mask.astype(x_f.dtype)
         rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
                                          dtype=x_f.dtype)
@@ -480,8 +486,10 @@ def forward_atom_sharded_nbr_batch(
     rep = P()
 
     # precomputed (B, N, k) neighbor tables shard over (data, atoms): each
-    # device receives exactly its rows' slices (global column indices)
-    nbr_specs = (rows, rows, rows) if neighbors is not None else ()
+    # device receives exactly its rows' slices (global column indices);
+    # a 2-tuple (idx, mask) additionally makes fwd_rows gather d² from
+    # the current coordinates in-graph (Verlet-skin serving)
+    nbr_specs = (rows,) * len(neighbors) if neighbors is not None else ()
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -505,8 +513,7 @@ def forward_atom_sharded_nbr_batch(
                 lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
             )(x_b, q0_b, xyz_b, mask_b)
         return jax.vmap(
-            lambda a, b_, c, d, i_, m_, d2_: fwd_rows(
-                fused, a, b_, c, d, (i_, m_, d2_))
+            lambda a, b_, c, d, *nbr: fwd_rows(fused, a, b_, c, d, nbr)
         )(x_b, q0_b, xyz_b, mask_b, *nb)
 
     args = (fused, x, q0, xyz, node_mask)
