@@ -1064,7 +1064,8 @@ class TestVerletSkin:
             assert np.abs(qs[t] - q_ref).max() < 1e-5 * scale, t
 
 
-@pytest.mark.parametrize("variant", ["bfloat16", "two_mids", "soft_envelope"])
+@pytest.mark.parametrize("variant", ["bfloat16", "two_mids", "soft_envelope",
+                                     "bf16x3"])
 def test_uniform_q0_collapse_config_variants(variant):
     """The round-1 collapse must track the uncollapsed forward across the
     config surface: bf16 compute (the collapse rides the f32 recursion the
@@ -1082,6 +1083,11 @@ def test_uniform_q0_collapse_config_variants(variant):
     cfg = EPNNConfig(**kw)
     if variant == "bfloat16":
         cfg = cfg.replace(compute_dtype="bfloat16")
+    if variant == "bf16x3":
+        # the collapse branch runs round 1's far field at plain f32 prec
+        # (more accurate than the split-float emulation it replaces), so
+        # agreement is at the bf16x3 error level, not bitwise
+        cfg = cfg.replace(dense_matmul_precision="bf16x3")
     params = init_params(cfg, jax.random.key(0))
     params = jax.tree_util.tree_map(
         lambda a: a + 0.3 if a.ndim == 1 else a, params)
@@ -1092,7 +1098,7 @@ def test_uniform_q0_collapse_config_variants(variant):
     col = np.asarray(forward_blocked(*args, block=16, neighbor_k=12,
                                      uniform_q0=True))
     scale = np.abs(base).max() + 1.0
-    tol = 2e-2 if variant == "bfloat16" else 1e-5
+    tol = {"bfloat16": 2e-2, "bf16x3": 1e-4}.get(variant, 1e-5)
     assert np.abs(col - base).max() < tol * scale
     cons = np.abs((col * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1))
     assert np.all(cons < 1e-4 * scale)
