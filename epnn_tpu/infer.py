@@ -89,10 +89,10 @@ class Predictor:
     #: ``cutoff + neighbor_skin`` and stays valid while no atom drifts more
     #: than skin/2 from the build geometry (the standard Verlet criterion —
     #: any pair now within the cutoff was within cutoff+skin at build
-    #: time); each call only re-gathers the (N, k, 3) pair distances from
-    #: the CURRENT coordinates (:func:`epnn_tpu.ops.fused.
-    #: refresh_neighbor_d2`, O(N·k)) instead of re-running the O(N²) /
-    #: cell-list selection.  Charges are EXACT for the new geometry: shell
+    #: time); each call re-gathers only the (N, k) pair distances from
+    #: the CURRENT coordinates IN-GRAPH (2-tuple ``neighbors`` — one
+    #: jitted dispatch per step, O(N·k)) instead of re-running the O(N²)
+    #: / cell-list selection.  Charges are EXACT for the new geometry: shell
     #: pairs beyond the cutoff carry exactly-zero envelope features and
     #: zero pass gates, and the skin list is symmetric, so conservation's
     #: antisymmetry argument is unchanged.  The drift check is a cheap
