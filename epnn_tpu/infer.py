@@ -117,10 +117,12 @@ class Predictor:
         self._model = EPNN(self.cfg)
         self._fused = fuse_params(self.params, self.cfg)
         self._dense = jax.jit(self._apply_dense)
-        # safe static neighbor_k per batch object (the exact scan is an
-        # O(N²/512) host loop — repeated inference on the same batch must
-        # not pay it every call); WeakValueDictionary-style id keying is
-        # unsafe (ids recycle), so key on the object itself via a weak map
+        # safe static neighbor_k per batch object (the exact count is a
+        # cell-binned host scan, or the builder's device count when the
+        # cell grid is active — either way not free, so repeated inference
+        # on the same batch must not pay it every call);
+        # WeakValueDictionary-style id keying is unsafe (ids recycle), so
+        # key on the object itself via a weak map
         import weakref
 
         self._k_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
