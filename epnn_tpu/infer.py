@@ -258,11 +258,29 @@ class Predictor:
                 forward_ring_sharded_nbr_batch)
 
             nd = np_ // n_at
-            k_blk = min(self._neighbor_k(batch), nd)
+            nbrs = None
+            if self.reuse_neighbors:
+                # ring serving/MD reuse: the same global (B, N, k) tables
+                # as the atom-sharded path; the ring forward compacts them
+                # into per-circulating-block selections in-graph.  Skin
+                # mode passes the 2-tuple (d² re-gathered from current
+                # coordinates per ring step — one dispatch per MD step).
+                if self.neighbor_skin > 0:
+                    nbrs = self._neighbors_skin(batch)
+                else:
+                    nbrs = self._neighbors(
+                        batch, max(self._neighbor_k(batch), 1))
+                nbrs = tuple(
+                    np.pad(np.asarray(a),
+                           [(0, bp - b), (0, np_ - n), (0, 0)])
+                    for a in nbrs)
+                k_blk = min(int(nbrs[0].shape[-1]), nd)
+            else:
+                k_blk = min(self._neighbor_k(batch), nd)
             q = np.asarray(forward_ring_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k_blk=max(k_blk, 1), use_pallas=self._use_pallas(),
-                uniform_q0=self._uniform_q0(batch)))
+                uniform_q0=self._uniform_q0(batch), neighbors=nbrs))
             return q[:b, :n]
         if batch.padded_atoms > DENSE_MAX_ATOMS:
             # big graphs: the neighbor-split sharded forward (O(N·k/D)
@@ -315,15 +333,16 @@ class Predictor:
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
         if self.mesh is not None:
             if self.reuse_neighbors and (
-                self.shard_mode != "atom"
-                or batch.padded_atoms <= DENSE_MAX_ATOMS
+                self.shard_mode == "atom"
+                and batch.padded_atoms <= DENSE_MAX_ATOMS
             ):
                 import warnings
 
                 warnings.warn(
-                    "reuse_neighbors only affects the atom-sharded "
-                    "big-graph path on a mesh (the ring/dense sharded "
-                    "forwards select pairs per shard)",
+                    "reuse_neighbors does not affect the dense sharded "
+                    "path (small graphs on a mesh compute the full pair "
+                    "grid; ring mode and the big-graph atom-sharded path "
+                    "both honor precomputed neighbors)",
                     stacklevel=2,
                 )
             return self._predict_batch_sharded(batch)

@@ -182,6 +182,7 @@ def forward_ring_sharded_nbr_batch(
     use_pallas: bool = False,
     remat: bool = False,
     uniform_q0: bool = False,
+    neighbors: "Tuple[jax.Array, ...] | None" = None,
 ) -> jax.Array:
     """Neighbor-split ring-sharded forward (SURVEY §7 stage 6: the ring
     variant OF the stage-5 kernel, not of the dense loop).
@@ -215,6 +216,24 @@ def forward_ring_sharded_nbr_batch(
     (≤ min(global k, N/D) always works) — same top_k superset contract as
     :func:`epnn_tpu.ops.fused.build_neighbors`.
 
+    ``neighbors`` — optional precomputed GLOBAL tables (the
+    ``build_neighbors_batch`` contract, same as ``forward_blocked`` /
+    ``forward_atom_sharded_nbr_batch``): ``(idx, nbr_mask)`` or
+    ``(idx, nbr_mask, d2)``, each (B, N, k) with global column indices.
+    They shard over (data, atoms) like every other batch operand, so each
+    device receives exactly its rows' slices.  The geometry pre-pass is
+    then replaced by a CONVERSION pre-pass: per ring step, the entries of
+    my rows' global table that live in the circulating block are compacted
+    (stable argsort — in-table order preserved) into the same
+    (D, N/D, k_blk) per-step selection the cold pre-pass produces.  With a
+    2-tuple (Verlet-skin serving), pair d² is gathered from the CURRENT
+    circulating coordinates in-graph — one dispatch per MD step, mirroring
+    the atom-sharded skin path.  ``k_blk`` must bound the per-row
+    PER-BLOCK entry count of the table (``min(k, N/D)`` always works —
+    the Predictor passes that).  Pair sets are identical to the table's;
+    summation order differs from the cold pre-pass, so outputs agree to
+    fp noise, not bitwise (same bound as the atom-sharded reuse path).
+
     Conservation: both orderings of a near pair are evaluated from the
     SAME circulated arrays on both owners (d² is bitwise symmetric:
     (a−b)² ≡ (b−a)² in IEEE), so the global transfer matrix stays exactly
@@ -237,6 +256,14 @@ def forward_ring_sharded_nbr_batch(
     nd = n // n_at
     if k_blk > nd:
         raise ValueError(f"k_blk={k_blk} exceeds the block width {nd}")
+    if neighbors is not None:
+        k_tab = int(neighbors[0].shape[-1])
+        if k_blk < min(k_tab, nd):
+            # a row could have up to min(k_tab, nd) of its table entries
+            # inside ONE block; anything smaller can silently drop pairs
+            raise ValueError(
+                f"k_blk={k_blk} cannot hold a global table of k={k_tab} "
+                f"(need min(k, N/D) = {min(k_tab, nd)})")
     if cfg.compute_dtype == "bfloat16":
         # same dtype policy as forward_blocked / the atom-sharded twin:
         # bf16 message/update pipeline, f32 pass rounds (bitwise
@@ -254,7 +281,7 @@ def forward_ring_sharded_nbr_batch(
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
             mesh, k_blk=k_blk, use_pallas=False, remat=remat,
-            uniform_q0=uniform_q0,
+            uniform_q0=uniform_q0, neighbors=neighbors,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -284,24 +311,63 @@ def forward_ring_sharded_nbr_batch(
         lcm = dense_message_pad(bi, bjp, h1)
         c_pad = int(-(-nd // lcm) * lcm)
 
-    def fwd_rows(fused, x_d, q0_d, xyz_d, mask_d):
-        """One graph's local shard: my nd rows, ring over D blocks."""
+    def fwd_rows(fused, x_d, q0_d, xyz_d, mask_d, nbr_rows=None):
+        """One graph's local shard: my nd rows, ring over D blocks.
+
+        ``nbr_rows`` — optional (idx, mask[, d2]) slices of a global
+        (N, k) table for MY rows, each (nd, k) with GLOBAL column
+        indices (see ``neighbors`` above)."""
         D = jax.lax.axis_size(ATOM_AXIS)
         perm = [(i, (i + 1) % D) for i in range(D)]
         my_start = jax.lax.axis_index(ATOM_AXIS) * nd
         dt = x_d.dtype
 
-        # ---- geometry-only pre-pass: near pairs of my rows vs each block
-        def sel_step(blk, _):
-            xyz_j, mask_j, start_j = blk
-            idx, m, d2 = block_neighbor_select(
-                xyz_j, mask_j, my_start - start_j, xyz_d, mask_d,
-                cfg.cutoff, k_blk, with_d2=True)
-            return jax.lax.ppermute(blk, ATOM_AXIS, perm), (idx, m, d2)
+        if nbr_rows is None:
+            # ---- geometry-only pre-pass: near pairs of my rows vs each
+            # circulating block
+            def sel_step(blk, _):
+                xyz_j, mask_j, start_j = blk
+                idx, m, d2 = block_neighbor_select(
+                    xyz_j, mask_j, my_start - start_j, xyz_d, mask_d,
+                    cfg.cutoff, k_blk, with_d2=True)
+                return jax.lax.ppermute(blk, ATOM_AXIS, perm), (idx, m, d2)
 
-        _, (idx_s, m_s, d2_s) = jax.lax.scan(
-            sel_step, (xyz_d, mask_d.astype(jnp.float32), my_start), None,
-            length=D)
+            _, (idx_s, m_s, d2_s) = jax.lax.scan(
+                sel_step, (xyz_d, mask_d.astype(jnp.float32), my_start),
+                None, length=D)
+        else:
+            # ---- conversion pre-pass: compact my rows' GLOBAL table into
+            # per-circulating-block local selections (serving/MD reuse)
+            g_idx = nbr_rows[0].astype(jnp.int32)        # (nd, k) global
+            g_mask = nbr_rows[1] > 0
+            k_tab = g_idx.shape[-1]
+            col_pos = jnp.broadcast_to(
+                jnp.arange(k_tab, dtype=jnp.int32)[None, :], g_idx.shape)
+
+            def conv_step(blk, _):
+                xyz_j, start_j = blk
+                in_blk = g_mask & ((g_idx // nd) == (start_j // nd))
+                # stable argsort: in-block entries first, table order kept
+                order = jnp.argsort(
+                    jnp.where(in_blk, col_pos, k_tab + 1), axis=1,
+                )[:, :k_blk]
+                m = jnp.take_along_axis(in_blk, order, 1)
+                idx = jnp.where(
+                    m, jnp.take_along_axis(g_idx, order, 1) - start_j, 0)
+                if len(nbr_rows) == 3:
+                    d2 = jnp.where(
+                        m, jnp.take_along_axis(nbr_rows[2], order, 1), 0.0)
+                else:
+                    # 2-tuple (skin serving): pair d² from the CURRENT
+                    # circulating coordinates, in-graph
+                    d2 = jnp.sum(
+                        (xyz_d[:, None, :] - xyz_j[idx]) ** 2, axis=-1)
+                    d2 = jnp.where(m, d2, 0.0)
+                blk = jax.lax.ppermute(blk, ATOM_AXIS, perm)
+                return blk, (idx, m.astype(jnp.float32), d2)
+
+            _, (idx_s, m_s, d2_s) = jax.lax.scan(
+                conv_step, (xyz_d, my_start), None, length=D)
         m_s = m_s.astype(dt)                 # (D, nd, k_blk)
 
         if cfg.mask_messages:
@@ -474,21 +540,27 @@ def forward_ring_sharded_nbr_batch(
     rows = P(DATA_AXIS, ATOM_AXIS)
     local_b = b // n_dp
     rep = P()
+    nbrs = tuple(neighbors) if neighbors is not None else ()
+    nbr_specs = (rows,) * len(nbrs)
 
     @functools.partial(
         shard_map, mesh=mesh,
         # fused rides as an explicit replicated operand (jax.checkpoint
         # inside shard_map re-materializes closure captures with Auto-mesh
         # annotations — a mesh-type mismatch; same gotcha as atom_shard)
-        in_specs=(rep, rows, rows, rows, rows),
+        in_specs=(rep, rows, rows, rows, rows) + nbr_specs,
         out_specs=rows,
         check_vma=False,
     )
-    def run(fused, x_b, q0_b, xyz_b, mask_b):
+    def run(fused, x_b, q0_b, xyz_b, mask_b, *nbr_b):
+        nb = nbr_b if nbr_b else None
         if local_b == 1:
-            return fwd_rows(fused, x_b[0], q0_b[0], xyz_b[0], mask_b[0])[None]
+            return fwd_rows(
+                fused, x_b[0], q0_b[0], xyz_b[0], mask_b[0],
+                tuple(a[0] for a in nbr_b) if nb else None)[None]
         return jax.vmap(
-            lambda a, b_, c, d: fwd_rows(fused, a, b_, c, d)
-        )(x_b, q0_b, xyz_b, mask_b)
+            lambda a, b_, c, d, *nb_: fwd_rows(
+                fused, a, b_, c, d, nb_ if nb_ else None)
+        )(x_b, q0_b, xyz_b, mask_b, *nbr_b)
 
-    return run(fused, x, q0, xyz, node_mask)
+    return run(fused, x, q0, xyz, node_mask, *nbrs)

@@ -781,6 +781,93 @@ class TestShardedNeighborReuse:
         scale = np.abs(base).max() + 1.0
         assert np.abs(reuse - base).max() < 1e-5 * scale
 
+    def test_ring_forward_reuse_matches(self, rng):
+        """Ring forward with a precomputed global table (3-tuple and the
+        skin 2-tuple) matches the cold ring forward to the same pinned
+        fp-noise bound as the atom path (1e-5 relative: the conversion
+        pre-pass changes per-row summation order, and 2-tuple d² is
+        regathered from circulating blocks)."""
+        from epnn_tpu.ops.fused import build_neighbors_batch
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(1))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n, k = 2, 48, 16
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        nd = n // 4
+        k_blk = min(k, nd)
+        nbrs = tuple(np.asarray(a) for a in build_neighbors_batch(
+            jax.numpy.asarray(xyz), jax.numpy.asarray(mask), cfg.cutoff, k))
+        base = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=k_blk))
+        scale = np.abs(base).max() + 1.0
+        reuse3 = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=k_blk,
+            neighbors=nbrs))
+        assert np.abs(reuse3 - base).max() < 1e-5 * scale
+        reuse2 = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=k_blk,
+            neighbors=nbrs[:2]))
+        assert np.abs(reuse2 - base).max() < 1e-5 * scale
+        # conservation survives the conversion pre-pass (symmetric table)
+        np.testing.assert_allclose(
+            (reuse3 * mask).sum(axis=1), (q0 * mask).sum(axis=1), atol=1e-4)
+        # an undersized k_blk that could drop pairs is rejected loudly
+        with pytest.raises(ValueError, match="k_blk"):
+            forward_ring_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k_blk=k_blk - 2,
+                neighbors=nbrs)
+
+    def test_predictor_ring_reuse_and_skin(self, rng):
+        """Predictor ring mode honors reuse_neighbors / neighbor_skin (the
+        round-3 verdict's silent-degrade gap): reuse matches cold ring to
+        the pinned 1e-5 bound, skin survives sub-skin/2 drift."""
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(2))
+        g = np.random.default_rng(7)
+        natoms = 40
+        mol = Molecule(name="m",
+                       symbols=list(g.choice(["H", "C", "N", "O"], natoms)),
+                       xyz=g.uniform(0, 7, (natoms, 3)).astype(np.float32),
+                       total_charge=1.0)
+        b = pad_molecules([mol], table_for_n_elems(cfg.n_elems), pad_to=40)
+        mesh = make_mesh(n_data=1, n_atoms=4)
+
+        base = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         shard_mode="ring").predict_batch(b)
+        reuse = Predictor(params=params, cfg=cfg, mesh=mesh,
+                          shard_mode="ring",
+                          reuse_neighbors=True).predict_batch(b)
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(reuse - base).max() < 1e-5 * scale
+
+        skin_pred = Predictor(params=params, cfg=cfg, mesh=mesh,
+                              shard_mode="ring", reuse_neighbors=True,
+                              neighbor_skin=0.5)
+        q0_ = skin_pred.predict_batch(b)
+        assert np.abs(q0_ - base).max() < 1e-5 * scale
+        b.xyz += (g.uniform(-1, 1, b.xyz.shape) * 0.05).astype(
+            np.float32) * b.node_mask[..., None]
+        q1 = skin_pred.predict_batch(b)
+        assert skin_pred.skin_rebuilds == 1
+        q1_ref = Predictor(params=params, cfg=cfg, mesh=mesh,
+                           shard_mode="ring").predict_batch(b)
+        assert np.abs(q1 - q1_ref).max() < 1e-5 * scale
+
     def test_predictor_mesh_reuse_and_skin(self, rng, monkeypatch):
         import epnn_tpu.infer as I
         from epnn_tpu.data.dataset import pad_molecules
