@@ -5,7 +5,10 @@ Re-designed from scratch for TPU (JAX / XLA / Pallas / pjit) with capability
 parity against the reference EPNN research code (see SURVEY.md): RBF pair
 featurization, T-round message passing, antisymmetric electron passing with
 exact total-charge conservation, TF-checkpoint import, training/inference/
-analysis tooling, and single-chip-to-pod scaling.
+analysis tooling, and single-chip-to-pod scaling (multi-host entry via
+``epnn_tpu.parallel.initialize_distributed`` / ``make_multihost_mesh``;
+only single-process meshes are integration-testable in this environment —
+see ``parallel/multihost.py``).
 """
 
 __version__ = "0.1.0"

@@ -85,9 +85,28 @@ def cmd_train(args):
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     mesh = None
-    if args.data_parallel:
+    if getattr(args, "multihost", False):
         import jax
 
+        from epnn_tpu.parallel import (
+            initialize_distributed,
+            is_coordinator,
+            make_multihost_mesh,
+        )
+
+        initialize_distributed()
+        mesh = make_multihost_mesh()
+        print(f"multi-host mesh over {dict(mesh.shape)} "
+              f"({jax.process_count()} processes, this is process "
+              f"{jax.process_index()})")
+        if not is_coordinator():
+            # non-coordinator processes run the same SPMD programs but
+            # must not race the coordinator's checkpoint/log files
+            import dataclasses
+
+            tc = dataclasses.replace(tc, checkpoint_dir=None, log_path=None,
+                                     tensorboard_dir=None)
+    elif args.data_parallel:
         from epnn_tpu.parallel import make_mesh
 
         mesh = make_mesh()
@@ -254,6 +273,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="buckets padded wider than this train through the "
                         "blockwise fused path (no dense pair tensors)")
     p.add_argument("--data-parallel", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="join the JAX distributed runtime (one process per "
+                        "host; coordinator/rank from EPNN_COORDINATOR / "
+                        "EPNN_NUM_PROCESSES / EPNN_PROCESS_ID, or Cloud "
+                        "TPU auto-detection) and train data-parallel over "
+                        "the GLOBAL device mesh — DCN carries only the "
+                        "data axis; non-coordinators skip checkpoint/log "
+                        "writes")
     p.add_argument("--no-collapse-round1", action="store_true",
                    help="disable the round-1 far-field collapse on "
                         "fused/sharded buckets (auto-verified per bucket; "
