@@ -26,13 +26,30 @@ STATE_FILE = "train_state.msgpack"
 META_FILE = "meta.json"
 
 
+def _write_atomic(path: str, data, mode: str = "wb") -> None:
+    """Write via a same-directory temp file + ``os.replace`` (atomic on
+    POSIX): a crash mid-save leaves the previous checkpoint file intact,
+    never a torn one.  fsync before the rename so the rename cannot be
+    reordered ahead of the data reaching disk."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, mode) as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def save_params(directory: str, params: Any, cfg: Optional[EPNNConfig] = None) -> None:
     os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, PARAMS_FILE), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(params)))
+    _write_atomic(os.path.join(directory, PARAMS_FILE),
+                  serialization.to_bytes(jax.device_get(params)))
     if cfg is not None:
-        with open(os.path.join(directory, CONFIG_FILE), "w") as f:
-            json.dump(dataclasses.asdict(cfg), f, indent=2)
+        _write_atomic(os.path.join(directory, CONFIG_FILE),
+                      json.dumps(dataclasses.asdict(cfg), indent=2), "w")
 
 
 def load_config(directory: str) -> EPNNConfig:
@@ -51,13 +68,13 @@ def load_params(directory: str, template: Any) -> Any:
 def save_train_state(directory: str, state: Any, meta: Optional[dict] = None) -> None:
     """Serialize a full train state (params + optax state + counters)."""
     os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, STATE_FILE), "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(state)))
+    _write_atomic(os.path.join(directory, STATE_FILE),
+                  serialization.to_bytes(jax.device_get(state)))
     if meta is not None:
         meta = {k: (v.item() if isinstance(v, np.generic) else v)
                 for k, v in meta.items()}
-        with open(os.path.join(directory, META_FILE), "w") as f:
-            json.dump(meta, f, indent=2)
+        _write_atomic(os.path.join(directory, META_FILE),
+                      json.dumps(meta, indent=2), "w")
 
 
 def load_train_state(directory: str, template: Any) -> Any:

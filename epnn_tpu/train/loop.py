@@ -276,6 +276,25 @@ class TrainResult:
     history: List[Dict[str, float]]
 
 
+def _make_tb_writer(directory: str):
+    """TensorBoard SummaryWriter from whichever backend is installed
+    (torch.utils.tensorboard, then tensorboardX).  The flag was asked for
+    explicitly, so an environment with neither is a hard error — a
+    silently-dead observability flag is worse than none."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        try:
+            from tensorboardX import SummaryWriter
+        except Exception as e:
+            raise RuntimeError(
+                "tensorboard_dir is set but no SummaryWriter backend is "
+                "available (tried torch.utils.tensorboard, tensorboardX): "
+                f"{e}. Install one or drop --tensorboard; JSONL metrics "
+                "(log_path) are always written.") from e
+    return SummaryWriter(directory)
+
+
 def train(
     mols: Sequence[Molecule],
     cfg: EPNNConfig,
@@ -325,17 +344,15 @@ def train(
 
         state = shard_state(state, mesh)
 
-    rng = np.random.default_rng(tc.seed)
+    # data-order RNG is re-derived per epoch from (seed, epoch) — a resumed
+    # run at epoch E draws the SAME minibatch order an uninterrupted run
+    # would have (no dependence on how many epochs this process replayed),
+    # so crash/resume cannot silently change the training data sequence
+    def epoch_rng(epoch: int) -> np.random.Generator:
+        return np.random.default_rng([tc.seed, epoch])
     history: List[Dict[str, float]] = []
     log_f = open(tc.log_path, "a") if tc.log_path else None
-    tb = None
-    if tc.tensorboard_dir:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-
-            tb = SummaryWriter(tc.tensorboard_dir)
-        except Exception as e:  # pragma: no cover - env without torch
-            print(f"tensorboard logging disabled ({e})")
+    tb = _make_tb_writer(tc.tensorboard_dir) if tc.tensorboard_dir else None
 
     def put(mb, n_real):
         args = _batch_args(mb, n_real)
@@ -437,6 +454,7 @@ def train(
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         acc = MetricAccumulator()
+        rng = epoch_rng(epoch)
         for pad, bucket in train_buckets.items():
             bs, k = bucket_plan(pad, bucket)
             for mb, n_real in minibatches(bucket, bs, rng=rng):

@@ -168,6 +168,82 @@ def test_tensorboard_logging(toy_train_mols, tmp_path):
     assert events, os.listdir(tb_dir)
 
 
+def test_tensorboard_missing_backend_fails_loudly(monkeypatch):
+    """--tensorboard with no writer backend must raise, not print-and-drop
+    (round-3 verdict: a silently-dead observability flag is worse than
+    none)."""
+    import sys
+
+    from epnn_tpu.train.loop import _make_tb_writer
+
+    monkeypatch.setitem(sys.modules, "torch.utils.tensorboard", None)
+    monkeypatch.setitem(sys.modules, "tensorboardX", None)
+    with pytest.raises(RuntimeError, match="SummaryWriter"):
+        _make_tb_writer("/tmp/nonexistent_tb")
+
+
+def test_checkpoint_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-save must leave the PREVIOUS checkpoint loadable: saves
+    go through temp-file + os.replace, so the real file is never open for
+    writing."""
+    import os
+
+    import jax
+
+    from epnn_tpu.io import checkpoint as ckpt_io
+    from epnn_tpu.models import init_params
+
+    d = str(tmp_path / "ck")
+    params0 = init_params(SMALL, jax.random.key(0))
+    ckpt_io.save_params(d, params0, SMALL)
+    before = open(os.path.join(d, ckpt_io.PARAMS_FILE), "rb").read()
+
+    params1 = jax.tree_util.tree_map(lambda a: a + 1.0, params0)
+
+    # crash injected at the rename point — the worst possible moment:
+    # the temp file is fully written, the real file must stay untouched
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash during checkpoint rename")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        ckpt_io.save_params(d, params1, SMALL)
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    after = open(os.path.join(d, ckpt_io.PARAMS_FILE), "rb").read()
+    assert after == before  # old checkpoint intact, byte for byte
+    assert not [f for f in os.listdir(d) if ".tmp." in f]  # no litter
+    loaded = ckpt_io.load_params(d, params0)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(loaded)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params0)[0]))
+
+
+def test_resume_preserves_data_order(toy_train_mols, tmp_path):
+    """Crash/resume must not change the minibatch sequence: the data-order
+    RNG is derived per epoch from (seed, epoch), so a run resumed at epoch
+    E trains on exactly the batches an uninterrupted run would have —
+    final params agree bitwise (same executables, same data order)."""
+    import jax
+
+    ckpt_a = str(tmp_path / "a")
+    tc = TrainConfig(epochs=4, batch_size=8, seed=1, checkpoint_dir=ckpt_a)
+    res_full = train(toy_train_mols, SMALL, tc, progress=False)
+
+    ckpt_b = str(tmp_path / "b")
+    tc1 = TrainConfig(epochs=2, batch_size=8, seed=1, checkpoint_dir=ckpt_b)
+    train(toy_train_mols, SMALL, tc1, progress=False)
+    tc2 = TrainConfig(epochs=4, batch_size=8, seed=1, checkpoint_dir=ckpt_b,
+                      resume=True)
+    res_resumed = train(toy_train_mols, SMALL, tc2, progress=False)
+
+    for a, b in zip(jax.tree_util.tree_leaves(res_full.state.params),
+                    jax.tree_util.tree_leaves(res_resumed.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_padded_loss_option(toy_train_mols):
     tc = TrainConfig(epochs=2, batch_size=8, loss="padded_mse", seed=1)
     res = train(toy_train_mols, SMALL, tc, progress=False)
