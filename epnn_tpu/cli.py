@@ -150,6 +150,8 @@ def cmd_infer(args):
         kw["renormalize"] = True
     if getattr(args, "no_collapse_round1", False):
         kw["collapse_round1"] = "off"
+    if getattr(args, "far_cluster", 0):
+        kw["far_cluster"] = args.far_cluster
     shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
     if shard:
         from epnn_tpu.parallel import make_mesh
@@ -234,6 +236,8 @@ def cmd_bench(args):
         kw["collapse_round1"] = "off"
     if getattr(args, "neighbor_skin", 0.0):
         kw["neighbor_skin"] = args.neighbor_skin
+    if getattr(args, "far_cluster", 0):
+        kw["far_cluster"] = args.far_cluster
     pred = _make_predictor(
         args, reuse_neighbors=getattr(args, "reuse_neighbors", False), **kw)
     mol = load_molecule(args.path)
@@ -248,6 +252,13 @@ def cmd_bench(args):
         per_call=getattr(args, "per_call", False),
     )
     stats.update(natoms=mol.natoms, name=mol.name)
+    if getattr(args, "far_cluster", 0):
+        diag = pred.far_field_diagnostics(batch)
+        stats.update(
+            far_cluster=args.far_cluster,
+            far_cluster_max_abs_dq=float(diag["max_abs_dq"].max()),
+            far_cluster_radius=float(diag["max_radius"].max()),
+        )
     print(json.dumps(stats))
 
 
@@ -322,6 +333,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="redistribute the fp conservation residue uniformly "
                         "over real atoms: sum(q) matches the net charge to "
                         "fp ulp (residue/n_real per-atom shift)")
+    p.add_argument("--far-cluster", type=int, default=0, metavar="C",
+                   help="APPROXIMATE clustered far-field serving tier: "
+                        "quantize each message round's O(N^2) beyond-cutoff "
+                        "reduction to C weighted k-means centroids (O(N*C)). "
+                        "Near field + electron passing stay exact, so "
+                        "conservation is untouched; quantify the h-error "
+                        "with Predictor.far_field_diagnostics. 0 = exact")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")
@@ -374,6 +392,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "methodology (on tunneled TPU backends per-call "
                         "numbers include ~25 ms/call of dispatch overhead "
                         "— see benchmarks/RESULTS.md)")
+    p.add_argument("--far-cluster", type=int, default=0, metavar="C",
+                   help="benchmark the APPROXIMATE clustered far-field tier "
+                        "with C centroids (see `infer --far-cluster`); the "
+                        "printed JSON adds the measured max |dq| vs the "
+                        "exact forward on the same geometry")
     p.set_defaults(fn=cmd_bench)
 
     return ap

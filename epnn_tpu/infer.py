@@ -112,6 +112,17 @@ class Predictor:
     #: holds; ``'off'`` disables it (parity-critical runs that must match
     #: the uncollapsed summation order bit-for-bit-ish).
     collapse_round1: str = "auto"
+    #: Clustered far-field serving tier (opt-in APPROXIMATION, 0 = exact):
+    #: when > 0, the single-chip blocked path quantizes each non-collapsed
+    #: message round's O(N²) far-field reduction to this many weighted
+    #: k-means centroids of the j-side projections — O(N·C) instead of
+    #: O(N²).  Near-field corrections and all electron-passing rounds stay
+    #: exact, so charge conservation is untouched; the error enters through
+    #: the hidden state only and is bounded by (mid-stack Lipschitz) × (max
+    #: intra-cluster radius) per pair — measure it for your system with
+    #: :meth:`far_field_diagnostics`.  Ignored by the dense small-graph path
+    #: (no O(N²) bottleneck there) and currently by mesh paths (loud warn).
+    far_cluster: int = 0
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -136,6 +147,8 @@ class Predictor:
             raise ValueError("neighbor_skin must be >= 0")
         if self.neighbor_skin > 0 and not self.reuse_neighbors:
             raise ValueError("neighbor_skin requires reuse_neighbors=True")
+        if self.far_cluster < 0:
+            raise ValueError("far_cluster must be >= 0 (0 = exact)")
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -331,6 +344,16 @@ class Predictor:
         return q
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
+        if self.mesh is not None and self.far_cluster > 0:
+            import warnings
+
+            warnings.warn(
+                "far_cluster is single-chip for now — the mesh paths run "
+                "the exact far field (the clustered tier targets the "
+                "single-chip serving bottleneck; shard it only if your "
+                "profile shows the O(N²/D) term dominating)",
+                stacklevel=2,
+            )
         if self.mesh is not None:
             if self.reuse_neighbors and (
                 self.shard_mode == "atom"
@@ -363,6 +386,7 @@ class Predictor:
                 neighbor_k=int(idx0.shape[-1]),
                 use_pallas=self._use_pallas(), neighbors=(idx0, mask0),
                 uniform_q0=self._uniform_q0(batch),
+                far_cluster=self.far_cluster,
             )
         else:
             k = self._neighbor_k(batch)
@@ -373,8 +397,60 @@ class Predictor:
                 neighbors=self._neighbors(batch, max(k, 1)),
                 neighbor_grid=self._neighbor_grid(batch),
                 uniform_q0=self._uniform_q0(batch),
+                far_cluster=self.far_cluster,
             )
         return np.asarray(q)
+
+    def far_field_diagnostics(self, batch: MolBatch,
+                              compare_exact: bool = True) -> dict:
+        """Quantify the clustered far-field tier's approximation on a
+        concrete batch (requires ``far_cluster > 0``; single-chip blocked
+        path).  Returns a dict with
+
+        - ``max_radius`` (B,): max intra-cluster radius over message rounds
+          — the measured factor of the error bound;
+        - ``lipschitz``: upper bound L on the message-MLP tail's Lipschitz
+          constant (max over rounds, exact spectral norms);
+        - ``message_bound`` (B,): worst-case per-round perturbation of one
+          atom's summed message, ``(Σ_j jvec_j) · L · max_radius`` — an a
+          priori bound (loose: it ignores relu dead zones and update-MLP
+          contraction);
+        - ``max_abs_dq`` (B,): the MEASURED per-atom charge error vs the
+          exact forward on this batch (when ``compare_exact``) — the number
+          that should drive a serving decision.
+        """
+        if self.far_cluster <= 0:
+            raise ValueError("far_field_diagnostics requires far_cluster>0")
+        from epnn_tpu.ops.cluster import mids_lipschitz_bound
+
+        k = self._neighbor_k(batch)
+        common = dict(
+            cfg=self.cfg, block=min(self.block, batch.padded_atoms),
+            neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
+            neighbors=self._neighbors(batch, max(k, 1)),
+            neighbor_grid=self._neighbor_grid(batch),
+            uniform_q0=self._uniform_q0(batch),
+        )
+        q_c, rad = forward_blocked(
+            self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
+            far_cluster=self.far_cluster, far_diag=True, **common)
+        rad = np.asarray(rad)
+        lip = mids_lipschitz_bound(self._fused.messages)
+        mask = np.asarray(batch.node_mask)
+        n_sum = (mask.sum(axis=1) if self.cfg.mask_messages
+                 else np.full(mask.shape[0], float(mask.shape[1])))
+        out = {
+            "max_radius": rad,
+            "lipschitz": lip,
+            "message_bound": n_sum * lip * rad,
+        }
+        if compare_exact:
+            q_e = forward_blocked(
+                self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
+                **common)
+            out["max_abs_dq"] = np.abs(np.asarray(q_c)
+                                       - np.asarray(q_e)).max(axis=1)
+        return out
 
     def _neighbors_skin(self, batch: MolBatch):
         """Verlet-skin (idx, nbr_mask) for the CURRENT drift window (see

@@ -1,0 +1,129 @@
+"""Weighted k-means for the clustered far-field tier.
+
+The far-field (beyond-cutoff) message reduction evaluates, for every atom i,
+
+    Σ_j jvec_j · mids(relu(pi_i + pj_j))
+
+over ALL columns j (reference hot loop ``charge_gn.py:62-70`` — there the
+far pairs carry exactly-zero RBF features, so the pair pre-activation splits
+into per-atom projections; see ``ops/fused.py``).  The exact round-1 collapse
+(``_forward_single_nbr``) exploits that at h=0 the ``pj`` rows take at most
+E+1 distinct values.  For h≠0 rounds the rows are no longer discrete, but in
+physical systems they are highly clustered (atoms in similar environments
+have similar hidden states): quantizing the ``pj`` rows to C weighted
+centroids turns the O(N²) reduction into the SAME count-weighted O(N·C)
+grid reduction, with an error bounded by
+
+    |Δ(message term)_pair| ≤ L(mids ∘ w_out) · max_j ‖pj_j − c(j)‖₂
+
+(relu is 1-Lipschitz).  Charge conservation is untouched: charges only move
+in the electron-passing rounds, which are exact and antisymmetric — the
+approximation enters solely through the hidden state h.
+
+This module holds the in-graph clustering primitive and the error-bound
+helpers that surface the approximation quality (max intra-cluster radius per
+round × an upper bound on the MLP tail's Lipschitz constant).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
+                    iters: int = 8):
+    """Deterministic weighted Lloyd k-means, fully in-graph (jit/vmap-safe).
+
+    ``rows`` (N, D): points to cluster (the per-round ``pj`` projections).
+    ``weights`` (N,): nonnegative j-sum weights (the node mask in clean mode,
+    the compat column indicator otherwise); zero-weight rows are ignored for
+    centroid fitting and contribute zero cluster weight.
+
+    Returns ``(centroids (C, D) f32, cluster_weights (C,) f32,
+    max_radius scalar f32)`` where ``Σ_c cluster_weights_c = Σ_j weights_j``
+    exactly (each row's weight lands in exactly one cluster) and
+    ``max_radius = max_{j: w_j>0} ‖rows_j − centroids_{assign_j}‖₂`` — the
+    quantity the far-field error bound is linear in.
+
+    Determinism: centroids are seeded from the weighted rows at C norm
+    quantiles (no RNG — repeated calls on the same inputs are identical, a
+    serving requirement).  Empty clusters keep their previous centroid and
+    carry zero weight (they then contribute exactly nothing downstream).
+    """
+    n, _ = rows.shape
+    r32 = jax.lax.stop_gradient(rows.astype(jnp.float32))
+    w32 = jax.lax.stop_gradient(weights.astype(jnp.float32))
+    valid = w32 > 0
+    nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+
+    # Seed: order rows by squared norm with invalid rows pushed past the end,
+    # then take C evenly spaced valid rows.  Norm quantiles spread the seeds
+    # across the occupied shell structure; Lloyd refinement does the rest.
+    key = jnp.sum(r32 * r32, axis=1)
+    key = jnp.where(valid, key, jnp.inf)
+    order = jnp.argsort(key)
+    take = (jnp.arange(n_clusters, dtype=jnp.int32) * nvalid) // n_clusters
+    cent0 = r32[order[take]]
+
+    rn2 = jnp.sum(r32 * r32, axis=1)  # reused every iteration
+
+    def _assign(cent):
+        # argmin_c ‖r − c‖² = argmin_c (‖c‖² − 2 r·c); ‖r‖² is row-constant.
+        # HIGHEST precision: the whole k-means is O(N·C·D) — noise-free
+        # assignments are free relative to the grid evaluation downstream.
+        score = (jnp.sum(cent * cent, axis=1)[None, :]
+                 - 2.0 * jnp.dot(r32, cent.T, precision=HIGHEST))
+        return jnp.argmin(score, axis=1), score
+
+    def lloyd(cent, _):
+        assign, _ = _assign(cent)
+        onehot = (assign[:, None]
+                  == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
+        wo = onehot.astype(jnp.float32) * w32[:, None]         # (N, C)
+        wts = jnp.sum(wo, axis=0)
+        sums = jnp.dot(wo.T, r32, precision=HIGHEST)           # (C, D)
+        cent_new = sums / jnp.maximum(wts, 1e-30)[:, None]
+        return jnp.where((wts > 0)[:, None], cent_new, cent), None
+
+    cent, _ = jax.lax.scan(lloyd, cent0, None, length=iters)
+
+    assign, score = _assign(cent)
+    onehot = (assign[:, None]
+              == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
+    wts = jnp.sum(onehot.astype(jnp.float32) * w32[:, None], axis=0)
+    # ‖r − c‖² from the assignment scores (add ‖r‖² back); clamp the
+    # cancellation residue at 0
+    d2 = jnp.take_along_axis(score, assign[:, None], axis=1)[:, 0] + rn2
+    d2 = jnp.where(valid, jnp.maximum(d2, 0.0), 0.0)
+    radius = jnp.sqrt(jnp.max(d2))
+    return cent, wts, radius
+
+
+def mids_lipschitz_bound(w) -> float:
+    """Upper bound on the Lipschitz constant of the message-MLP tail
+    (mid layers + linear head) that maps a first-layer pre-activation row to
+    the per-pair message contribution — host-side, from a ``PairMLPWeights``
+    whose arrays may be round-stacked (leading T axis).
+
+    Uses exact spectral norms (the matrices are tiny, ~32×32); relu is
+    1-Lipschitz, so L = Π_m ‖W_m‖₂ · ‖W_out‖₂.  For round-stacked weights
+    returns the max over rounds.  The far-field approximation then satisfies,
+    per atom i and message round,
+
+        ‖Δ(Σ_j jvec_j mids(relu(pi_i + pj_j)) @ w_out)‖₂
+            ≤ (Σ_j jvec_j) · L · max_radius .
+    """
+    def spec(a) -> float:
+        a = np.asarray(jax.device_get(a), dtype=np.float64)
+        if a.ndim == 2:
+            return float(np.linalg.norm(a, 2))
+        return float(max(np.linalg.norm(a[t], 2) for t in range(a.shape[0])))
+
+    l = spec(w.w_out)
+    for wm, _bm in w.mids:
+        l *= spec(wm)
+    return l

@@ -655,9 +655,23 @@ def _forward_single_nbr(
     neighbor_grid: Tuple[int, int] | None = None,
     compat_width: int | None = None,
     uniform_q0: bool = False,
+    far_cluster: int = 0,
+    far_diag: bool = False,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
+
+    ``far_cluster`` (static) — opt-in APPROXIMATE serving tier: when > 0,
+    every non-collapsed message round replaces the O(N²) no-feature dense
+    reduction with a count-weighted O(N·C) grid over C weighted-k-means
+    centroids of the ``pj`` rows (``ops/cluster.py``).  The near
+    correction and ALL electron-passing rounds stay exact, so charge
+    conservation is untouched (charges only move in the pass rounds); the
+    error enters through h only and is bounded per round by
+    ``Σ_j jvec_j · L(mids∘w_out) · max_radius`` (see
+    :func:`epnn_tpu.ops.cluster.mids_lipschitz_bound`).  ``far_diag``
+    (static) additionally returns the max intra-cluster radius over rounds
+    — the measured factor in that bound.
 
     ``uniform_q0`` (static) asserts the caller's contract that every valid
     atom carries the same initial charge (the ``pad_molecules`` convention
@@ -699,6 +713,8 @@ def _forward_single_nbr(
     # tests/test_fused.py::test_entry_padding_compat_mode_unchanged).
     # The recursion therefore pins ``compat_width`` to the ORIGINAL width
     # so the compat sums run over exactly the caller's columns.
+    if far_diag and far_cluster <= 0:
+        raise ValueError("far_diag requires far_cluster > 0")
     dense_name_pre = getattr(cfg, "dense_matmul_precision", "")
     if (use_pallas and dense_name_pre != "bf16x3" and x.shape[0] >= 128
             and compat_width is None):
@@ -717,14 +733,18 @@ def _forward_single_nbr(
             if neighbors is not None:
                 # pad neighbor rows with idx 0 / mask 0 (d2 0 if present)
                 neighbors = tuple(_pad0(a) for a in neighbors)
-            return _forward_single_nbr(
+            out = _forward_single_nbr(
                 fused, _pad0(x), _pad0(q0), _pad0(xyz), _pad0(node_mask),
                 cfg, block=block, k=k, use_pallas=use_pallas,
                 pack_to=pack_to, remat=remat, neighbors=neighbors,
                 neighbor_grid=neighbor_grid,
                 compat_width=None if cfg.mask_messages else n0,
-                uniform_q0=uniform_q0,
-            )[:n0]
+                uniform_q0=uniform_q0, far_cluster=far_cluster,
+                far_diag=far_diag,
+            )
+            if far_diag:
+                return out[0][:n0], out[1]
+            return out[:n0]
 
     n = x.shape[0]
     nb = -(-n // block)
@@ -862,8 +882,13 @@ def _forward_single_nbr(
         near_prec = (getattr(cfg, "matmul_precision", "")
                      or ("highest" if cfg.highest_precision else "default"))
 
+    far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
+
     def _message_round(carry, w: PairMLPWeights, collapse: bool):
-        h, q = carry
+        if far_cluster > 0:
+            h, q, rad = carry
+        else:
+            h, q = carry
         a = atom_inputs(h, q)
         pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1  # b1 folded once/atom
         pj = jnp.dot(a, w.w1_j, precision=prec)
@@ -903,6 +928,53 @@ def _forward_single_nbr(
             dense_sum = jnp.einsum(
                 "e,neh->nh", counts, hid_g.astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST).astype(x.dtype)
+        elif far_cluster > 0:
+            # clustered far-field tier (opt-in approximation): quantize the
+            # pj rows to C weighted centroids, then the dense no-feature
+            # reduction becomes the SAME count-weighted grid shape as the
+            # exact round-1 collapse — O(N·C) instead of O(N²).  The near
+            # correction below and every pass round stay exact; conservation
+            # is untouched (charges only move in the pass rounds).  The max
+            # intra-cluster radius is the measured factor in the error bound
+            # (``ops/cluster.py``) and rides the carry for ``far_diag``.
+            from epnn_tpu.ops.cluster import weighted_kmeans
+
+            cent, wts, r_round = weighted_kmeans(pj, jvec, far_cluster,
+                                                 iters=far_iters)
+            rad = jnp.maximum(rad, r_round)
+            if pallas_ok and len(w.mids) == 1:
+                (w2, b2), = w.mids
+                # pad the centroid rows to the kernel's packed-row contract:
+                # C/P rows must divide block_jp (≤64) exactly; zero-weight
+                # padding rows contribute exactly nothing (mjp = 0)
+                packc = max(1, 128 // h1) if 128 % h1 == 0 else 1
+                npr = -(-far_cluster // packc)
+                npr_p = npr if npr <= 64 else int(-(-npr // 64) * 64)
+                cpad = npr_p * packc
+                cent_p = jnp.pad(cent, ((0, cpad - far_cluster), (0, 0)))
+                wts_p = jnp.pad(wts, (0, cpad - far_cluster))
+                dense_sum = dense_message_rowsum(
+                    jnp.pad(pi, ((0, n_pad - n), (0, 0))),
+                    cent_p.astype(pi.dtype), wts_p, w2, b2,
+                    block_i=bi, block_jp=min(64, npr_p),
+                    precision=prec_name, mid_dtype=mid_dtype,
+                )[:n]
+            else:
+                cent_x = cent.astype(x.dtype)
+
+                def grid_scan(carry2, pi_blk):
+                    hid = jax.nn.relu(pi_blk[:, None, :] + cent_x[None, :, :])
+                    hid = _packed_mids(hid, w, prec, pack_to)
+                    # f32 HIGHEST for the count weighting (counts are exact
+                    # integers in f32; default-precision dots would round
+                    # them through bf16)
+                    red = jnp.einsum(
+                        "c,bch->bh", wts, hid.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+                    return carry2, red
+
+                _, dsum = jax.lax.scan(grid_scan, None, to_blocks(pi))
+                dense_sum = dsum.reshape(nb * block, -1)[:n].astype(x.dtype)
         elif pallas_ok and len(w.mids) == 1:
             (w2, b2), = w.mids
             # pi already carries b1 (folded once per atom above) — the
@@ -954,6 +1026,8 @@ def _forward_single_nbr(
                     + msg_count[:, None] * w.b_out)
         upd_in = jnp.concatenate([h, messages], axis=-1) * nm
         h = _apply_mlp(fused.update, upd_in, prec) * nm
+        if far_cluster > 0:
+            return (h, q, rad), None
         return (h, q), None
 
     def message_round(carry, w: PairMLPWeights):
@@ -961,16 +1035,22 @@ def _forward_single_nbr(
 
     if remat:
         message_round = jax.checkpoint(message_round)
+    carry0 = ((h, q, jnp.zeros((), jnp.float32)) if far_cluster > 0
+              else (h, q))
     if uniform_q0:
         round1 = lambda carry, w: _message_round(carry, w, True)  # noqa: E731
         if remat:
             round1 = jax.checkpoint(round1)
         w_first = jax.tree_util.tree_map(lambda a: a[0], fused.messages)
         w_rest = jax.tree_util.tree_map(lambda a: a[1:], fused.messages)
-        carry, _ = round1((h, q), w_first)
-        (h, q), _ = jax.lax.scan(message_round, carry, w_rest)
+        carry, _ = round1(carry0, w_first)
+        carry, _ = jax.lax.scan(message_round, carry, w_rest)
     else:
-        (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
+        carry, _ = jax.lax.scan(message_round, carry0, fused.messages)
+    if far_cluster > 0:
+        h, q, rad_max = carry
+    else:
+        h, q = carry
 
     # electron passing: gathered pairs only (the gate is zero off the near set)
     def pass_round(q, w: PairMLPWeights):
@@ -1010,6 +1090,8 @@ def _forward_single_nbr(
         return q + dq, None
 
     q, _ = jax.lax.scan(pass_round, q, fused.passes)
+    if far_diag:
+        return q * node_mask, rad_max
     return q * node_mask
 
 
@@ -1234,7 +1316,8 @@ def _forward_single(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
-                     "remat", "neighbor_grid", "uniform_q0"),
+                     "remat", "neighbor_grid", "uniform_q0", "far_cluster",
+                     "far_diag"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -1251,8 +1334,20 @@ def forward_blocked(
     neighbors: Tuple[jax.Array, jax.Array] | None = None,
     neighbor_grid: Tuple[int, int] | None = None,
     uniform_q0: bool = False,
+    far_cluster: int = 0,
+    far_diag: bool = False,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
+
+    ``far_cluster`` (static) — opt-in APPROXIMATE far-field serving tier
+    (requires ``neighbor_k``): non-collapsed message rounds quantize the
+    O(N²) no-feature dense reduction to C weighted-k-means centroids
+    (O(N·C)); near corrections and pass rounds stay exact, so charge
+    conservation is untouched.  ``far_diag`` additionally returns the max
+    intra-cluster radius (B,) — the measured factor of the error bound
+    (:func:`epnn_tpu.ops.cluster.mids_lipschitz_bound`).  Inference tier:
+    the cluster assignment is piecewise-constant (stop-gradient), so
+    training paths must keep the exact reduction.
 
     ``uniform_q0`` (static) — caller asserts every graph's valid atoms all
     carry the same initial charge with valid rows first (the
@@ -1324,17 +1419,24 @@ def forward_blocked(
             block=block, neighbor_k=neighbor_k, use_pallas=False,
             pack_to=pack_to, remat=remat, neighbors=neighbors,
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
+            far_cluster=far_cluster, far_diag=far_diag,
         )
+        if far_diag:
+            return out[0].astype(jnp.float32) * node_mask, out[1]
         return out.astype(jnp.float32) * node_mask
 
     if neighbors is not None and neighbor_k is None:
         raise ValueError("neighbors requires neighbor_k")
+    if far_cluster > 0 and neighbor_k is None:
+        raise ValueError("far_cluster requires neighbor_k (the clustered "
+                         "far-field tier lives on the neighbor-split path)")
 
     if neighbor_k is not None:
         single = functools.partial(
             _forward_single_nbr, cfg=cfg, block=block, k=neighbor_k,
             use_pallas=use_pallas, pack_to=pack_to, remat=remat,
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
+            far_cluster=far_cluster, far_diag=far_diag,
         )
     elif use_pallas and len(fused.messages.mids) == 1:
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction
@@ -1361,7 +1463,10 @@ def forward_blocked(
         if neighbor_k is not None and neighbors is not None:
             single = functools.partial(
                 single, neighbors=tuple(a[0] for a in neighbors))
-        return single(fused, x[0], q0[0], xyz[0], node_mask[0])[None]
+        out = single(fused, x[0], q0[0], xyz[0], node_mask[0])
+        if far_diag:
+            return out[0][None], out[1][None]
+        return out[None]
     if (neighbor_k is not None and bypass_b1
             and x.shape[1] >= _NEIGHBOR_BLOCK_THRESHOLD):
         if neighbors is not None:

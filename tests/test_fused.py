@@ -1195,3 +1195,120 @@ def test_cell_builder_count_only():
     _, m = build_neighbors_cell(xyz, mask, 3.0, 128, nc, cap)
     assert cnt == int(np.asarray(m).sum(1).max())
     assert cnt > 0
+
+
+class TestFarCluster:
+    """Clustered far-field serving tier (ops/cluster.py + the far_cluster
+    branch in _forward_single_nbr): an opt-in approximation of the O(N²)
+    beyond-cutoff message reduction by C weighted-k-means centroids.
+    Contract under test: (a) C large enough to give each distinct pj row
+    its own centroid reproduces the exact forward to association noise,
+    (b) charge conservation is EXACT at any C (charges only move in the
+    untouched pass rounds), (c) the surfaced radius shrinks with C,
+    (d) the Pallas grid evaluation matches the XLA fallback."""
+
+    def _system(self, rng, n=48, n_real=41, b=2):
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, q_total = build(
+            rng, cfg, b=b, n=n, n_real=n_real)
+        return cfg, fused, x, q0, xyz, mask, q_total
+
+    def test_c_equals_n_matches_exact(self, rng):
+        cfg, fused, x, q0, xyz, mask, _ = self._system(rng)
+        q_e = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16))
+        q_c = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16,
+                                         far_cluster=x.shape[1]))
+        scale = np.abs(q_e).max() + 1.0
+        assert np.abs(q_c - q_e).max() < 2e-5 * scale
+
+    def test_conservation_exact_at_any_c(self, rng):
+        cfg, fused, x, q0, xyz, mask, q_total = self._system(rng)
+        for c in (2, 8):
+            q = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                           block=8, neighbor_k=16,
+                                           far_cluster=c))
+            scale = np.abs(q).sum(1) + 1.0
+            assert np.all(np.abs(q.sum(1) - q_total) < 2e-6 * scale)
+            assert np.all(q[:, 41:] == 0.0)
+
+    def test_radius_shrinks_and_diag_shape(self, rng):
+        cfg, fused, x, q0, xyz, mask, _ = self._system(rng)
+        rads = []
+        for c in (2, 16, 48):
+            _, rad = forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                     block=8, neighbor_k=16,
+                                     far_cluster=c, far_diag=True)
+            rad = np.asarray(rad)
+            assert rad.shape == (x.shape[0],)
+            rads.append(rad.max())
+        assert rads[0] > rads[1] > rads[2]
+
+    def test_pallas_grid_matches_fallback(self, rng):
+        """Interpret-mode kernel path vs the XLA scan fallback, including a
+        centroid count that needs row padding inside the kernel call."""
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=280,
+                                              n_real=271)
+        for c in (64, 50):
+            q_fb = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                              block=64, neighbor_k=24,
+                                              far_cluster=c))
+            q_pl = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                              block=64, neighbor_k=24,
+                                              far_cluster=c,
+                                              use_pallas=True))
+            scale = np.abs(q_fb).max() + 1.0
+            assert np.abs(q_pl - q_fb).max() < 2e-5 * scale, c
+
+    def test_uniform_q0_collapse_composes(self, rng):
+        """Round 1 keeps the exact element-grid collapse; rounds 2+ cluster.
+        With C = N the composition must still match the exact collapsed
+        forward."""
+        cfg = EPNNConfig()
+        _, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=40, n_real=40)
+        # uniform_q0 contract: one q0 value on all valid atoms
+        q0 = np.full_like(q0, 1.0 / 40)
+        q_e = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16,
+                                         uniform_q0=True))
+        q_c = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                         block=8, neighbor_k=16,
+                                         uniform_q0=True, far_cluster=40))
+        scale = np.abs(q_e).max() + 1.0
+        assert np.abs(q_c - q_e).max() < 2e-5 * scale
+
+    def test_far_diag_requires_far_cluster(self, rng):
+        cfg, fused, x, q0, xyz, mask, _ = self._system(rng)
+        with pytest.raises(ValueError):
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                            neighbor_k=16, far_diag=True)
+
+    def test_far_cluster_requires_neighbor_k(self, rng):
+        cfg, fused, x, q0, xyz, mask, _ = self._system(rng)
+        with pytest.raises(ValueError):
+            forward_blocked(fused, x, q0, xyz, mask, cfg, block=8,
+                            far_cluster=8)
+
+    def test_kmeans_weights_partition_and_exact_dupes(self, rng):
+        """Cluster weights partition the input weights exactly; duplicate
+        rows with C >= #distinct collapse to zero radius."""
+        from epnn_tpu.ops.cluster import weighted_kmeans
+
+        base = rng.normal(size=(6, 8)).astype(np.float32)
+        rows = np.repeat(base, 20, axis=0)  # 120 rows, 6 distinct
+        w = np.ones((120,), np.float32)
+        w[::7] = 0.0
+        cent, wts, rad = jax.tree_util.tree_map(
+            np.asarray, weighted_kmeans(rows, w, 8, iters=12))
+        np.testing.assert_allclose(wts.sum(), w.sum(), rtol=0, atol=1e-6)
+        assert float(rad) < 1e-3
+
+    def test_lipschitz_bound_is_product_of_spectral_norms(self, rng):
+        from epnn_tpu.ops.cluster import mids_lipschitz_bound
+
+        cfg = EPNNConfig()
+        _, fused, *_ = build(rng, cfg, b=1, n=8, n_real=8)
+        l = mids_lipschitz_bound(fused.messages)
+        assert l > 0 and np.isfinite(l)
