@@ -121,15 +121,25 @@ def test_single_process_runtime_end_to_end():
     service starts, process_count()==1, the multihost mesh builds over the
     virtual CPU devices, and a sharded forward conserves charge.
     Subprocess-isolated: jax.distributed must initialize before the
-    backend, and the test process's backend is already up."""
-    code = """
+    backend, and the test process's backend is already up.
+
+    The coordinator port is allocated fresh per run (bind-to-0): a fixed
+    port collides when two test sessions overlap on one machine — the
+    stale coordinator answers the new worker and aborts it with
+    "connected with a different incarnation"."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    code = f"PORT = {port}\n" + """
 import os
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
 from epnn_tpu.parallel.multihost import (
     initialize_distributed, is_coordinator, make_multihost_mesh)
-initialize_distributed(coordinator_address="localhost:18476",
+initialize_distributed(coordinator_address=f"localhost:{PORT}",
                        num_processes=1, process_id=0)
 initialize_distributed()  # idempotent second call must no-op
 assert jax.process_count() == 1
