@@ -184,6 +184,7 @@ def forward_atom_sharded_nbr_batch(
     remat: bool = False,
     uniform_q0: bool = False,
     neighbors: "Optional[tuple]" = None,
+    far_cluster: int = 0,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
