@@ -120,8 +120,10 @@ class Predictor:
     #: exact, so charge conservation is untouched; the error enters through
     #: the hidden state only and is bounded by (mid-stack Lipschitz) × (max
     #: intra-cluster radius) per pair — measure it for your system with
-    #: :meth:`far_field_diagnostics`.  Ignored by the dense small-graph path
-    #: (no O(N²) bottleneck there) and currently by mesh paths (loud warn).
+    #: :meth:`far_field_diagnostics`.  Applies to the single-chip blocked
+    #: path and the big-graph atom-sharded mesh path; ignored (loud warn)
+    #: by the dense small-graph path (no O(N²) bottleneck there) and the
+    #: ring path (pj circulates in blocks, never materialized globally).
     far_cluster: int = 0
 
     def __post_init__(self):
@@ -324,7 +326,8 @@ class Predictor:
             q = np.asarray(forward_atom_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k=max(k, 1), use_pallas=self._use_pallas(),
-                uniform_q0=self._uniform_q0(batch), neighbors=nbrs))
+                uniform_q0=self._uniform_q0(batch), neighbors=nbrs,
+                far_cluster=self.far_cluster))
             return q[:b, :n]
         from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
 
@@ -344,14 +347,17 @@ class Predictor:
         return q
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
-        if self.mesh is not None and self.far_cluster > 0:
+        if self.mesh is not None and self.far_cluster > 0 and (
+                self.shard_mode == "ring"
+                or batch.padded_atoms <= DENSE_MAX_ATOMS):
             import warnings
 
             warnings.warn(
-                "far_cluster is single-chip for now — the mesh paths run "
-                "the exact far field (the clustered tier targets the "
-                "single-chip serving bottleneck; shard it only if your "
-                "profile shows the O(N²/D) term dominating)",
+                "far_cluster applies to the big-graph atom-sharded path "
+                "only — the ring path circulates pj in blocks (never "
+                "materializing the global rows the k-means fits) and the "
+                "dense small-graph path has no O(N²) far-field term to "
+                "cluster; this batch runs the exact far field",
                 stacklevel=2,
             )
         if self.mesh is not None:

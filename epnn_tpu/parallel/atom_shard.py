@@ -38,6 +38,7 @@ Two forward variants ship:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -207,6 +208,19 @@ def forward_atom_sharded_nbr_batch(
     sees bitwise-identical j-side values — the antisymmetry argument is
     unchanged).
 
+    ``far_cluster`` (static) — opt-in APPROXIMATE serving tier, the
+    multi-chip twin of ``forward_blocked(far_cluster=C)``: each h≠0
+    message round's O(N²/D) far-field reduction is quantized to C
+    weighted k-means centroids of the pj rows (``ops/cluster.py``).  The
+    k-means runs REPLICATED on the all-gathered pj rows — it is
+    deterministic, so every device computes bitwise-identical centroids —
+    and each device then evaluates only its R grid rows: O(N·C) fit +
+    O(R·C) evaluation per round.  Near corrections and all
+    electron-passing rounds stay exact, so conservation is untouched;
+    only h carries the approximation (the same error bound as the
+    single-chip tier).  Measured 3.1× at 17,760 atoms single-chip with
+    max|dq| exactly 0.0 for the trained reference checkpoints.
+
     The dense-featurized :func:`forward_atom_sharded_batch` does O(N²/D)
     featurized pair work per device — at spatially sparse sizes that LOSES
     to one chip running the neighbor split (149 ms single-chip vs a
@@ -257,7 +271,7 @@ def forward_atom_sharded_nbr_batch(
             cfg.replace(compute_dtype="float32", matmul_precision="default",
                         highest_precision=False),
             mesh, k=k, use_pallas=False, remat=remat, uniform_q0=uniform_q0,
-            neighbors=neighbors,
+            neighbors=neighbors, far_cluster=far_cluster,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -367,6 +381,41 @@ def forward_atom_sharded_nbr_batch(
             _, out = jax.lax.scan(dscan, None, blocks)
             return out.reshape(rp, -1)[:r]
 
+        far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
+
+        def dense_clustered(pi_rows, pj_f, w: PairMLPWeights):
+            """Clustered far-field tier (see the function docstring): fit
+            replicated on the gathered pj rows, evaluate my R rows only.
+            The count weighting runs f32 HIGHEST exactly like the round-1
+            grid (cluster weights are sums of mask values — integers that
+            default-precision dots would round through bf16)."""
+            from epnn_tpu.ops.cluster import weighted_kmeans
+
+            cent, wts, _ = weighted_kmeans(pj_f, jvec, far_cluster,
+                                           iters=far_iters)
+            if pallas_ok and len(w.mids) == 1:
+                (w2, b2), = w.mids
+                # packed-row contract of dense_message_rowsum (same padding
+                # as the single-chip clustered branch in ops/fused.py)
+                packc = max(1, 128 // h1) if 128 % h1 == 0 else 1
+                npr = -(-far_cluster // packc)
+                npr_p = npr if npr <= 64 else int(-(-npr // 64) * 64)
+                cpad = npr_p * packc
+                cent_p = jnp.pad(cent, ((0, cpad - far_cluster), (0, 0)))
+                wts_p = jnp.pad(wts, (0, cpad - far_cluster))
+                return dense_message_rowsum(
+                    jnp.pad(pi_rows, ((0, r_pad - r), (0, 0))),
+                    cent_p.astype(pi_rows.dtype), wts_p, w2, b2,
+                    block_i=bi, block_jp=min(64, npr_p),
+                    precision=prec_name, mid_dtype=mid_dtype)[:r]
+            hid = jax.nn.relu(pi_rows[:, None, :]
+                              + cent.astype(x_f.dtype)[None, :, :])
+            for wm, bm in w.mids:
+                hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+            return jnp.einsum(
+                "c,rch->rh", wts, hid.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST).astype(x_f.dtype)
+
         h_f = jnp.zeros((n, cfg.h_dim), x_f.dtype)
         q_f = q0_f
 
@@ -411,8 +460,12 @@ def forward_atom_sharded_nbr_batch(
             pj_f = jnp.dot(a, w.w1_j, precision=prec)
             pi_rows = jax.lax.dynamic_slice_in_dim(pi_f, r0, r, 0)
 
-            dense_sum = (dense_round1_grid(pi_rows, q_f, w) if collapse
-                         else dense_nofeat(pi_rows, pj_f, w))
+            if collapse:
+                dense_sum = dense_round1_grid(pi_rows, q_f, w)
+            elif far_cluster > 0:
+                dense_sum = dense_clustered(pi_rows, pj_f, w)
+            else:
+                dense_sum = dense_nofeat(pi_rows, pj_f, w)
             pj_nbr = pj_f[idx]
             epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
             base = pi_rows[:, None, :] + pj_nbr

@@ -744,6 +744,124 @@ class TestShardedUniformQ0Collapse:
 
 
 @needs_devices
+class TestShardedFarCluster:
+    """Clustered far-field tier on the atom-sharded forward: the k-means
+    fits REPLICATED on the gathered pj rows (deterministic — identical
+    centroids on every device) and each device evaluates only its grid
+    rows.  Contract: (a) matches the single-chip clustered forward to
+    fp noise (the k-means sees fp-noise-different pj between the paths,
+    so assignment flips near Voronoi boundaries are possible — bound is
+    looser than the exact-path 1e-5), (b) conservation stays EXACT at any
+    C (pass rounds untouched), (c) C = N recovers the exact sharded
+    forward, (d) the Predictor mesh path uses it for big graphs and
+    warns-and-degrades for ring/dense."""
+
+    @staticmethod
+    def _system(rng):
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n, k = 2, 48, 16
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+        return cfg, params, fused, x, q0, xyz, mask, k
+
+    def test_matches_single_chip_cluster(self, rng):
+        from epnn_tpu.ops.fused import forward_blocked
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg, _, fused, x, q0, xyz, mask, k = self._system(rng)
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        for c in (6, 20):
+            q_1c = np.asarray(forward_blocked(
+                fused, x, q0, xyz, mask, cfg, block=16, neighbor_k=k,
+                far_cluster=c))
+            q_sh = np.asarray(forward_atom_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k=k, far_cluster=c))
+            scale = np.abs(q_1c).max() + 1.0
+            assert np.abs(q_sh - q_1c).max() < 1e-4 * scale, c
+            # conservation exact per graph at ANY C
+            want = (q0 * mask).sum(1)
+            np.testing.assert_allclose((q_sh * mask).sum(1), want,
+                                       atol=2e-5)
+
+    def test_c_equals_n_matches_exact_sharded(self, rng):
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg, _, fused, x, q0, xyz, mask, k = self._system(rng)
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        base = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=k))
+        q_c = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k=k,
+            far_cluster=x.shape[1]))
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(q_c - base).max() < 2e-5 * scale
+
+    def test_composes_with_collapse_and_reuse(self, rng):
+        """far_cluster + uniform_q0 (round 1 stays the exact grid) +
+        precomputed neighbors — the full serving stack on the mesh."""
+        from epnn_tpu.ops.fused import build_neighbors_batch, forward_blocked
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        b = TestShardedUniformQ0Collapse._contract_batch()
+        cfg, fused = TestShardedUniformQ0Collapse._cfg_fused()
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        k = 16
+        nbrs = tuple(np.asarray(a) for a in build_neighbors_batch(
+            jax.numpy.asarray(b.xyz), jax.numpy.asarray(b.node_mask),
+            cfg.cutoff, k))
+        q_1c = np.asarray(forward_blocked(
+            fused, b.x, b.q0, b.xyz, b.node_mask, cfg, block=16,
+            neighbor_k=k, neighbors=nbrs, uniform_q0=True, far_cluster=8))
+        q_sh = np.asarray(forward_atom_sharded_nbr_batch(
+            fused, b.x, b.q0, b.xyz, b.node_mask, cfg, mesh, k=k,
+            neighbors=nbrs, uniform_q0=True, far_cluster=8))
+        scale = np.abs(q_1c).max() + 1.0
+        assert np.abs(q_sh - q_1c).max() < 1e-4 * scale
+        want = (b.q0 * b.node_mask).sum(1)
+        np.testing.assert_allclose((q_sh * b.node_mask).sum(1), want,
+                                   atol=2e-5)
+
+    def test_predictor_dispatch_and_warnings(self, rng, monkeypatch):
+        """Big graphs on an atom mesh run the clustered tier silently;
+        ring mode and dense small graphs warn and run exact."""
+        import warnings
+
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        cfg, params, *_ = self._system(rng)
+        g = np.random.default_rng(7)
+        n = 40
+        mol = Molecule(name="m", symbols=["C"] * n,
+                       xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
+                       total_charge=1.0)
+        batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
+        mesh = make_mesh(n_data=1, n_atoms=8)
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)
+        big = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            q = big.predict_batch(batch)
+        np.testing.assert_allclose(q.sum(), 1.0, atol=1e-4)
+
+        ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
+                         shard_mode="ring")
+        with pytest.warns(UserWarning, match="atom-sharded path only"):
+            ring.predict_batch(batch)
+
+
+@needs_devices
 class TestShardedNeighborReuse:
     """Precomputed-neighbor serving on the atom-sharded forward: the
     (B, N, k) tables shard over (data, atoms), each device consumes its
