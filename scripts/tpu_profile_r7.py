@@ -105,13 +105,13 @@ def stage_protein():
 
     tgz = os.path.join("/root/reference/data", "protein.tar.gz")
     pdir = os.path.join(CACHE, "protein")
-    if not os.path.exists(os.path.join(pdir, "protein.xyz")):
+    if not os.path.exists(os.path.join(pdir, "6qlp_capped.xyz")):
         os.makedirs(CACHE, exist_ok=True)
         with tarfile.open(tgz) as t:
             t.extractall(CACHE)
     from epnn_tpu.data.xyz import parse_xyz_file
 
-    mol = parse_xyz_file(os.path.join(pdir, "protein.xyz"))
+    mol = parse_xyz_file(os.path.join(pdir, "6qlp_capped.xyz"))
     bb = pad_molecules([mol], table, pad_to=2220)
     k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
                                         cfg.cutoff) + 4, 8))

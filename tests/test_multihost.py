@@ -116,14 +116,8 @@ class TestInitialize:
         assert calls["coordinator_address"] == "h1:1"
 
 
-def test_single_process_runtime_end_to_end():
-    """Degenerate (num_processes=1) distributed runtime: the coordination
-    service starts, process_count()==1, the multihost mesh builds over the
-    virtual CPU devices, and a sharded forward conserves charge.
-    Subprocess-isolated: jax.distributed must initialize before the
-    backend, and the test process's backend is already up.
-
-    The coordinator port is allocated fresh per run (bind-to-0): a fixed
+def _free_port() -> int:
+    """A coordinator port allocated fresh per run (bind-to-0): a fixed
     port collides when two test sessions overlap on one machine — the
     stale coordinator answers the new worker and aborts it with
     "connected with a different incarnation"."""
@@ -131,8 +125,18 @@ def test_single_process_runtime_end_to_end():
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    code = f"PORT = {port}\n" + """
+        return s.getsockname()[1]
+
+
+def test_single_process_runtime_end_to_end():
+    """Degenerate (num_processes=1) distributed runtime: the coordination
+    service starts, process_count()==1, the multihost mesh builds over the
+    virtual CPU devices, and a sharded forward conserves charge.
+    Subprocess-isolated: jax.distributed must initialize before the
+    backend, and the test process's backend is already up.
+
+    The coordinator port is allocated fresh per run (see _free_port)."""
+    code = f"PORT = {_free_port()}\n" + """
 import os
 import numpy as np
 import jax
@@ -174,6 +178,118 @@ print("MULTIHOST_OK")
     assert "MULTIHOST_OK" in proc.stdout, proc.stdout
 
 
+_TWO_PROC_WORKER = """
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from epnn_tpu.parallel.multihost import (
+    initialize_distributed, make_multihost_mesh)
+initialize_distributed(coordinator_address="localhost:%d" % PORT,
+                       num_processes=2, process_id=PID)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.ops import fuse_params
+from epnn_tpu.ops.fused import forward_blocked
+from epnn_tpu.parallel.atom_shard import (
+    forward_atom_sharded_nbr_batch, make_sharded_train_step)
+
+cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                 mlp_hidden=(8, 8), T=2)
+params = init_params(cfg, jax.random.key(0))
+params = jax.tree_util.tree_map(
+    lambda a: a + 0.2 if a.ndim == 1 else a, params)
+fused = fuse_params(params, cfg)
+g = np.random.default_rng(3)
+b, n, k = 2, 48, 12
+x = g.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+xyz = g.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+mask = np.ones((b, n), np.float32); mask[:, -5:] = 0.0
+q0 = np.full((b, n), 1.0 / n, np.float32)
+
+# (data=2, atoms=4): the data axis spans the two processes, so the
+# per-round atom all-gathers stay process-local and only the data-axis
+# collectives cross the process boundary (gloo) — the DCN layout rule.
+mesh = make_multihost_mesh(n_data=2, n_atoms=4)
+q = forward_atom_sharded_nbr_batch(fused, x, q0, xyz, mask, cfg, mesh,
+                                   k=k)
+# check MY addressable shards against a locally computed single-chip
+# reference (identical on both processes) — no gather needed, and it
+# pins values, not just conservation
+q_ref = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg,
+                                   block=16, neighbor_k=k))
+scale = np.abs(q_ref).max() + 1.0
+worst = max(float(np.abs(np.asarray(s.data) - q_ref[s.index]).max())
+            for s in q.addressable_shards)
+assert worst < 1e-5 * scale, worst
+print("[p%d] forward worst |dq| = %.3e" % (PID, worst), flush=True)
+
+# cross-process TRAINING: gradient psum rides gloo over the data axis
+import optax
+from epnn_tpu.train import TrainState
+import jax.numpy as jnp
+
+opt = optax.adam(3e-3)
+step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=k)
+state = TrainState(params=params, opt_state=opt.init(params),
+                   step=jnp.zeros((), jnp.int32))
+y = np.asarray(np.random.default_rng(1).normal(size=q0.shape), np.float32)
+w = np.ones((b,), np.float32)
+losses = []
+for _ in range(3):
+    state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
+    losses.append(float(loss))  # replicated scalar: addressable readback
+assert losses[-1] < losses[0], losses
+print("[p%d] losses %s" % (PID, " ".join("%.8f" % l for l in losses)),
+      flush=True)
+print("TWOPROC_OK", flush=True)
+"""
+
+
+def test_two_process_runtime_end_to_end():
+    """REAL multi-process coverage (not the degenerate num_processes=1
+    handshake): two OS processes, 4 virtual CPU devices each, join one
+    distributed runtime; the atom-sharded forward and the sharded
+    training step run on the global 8-device mesh with the data axis
+    spanning the process boundary (XLA cross-process collectives via
+    gloo).  Each process checks its addressable output shards against a
+    locally computed single-chip reference, then trains 3 steps — the
+    printed replicated losses must MATCH across the processes (the
+    gradient psum crosses processes; divergence would mean the psum
+    silently dropped the remote half)."""
+    port = _free_port()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["EPNN_PLATFORM"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             f"PID = {i}\nPORT = {port}\n" + _TWO_PROC_WORKER],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out}"
+        assert "TWOPROC_OK" in out, f"proc {i}:\n{out}"
+    loss_lines = [
+        next(ln for ln in out.splitlines() if "losses" in ln).split("]")[1]
+        for out in outs
+    ]
+    assert loss_lines[0] == loss_lines[1], loss_lines
+
+
 def test_cli_multihost_flag(tmp_path, toy_molecules):
     """`train --multihost` joins the (degenerate num_processes=1) runtime
     from the EPNN_* env vars, builds the global mesh, and trains.
@@ -189,7 +305,7 @@ def test_cli_multihost_flag(tmp_path, toy_molecules):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["EPNN_PLATFORM"] = "cpu"
-    env["EPNN_COORDINATOR"] = "localhost:18477"
+    env["EPNN_COORDINATOR"] = f"localhost:{_free_port()}"
     env["EPNN_NUM_PROCESSES"] = "1"
     env["EPNN_PROCESS_ID"] = "0"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
