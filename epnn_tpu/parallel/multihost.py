@@ -22,10 +22,15 @@ or rely on ``jax.distributed.initialize()`` auto-detection on Cloud TPU
 pods (GCE metadata supplies coordinator/process counts).
 
 Environment limits (documented, not hidden): this repo's test environment
-has one TPU chip and a virtual CPU mesh — multi-host paths are exercised
-degenerately (``num_processes=1``, which runs the full coordination-service
-handshake) and via the hybrid-mesh layout logic under mocked slice
-indices; they cannot be integration-tested across real hosts here.
+has one TPU chip, so multi-host cannot be integration-tested on real TPU
+fabric here.  It IS integration-tested across real OS processes on CPU:
+``tests/test_multihost.py::test_two_process_runtime_end_to_end`` runs two
+processes (4 virtual devices each) through one distributed runtime — the
+sharded forward and the sharded training step execute on the global mesh
+with the data axis spanning the process boundary (XLA cross-process gloo
+collectives), shard values checked against a single-chip reference and
+training losses checked identical across processes.  The hybrid DCN×ICI
+layout logic is additionally unit-tested under mocked slice indices.
 """
 
 from __future__ import annotations
