@@ -121,9 +121,10 @@ class Predictor:
     #: the hidden state only and is bounded by (mid-stack Lipschitz) × (max
     #: intra-cluster radius) per pair — measure it for your system with
     #: :meth:`far_field_diagnostics`.  Applies to the single-chip blocked
-    #: path and the big-graph atom-sharded mesh path; ignored (loud warn)
-    #: by the dense small-graph path (no O(N²) bottleneck there) and the
-    #: ring path (pj circulates in blocks, never materialized globally).
+    #: path, the big-graph atom-sharded mesh path, and the ring path
+    #: (there the k-means fits distributed — seed keys all-gathered,
+    #: Lloyd sums psum-ed — since pj never materializes globally); ignored
+    #: (loud warn) by the dense small-graph path (no O(N²) bottleneck).
     far_cluster: int = 0
 
     def __post_init__(self):
@@ -295,7 +296,8 @@ class Predictor:
             q = np.asarray(forward_ring_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k_blk=max(k_blk, 1), use_pallas=self._use_pallas(),
-                uniform_q0=self._uniform_q0(batch), neighbors=nbrs))
+                uniform_q0=self._uniform_q0(batch), neighbors=nbrs,
+                far_cluster=self.far_cluster))
             return q[:b, :n]
         if batch.padded_atoms > DENSE_MAX_ATOMS:
             # big graphs: the neighbor-split sharded forward (O(N·k/D)
@@ -347,17 +349,15 @@ class Predictor:
         return q
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
-        if self.mesh is not None and self.far_cluster > 0 and (
-                self.shard_mode == "ring"
-                or batch.padded_atoms <= DENSE_MAX_ATOMS):
+        if (self.mesh is not None and self.far_cluster > 0
+                and self.shard_mode != "ring"
+                and batch.padded_atoms <= DENSE_MAX_ATOMS):
             import warnings
 
             warnings.warn(
-                "far_cluster applies to the big-graph atom-sharded path "
-                "only — the ring path circulates pj in blocks (never "
-                "materializing the global rows the k-means fits) and the "
-                "dense small-graph path has no O(N²) far-field term to "
-                "cluster; this batch runs the exact far field",
+                "far_cluster applies to the neighbor-split paths only — "
+                "the dense small-graph path has no O(N²) far-field term "
+                "to cluster; this batch runs the exact far field",
                 stacklevel=2,
             )
         if self.mesh is not None:

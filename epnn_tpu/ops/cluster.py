@@ -103,6 +103,81 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
     return cent, wts, radius
 
 
+def weighted_kmeans_sharded(rows: jax.Array, weights: jax.Array,
+                            n_clusters: int, axis_name: str,
+                            iters: int = 8):
+    """Distributed twin of :func:`weighted_kmeans` for row-sharded inputs
+    (the ring path, where the per-round ``pj`` never materializes globally).
+
+    Call INSIDE ``shard_map``: ``rows`` (nd, D) / ``weights`` (nd,) are this
+    device's shard of the global (N, D)/(N,) arrays, row-sharded over
+    ``axis_name``.  Returns the same ``(centroids (C, D), cluster_weights
+    (C,), max_radius)`` triple, REPLICATED across the axis.
+
+    Equivalence to the single-chip fit: the seed keys (squared row norms)
+    are computed per row and all-gathered — O(N) floats, not O(N·D) rows —
+    so the norm-quantile seed CHOICE is bitwise identical to
+    :func:`weighted_kmeans` on the gathered array; seed rows are fetched
+    with one masked-onehot matmul + ``psum`` (each global seed index is
+    owned by exactly one device).  Lloyd updates accumulate per-device
+    partial sums with ``psum``, so centroid trajectories agree with the
+    single-chip fit to fp reduction-order noise only.
+    """
+    nd, _ = rows.shape
+    r32 = jax.lax.stop_gradient(rows.astype(jnp.float32))
+    w32 = jax.lax.stop_gradient(weights.astype(jnp.float32))
+    valid = w32 > 0
+
+    my_dev = jax.lax.axis_index(axis_name)
+    my_start = my_dev * nd
+
+    # ---- seeds: global norm quantiles (keys gathered, rows psum-fetched)
+    key_l = jnp.sum(r32 * r32, axis=1)
+    key_l = jnp.where(valid, key_l, jnp.inf)
+    keys = jax.lax.all_gather(key_l, axis_name).reshape(-1)     # (N,)
+    nvalid = jnp.maximum(
+        jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis_name), 1)
+    order = jnp.argsort(keys)
+    take = (jnp.arange(n_clusters, dtype=jnp.int32) * nvalid) // n_clusters
+    seed_g = order[take]                                        # (C,) global
+    onehot_seed = (seed_g[:, None]
+                   == (my_start + jnp.arange(nd, dtype=jnp.int32))[None, :])
+    cent0 = jax.lax.psum(
+        jnp.dot(onehot_seed.astype(jnp.float32), r32, precision=HIGHEST),
+        axis_name)
+
+    rn2 = jnp.sum(r32 * r32, axis=1)
+
+    def _assign(cent):
+        score = (jnp.sum(cent * cent, axis=1)[None, :]
+                 - 2.0 * jnp.dot(r32, cent.T, precision=HIGHEST))
+        return jnp.argmin(score, axis=1), score
+
+    def lloyd(cent, _):
+        assign, _ = _assign(cent)
+        onehot = (assign[:, None]
+                  == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
+        wo = onehot.astype(jnp.float32) * w32[:, None]
+        wts = jax.lax.psum(jnp.sum(wo, axis=0), axis_name)
+        sums = jax.lax.psum(
+            jnp.dot(wo.T, r32, precision=HIGHEST), axis_name)
+        cent_new = sums / jnp.maximum(wts, 1e-30)[:, None]
+        return jnp.where((wts > 0)[:, None], cent_new, cent), None
+
+    cent, _ = jax.lax.scan(lloyd, cent0, None, length=iters)
+
+    assign, score = _assign(cent)
+    onehot = (assign[:, None]
+              == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
+    wts = jax.lax.psum(
+        jnp.sum(onehot.astype(jnp.float32) * w32[:, None], axis=0),
+        axis_name)
+    d2 = jnp.take_along_axis(score, assign[:, None], axis=1)[:, 0] + rn2
+    d2 = jnp.where(valid, jnp.maximum(d2, 0.0), 0.0)
+    radius = jnp.sqrt(jax.lax.pmax(jnp.max(d2), axis_name))
+    return cent, wts, radius
+
+
 def mids_lipschitz_bound(w) -> float:
     """Upper bound on the Lipschitz constant of the message-MLP tail
     (mid layers + linear head) that maps a first-layer pre-activation row to

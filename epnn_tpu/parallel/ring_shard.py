@@ -25,6 +25,7 @@ pair is "self" iff global row index == global col index.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -183,9 +184,21 @@ def forward_ring_sharded_nbr_batch(
     remat: bool = False,
     uniform_q0: bool = False,
     neighbors: "Tuple[jax.Array, ...] | None" = None,
+    far_cluster: int = 0,
 ) -> jax.Array:
     """Neighbor-split ring-sharded forward (SURVEY §7 stage 6: the ring
     variant OF the stage-5 kernel, not of the dense loop).
+
+    ``far_cluster`` (static) — opt-in APPROXIMATE far-field tier, the ring
+    twin of ``forward_blocked(far_cluster=...)``: the h≠0 far-field
+    reduction is replaced by a count-weighted grid over C centroids of the
+    global ``pj`` rows.  The rows never materialize globally — the k-means
+    fits DISTRIBUTED (:func:`epnn_tpu.ops.cluster.weighted_kmeans_sharded`:
+    seed keys all-gathered as O(N) scalars, Lloyd partial sums ``psum``-ed),
+    and message-round ring steps then carry only the exact O(N·k_blk) near
+    corrections.  Error bound and conservation argument are identical to
+    the single-chip tier (``ops/cluster.py``); centroid trajectories match
+    the single-chip fit to psum reduction-order noise.
 
     ``uniform_q0`` (static) — caller asserts the pad_molecules round-1
     collapse contract (:func:`epnn_tpu.data.dataset.uniform_q0_contract`);
@@ -256,6 +269,8 @@ def forward_ring_sharded_nbr_batch(
     nd = n // n_at
     if k_blk > nd:
         raise ValueError(f"k_blk={k_blk} exceeds the block width {nd}")
+    if far_cluster < 0:
+        raise ValueError("far_cluster must be >= 0 (0 = exact)")
     if neighbors is not None:
         k_tab = int(neighbors[0].shape[-1])
         if k_blk < min(k_tab, nd):
@@ -282,6 +297,7 @@ def forward_ring_sharded_nbr_batch(
                         highest_precision=False),
             mesh, k_blk=k_blk, use_pallas=False, remat=remat,
             uniform_q0=uniform_q0, neighbors=neighbors,
+            far_cluster=far_cluster,
         )
         return out.astype(jnp.float32) * node_mask
     prec = _resolve_precision(cfg)
@@ -300,6 +316,7 @@ def forward_ring_sharded_nbr_batch(
     prec_name = ("default" if dense_name == "int8" else dense_name) or \
         getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
+    far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
 
     if pallas_ok:
         from epnn_tpu.ops.pallas_kernels import (dense_message_pad,
@@ -436,17 +453,52 @@ def forward_ring_sharded_nbr_batch(
                 "e,reh->rh", counts, hid.astype(jnp.float32),
                 precision=jax.lax.Precision.HIGHEST).astype(dt)
 
+        def cluster_far_grid(pi, pj, w: PairMLPWeights):
+            """Clustered h≠0 far field (opt-in approximation): distributed
+            weighted k-means over the row-sharded pj, then the same
+            count-weighted grid reduction as the exact round-1 collapse —
+            O(nd·C) local work instead of O(nd·N) ring circulation."""
+            from epnn_tpu.ops.cluster import weighted_kmeans_sharded
+
+            jvec_d = mask_d if cfg.mask_messages else jnp.ones_like(mask_d)
+            cent, wts, _rad = weighted_kmeans_sharded(
+                pj, jvec_d, far_cluster, ATOM_AXIS, iters=far_iters)
+            if pallas_ok and len(w.mids) == 1:
+                (w2, b2), = w.mids
+                # centroid rows padded to the packed-row contract (zero
+                # weight ⇒ padding contributes exactly nothing) — same
+                # packing as the single-chip tier (ops/fused.py)
+                packc = max(1, 128 // h1) if 128 % h1 == 0 else 1
+                npr = -(-far_cluster // packc)
+                npr_p = npr if npr <= 64 else int(-(-npr // 64) * 64)
+                cpad = npr_p * packc
+                cent_p = jnp.pad(cent, ((0, cpad - far_cluster), (0, 0)))
+                wts_p = jnp.pad(wts, (0, cpad - far_cluster))
+                return dense_message_rowsum(
+                    jnp.pad(pi, ((0, r_pad - nd), (0, 0))),
+                    cent_p.astype(pi.dtype), wts_p, w2, b2,
+                    block_i=bi, block_jp=min(64, npr_p),
+                    precision=prec_name, mid_dtype=mid_dtype)[:nd]
+            hid = jax.nn.relu(pi[:, None, :] + cent.astype(dt)[None, :, :])
+            for wm, bm in w.mids:
+                hid = jax.nn.relu(jnp.dot(hid, wm, precision=prec) + bm)
+            # f32 HIGHEST count weighting (integer counts must not round)
+            return jnp.einsum(
+                "c,nch->nh", wts, hid.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST).astype(dt)
+
         def _message_round(carry, w: PairMLPWeights, collapse: bool):
             h_d, q_d = carry
             a = atom_inputs(h_d, q_d)
             pi = jnp.dot(a, w.w1_i, precision=prec) + w.b1
             pj = jnp.dot(a, w.w1_j, precision=prec)
+            dense_in_ring = not collapse and far_cluster <= 0
 
             def ring_step(c2, sel):
                 acc, blk = c2
                 idx, m, d2 = sel
                 pj_j, mask_j = blk
-                if not collapse:
+                if dense_in_ring:
                     acc = acc + dense_nofeat(pi, pj_j, mask_j, w)
 
                 def near(acc):
@@ -463,8 +515,12 @@ def forward_ring_sharded_nbr_batch(
                 acc = jax.lax.cond(jnp.sum(m) > 0, near, lambda a_: a_, acc)
                 return (acc, jax.lax.ppermute(blk, ATOM_AXIS, perm)), None
 
-            acc0 = (dense_round1_grid(pi, q_d, w) if collapse
-                    else jnp.zeros((nd, pi.shape[-1]), dt))
+            if collapse:
+                acc0 = dense_round1_grid(pi, q_d, w)
+            elif far_cluster > 0:
+                acc0 = cluster_far_grid(pi, pj, w)
+            else:
+                acc0 = jnp.zeros((nd, pi.shape[-1]), dt)
             (hsum, _), _ = jax.lax.scan(
                 ring_step, (acc0, (pj, mask_d.astype(dt))),
                 (idx_s, m_s, d2_s), length=D)

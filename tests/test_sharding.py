@@ -754,7 +754,9 @@ class TestShardedFarCluster:
     looser than the exact-path 1e-5), (b) conservation stays EXACT at any
     C (pass rounds untouched), (c) C = N recovers the exact sharded
     forward, (d) the Predictor mesh path uses it for big graphs and
-    warns-and-degrades for ring/dense."""
+    warns-and-degrades for dense small graphs.  The ring path runs the
+    tier with a DISTRIBUTED k-means (weighted_kmeans_sharded: identical
+    seed choice, psum-ed Lloyd sums) — same contract, same bounds."""
 
     @staticmethod
     def _system(rng):
@@ -803,6 +805,69 @@ class TestShardedFarCluster:
         scale = np.abs(base).max() + 1.0
         assert np.abs(q_c - base).max() < 2e-5 * scale
 
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_ring_matches_single_chip_cluster(self, rng, use_pallas):
+        """Ring tier (distributed k-means) vs the single-chip clustered
+        forward: same 1e-4 bound as the atom tier (the psum-ed Lloyd sums
+        add reduction-order noise on top of the pj fp noise), exact
+        conservation at any C."""
+        from epnn_tpu.ops.fused import forward_blocked
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg, _, fused, x, q0, xyz, mask, k = self._system(rng)
+        mesh = make_mesh(n_data=2, n_atoms=4)  # nd = 12
+        for c in (6, 20):
+            q_1c = np.asarray(forward_blocked(
+                fused, x, q0, xyz, mask, cfg, block=16, neighbor_k=k,
+                far_cluster=c))
+            q_rg = np.asarray(forward_ring_sharded_nbr_batch(
+                fused, x, q0, xyz, mask, cfg, mesh, k_blk=12,
+                use_pallas=use_pallas, far_cluster=c))
+            scale = np.abs(q_1c).max() + 1.0
+            assert np.abs(q_rg - q_1c).max() < 1e-4 * scale, c
+            want = (q0 * mask).sum(1)
+            np.testing.assert_allclose((q_rg * mask).sum(1), want,
+                                       atol=2e-5)
+
+    def test_ring_c_equals_n_matches_exact_ring(self, rng):
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        cfg, _, fused, x, q0, xyz, mask, k = self._system(rng)
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        base = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=12))
+        q_c = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, x, q0, xyz, mask, cfg, mesh, k_blk=12,
+            far_cluster=x.shape[1]))
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(q_c - base).max() < 2e-5 * scale
+
+    def test_ring_composes_with_collapse_and_reuse(self, rng):
+        """far_cluster + uniform_q0 (round 1 stays the exact grid) +
+        precomputed neighbors on the RING path — full serving stack."""
+        from epnn_tpu.ops.fused import build_neighbors_batch, forward_blocked
+        from epnn_tpu.parallel.ring_shard import forward_ring_sharded_nbr_batch
+
+        b = TestShardedUniformQ0Collapse._contract_batch()
+        cfg, fused = TestShardedUniformQ0Collapse._cfg_fused()
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        k = 16
+        nbrs = tuple(np.asarray(a) for a in build_neighbors_batch(
+            jax.numpy.asarray(b.xyz), jax.numpy.asarray(b.node_mask),
+            cfg.cutoff, k))
+        q_1c = np.asarray(forward_blocked(
+            fused, b.x, b.q0, b.xyz, b.node_mask, cfg, block=16,
+            neighbor_k=k, neighbors=nbrs, uniform_q0=True, far_cluster=8))
+        q_rg = np.asarray(forward_ring_sharded_nbr_batch(
+            fused, b.x, b.q0, b.xyz, b.node_mask, cfg, mesh,
+            k_blk=min(k, b.x.shape[1] // 4), neighbors=nbrs,
+            uniform_q0=True, far_cluster=8))
+        scale = np.abs(q_1c).max() + 1.0
+        assert np.abs(q_rg - q_1c).max() < 1e-4 * scale
+        want = (b.q0 * b.node_mask).sum(1)
+        np.testing.assert_allclose((q_rg * b.node_mask).sum(1), want,
+                                   atol=2e-5)
+
     def test_composes_with_collapse_and_reuse(self, rng):
         """far_cluster + uniform_q0 (round 1 stays the exact grid) +
         precomputed neighbors — the full serving stack on the mesh."""
@@ -829,8 +894,8 @@ class TestShardedFarCluster:
                                    atol=2e-5)
 
     def test_predictor_dispatch_and_warnings(self, rng, monkeypatch):
-        """Big graphs on an atom mesh run the clustered tier silently;
-        ring mode and dense small graphs warn and run exact."""
+        """Big graphs on an atom mesh AND the ring path run the clustered
+        tier silently; dense small graphs warn and run exact."""
         import warnings
 
         import epnn_tpu.infer as I
@@ -857,8 +922,15 @@ class TestShardedFarCluster:
 
         ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
                          shard_mode="ring")
-        with pytest.warns(UserWarning, match="atom-sharded path only"):
-            ring.predict_batch(batch)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            q_ring = ring.predict_batch(batch)
+        np.testing.assert_allclose(q_ring.sum(), 1.0, atol=1e-4)
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 4096)
+        dense = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+        with pytest.warns(UserWarning, match="exact far field"):
+            dense.predict_batch(batch)
 
 
 @needs_devices
