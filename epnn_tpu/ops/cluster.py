@@ -35,7 +35,8 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
-                    iters: int = 8):
+                    iters: int = 8, *, fit_precision=HIGHEST,
+                    fit_rows: int = 0, seed: str = "norm"):
     """Deterministic weighted Lloyd k-means, fully in-graph (jit/vmap-safe).
 
     ``rows`` (N, D): points to cluster (the per-round ``pj`` projections).
@@ -53,6 +54,22 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
     quantiles (no RNG — repeated calls on the same inputs are identical, a
     serving requirement).  Empty clusters keep their previous centroid and
     carry zero weight (they then contribute exactly nothing downstream).
+
+    Fit-cost knobs (all preserve determinism and the exactness of the final
+    cluster weights/radius; they only move where the CENTROIDS land, i.e.
+    the approximation quality, which ``max_radius`` reports faithfully):
+
+    - ``fit_precision``: matmul precision for the assignment/update dots.
+      The k-means is O(N·C·D) FLOPs — tiny — but HIGHEST costs 6 MXU passes
+      per dot and the fit is a long sequential chain, so latency-bound
+      serving configs can run it at default precision.
+    - ``fit_rows``: when > 0, Lloyd iterations run on this many evenly
+      spaced valid rows (same deterministic ordering as the seeds); the
+      FINAL assignment/weights/radius still cover every row exactly.
+    - ``seed``: ``"norm"`` (norm-quantile rows via one argsort — the
+      default) or ``"stride"`` (every (nvalid/C)-th valid row in input
+      order via cumsum+searchsorted — sort-free, for when the argsort
+      dominates the fit).
     """
     n, _ = rows.shape
     r32 = jax.lax.stop_gradient(rows.astype(jnp.float32))
@@ -60,38 +77,54 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
     valid = w32 > 0
     nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
 
-    # Seed: order rows by squared norm with invalid rows pushed past the end,
-    # then take C evenly spaced valid rows.  Norm quantiles spread the seeds
-    # across the occupied shell structure; Lloyd refinement does the rest.
-    key = jnp.sum(r32 * r32, axis=1)
-    key = jnp.where(valid, key, jnp.inf)
-    order = jnp.argsort(key)
-    take = (jnp.arange(n_clusters, dtype=jnp.int32) * nvalid) // n_clusters
-    cent0 = r32[order[take]]
+    def _valid_quantile_idx(m: int) -> jax.Array:
+        """Indices of m evenly spaced valid rows, per the seed ordering."""
+        take = (jnp.arange(m, dtype=jnp.int32) * nvalid) // m
+        if seed == "stride":
+            # position of the (t+1)-th valid row in input order: first j
+            # with cumsum(valid)[j] >= t+1 — O(N) + m·log N, no sort
+            cums = jnp.cumsum(valid.astype(jnp.int32))
+            return jnp.searchsorted(cums, take + 1).astype(jnp.int32)
+        # norm quantiles: order rows by squared norm with invalid rows
+        # pushed past the end, then take m evenly spaced valid rows.  Norm
+        # quantiles spread the seeds across the occupied shell structure;
+        # Lloyd refinement does the rest.
+        key = jnp.sum(r32 * r32, axis=1)
+        key = jnp.where(valid, key, jnp.inf)
+        return jnp.argsort(key)[take]
+
+    if fit_rows and fit_rows < n:
+        fit_idx = _valid_quantile_idx(fit_rows)
+        rf, wf = r32[fit_idx], w32[fit_idx]
+        # seeds: C evenly spaced of the fit rows (they are themselves evenly
+        # spaced valid rows, so this matches the full-set quantile choice)
+        cent0 = rf[(jnp.arange(n_clusters, dtype=jnp.int32)
+                    * fit_rows) // n_clusters]
+    else:
+        rf, wf = r32, w32
+        cent0 = r32[_valid_quantile_idx(n_clusters)]
 
     rn2 = jnp.sum(r32 * r32, axis=1)  # reused every iteration
 
-    def _assign(cent):
+    def _assign(cent, rws):
         # argmin_c ‖r − c‖² = argmin_c (‖c‖² − 2 r·c); ‖r‖² is row-constant.
-        # HIGHEST precision: the whole k-means is O(N·C·D) — noise-free
-        # assignments are free relative to the grid evaluation downstream.
         score = (jnp.sum(cent * cent, axis=1)[None, :]
-                 - 2.0 * jnp.dot(r32, cent.T, precision=HIGHEST))
+                 - 2.0 * jnp.dot(rws, cent.T, precision=fit_precision))
         return jnp.argmin(score, axis=1), score
 
     def lloyd(cent, _):
-        assign, _ = _assign(cent)
+        assign, _ = _assign(cent, rf)
         onehot = (assign[:, None]
                   == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
-        wo = onehot.astype(jnp.float32) * w32[:, None]         # (N, C)
+        wo = onehot.astype(jnp.float32) * wf[:, None]          # (Nf, C)
         wts = jnp.sum(wo, axis=0)
-        sums = jnp.dot(wo.T, r32, precision=HIGHEST)           # (C, D)
+        sums = jnp.dot(wo.T, rf, precision=fit_precision)      # (C, D)
         cent_new = sums / jnp.maximum(wts, 1e-30)[:, None]
         return jnp.where((wts > 0)[:, None], cent_new, cent), None
 
     cent, _ = jax.lax.scan(lloyd, cent0, None, length=iters)
 
-    assign, score = _assign(cent)
+    assign, score = _assign(cent, r32)
     onehot = (assign[:, None]
               == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
     wts = jnp.sum(onehot.astype(jnp.float32) * w32[:, None], axis=0)

@@ -883,6 +883,17 @@ def _forward_single_nbr(
                      or ("highest" if cfg.highest_precision else "default"))
 
     far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
+    far_fit_kw = {}
+    if far_cluster > 0:
+        # audit/tuning knobs for the fit (read at trace time — static);
+        # defaults per the r7c battery in benchmarks/RESULTS.md
+        _fp = os.environ.get("EPNN_FAR_CLUSTER_FIT_PREC", "highest")
+        far_fit_kw = dict(
+            fit_precision=(jax.lax.Precision.HIGHEST if _fp == "highest"
+                           else jax.lax.Precision.DEFAULT),
+            fit_rows=int(os.environ.get("EPNN_FAR_CLUSTER_FIT_ROWS", "0")),
+            seed=os.environ.get("EPNN_FAR_CLUSTER_SEED", "norm"),
+        )
 
     def _message_round(carry, w: PairMLPWeights, collapse: bool):
         if far_cluster > 0:
@@ -940,7 +951,8 @@ def _forward_single_nbr(
             from epnn_tpu.ops.cluster import weighted_kmeans
 
             cent, wts, r_round = weighted_kmeans(pj, jvec, far_cluster,
-                                                 iters=far_iters)
+                                                 iters=far_iters,
+                                                 **far_fit_kw)
             rad = jnp.maximum(rad, r_round)
             if pallas_ok and len(w.mids) == 1:
                 (w2, b2), = w.mids

@@ -1245,6 +1245,43 @@ class TestFarCluster:
             rads.append(rad.max())
         assert rads[0] > rads[1] > rads[2]
 
+    def test_fit_knobs_preserve_contract(self, rng, monkeypatch):
+        """The fit-cost knobs (iteration count, fit-dot precision, sort-free
+        strided seeding, subsampled fitting — ops/cluster.py, env-wired in
+        _forward_single_nbr) may only move WHERE the centroids land: charge
+        conservation stays exact, the radius diagnostic stays live, and
+        every variant is deterministic."""
+        import jax
+
+        cfg, fused, x, q0, xyz, mask, q_total = self._system(rng)
+        for env in (
+            {"EPNN_FAR_CLUSTER_ITERS": "2"},
+            {"EPNN_FAR_CLUSTER_FIT_PREC": "default"},
+            {"EPNN_FAR_CLUSTER_SEED": "stride"},
+            {"EPNN_FAR_CLUSTER_FIT_ROWS": "16",
+             "EPNN_FAR_CLUSTER_SEED": "stride",
+             "EPNN_FAR_CLUSTER_FIT_PREC": "default",
+             "EPNN_FAR_CLUSTER_ITERS": "2"},
+        ):
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            jax.clear_caches()  # env knobs are read at trace time
+            run = lambda: forward_blocked(  # noqa: E731
+                fused, x, q0, xyz, mask, cfg, block=8, neighbor_k=16,
+                far_cluster=8, far_diag=True)
+            q, rad = run()
+            q, rad = np.asarray(q), np.asarray(rad)
+            scale = np.abs(q).sum(1) + 1.0
+            assert np.all(np.abs(q.sum(1) - q_total) < 2e-6 * scale), env
+            assert np.all(q[:, 41:] == 0.0), env
+            assert rad.shape == (x.shape[0],) and np.all(rad > 0), env
+            q2, rad2 = run()
+            assert np.array_equal(q, np.asarray(q2)), env
+            assert np.array_equal(rad, np.asarray(rad2)), env
+            for k in env:
+                monkeypatch.delenv(k)
+        jax.clear_caches()
+
     def test_pallas_grid_matches_fallback(self, rng):
         """Interpret-mode kernel path vs the XLA scan fallback, including a
         centroid count that needs row padding inside the kernel call."""
