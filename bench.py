@@ -321,23 +321,25 @@ def main():
                 sc_iters, discard_loops=2), 2)
 
             # clustered far-field tier (round-7 verdict item: opt-in,
-            # error-bounded approximation): C=128 weighted-k-means grid
-            # replaces the O(N²) h≠0 far field.  The MEASURED per-atom
-            # error vs the exact forward on this very system rides along —
-            # exactly 0.0 e for the trained reference checkpoints at
-            # protein scale (their update-MLP layer-2 relus are all dead
-            # at msg_count≈N: h is round-constant, far field inert).
+            # error-bounded approximation): C=32 weighted-k-means grid
+            # replaces the O(N²) h≠0 far field (C=32 won the r7b/r7c
+            # sweeps: 24.7 ms vs 28.1 at C=128, same radius bound on this
+            # system).  The MEASURED per-atom error vs the exact forward
+            # on this very system rides along — exactly 0.0 e for the
+            # trained reference checkpoints at protein scale (their
+            # update-MLP layer-2 relus are all dead at msg_count≈N: h is
+            # round-constant, far field inert).
             def fn_big_cl(q0_in):
                 return forward_blocked(fused, xb, q0_in, zb, mb, c,
                                        block=256, neighbor_k=int(kb),
                                        use_pallas=on_tpu, neighbors=nbrs_b,
                                        neighbor_grid=grid_b,
-                                       uniform_q0=uq0_b, far_cluster=128)
+                                       uniform_q0=uq0_b, far_cluster=32)
 
             q_cl = np.asarray(fn_big_cl(qb))[0]
-            extra["cluster128_17760_ms"] = round(chain_time(
+            extra["cluster32_17760_ms"] = round(chain_time(
                 fn_big_cl, qb, sc_iters, discard_loops=2), 2)
-            extra["cluster128_17760_max_dq"] = float(
+            extra["cluster32_17760_max_dq"] = float(
                 np.abs(q_cl - q_big).max())
         except Exception as e:
             extra["scaling_17760_error"] = f"{type(e).__name__}: {e}"[:200]
