@@ -189,7 +189,7 @@ def main():
         np.asarray(prev)
         return (time.perf_counter() - t0) / n_iters * 1e3
 
-    def measure(c, neighbors=None):
+    def measure(c, neighbors=None, far_cluster=0):
         # the packed Pallas far-field kernel wins on TPU whenever the far
         # field runs at default precision (benchmarks/RESULTS.md)
         dense_prec = c.dense_matmul_precision or c.matmul_precision or (
@@ -201,7 +201,8 @@ def main():
                                    block=block, neighbor_k=k,
                                    use_pallas=use_pallas,
                                    neighbors=neighbors,
-                                   neighbor_grid=grid, uniform_q0=uq0)
+                                   neighbor_grid=grid, uniform_q0=uq0,
+                                   far_cluster=far_cluster)
 
         q = np.asarray(fn(q0_d))[0]  # predictions for the parity checks
         ms = chain_time(fn, q0_d, iters)
@@ -240,6 +241,12 @@ def main():
         md_ms, q_md = measure(c, neighbors=nbrs)
         extra["md_mode_ms"] = round(md_ms, 3)
         extra["md_mode_matches_fast"] = float(np.abs(q_md - q_fast).max())
+
+        # clustered far-field tier at protein scale (C=32, r7d: 3.26 ms)
+        cl_ms, q_cl = measure(c, neighbors=nbrs, far_cluster=32)
+        extra["cluster32_protein_ms"] = round(cl_ms, 3)
+        extra["cluster32_protein_max_dq"] = float(
+            np.abs(q_cl - q_md).max())
 
         # MD with MOVING coordinates (Verlet skin, round 6): selection at
         # cutoff+skin amortized over the drift window; the per-step cost —

@@ -1001,6 +1001,38 @@ class TestVerletSkin:
         scale = np.abs(q_ref).max() + 1.0
         assert np.abs(q - q_ref).max() < 1e-5 * scale
 
+    def test_skin_composes_with_far_cluster(self):
+        """Verlet-skin serving + the clustered far-field tier (MD at scale
+        uses both): the k-means fit sees the same pj rows/weights either
+        way, and shell pairs contribute exact zeros to the near correction,
+        so skin+cluster must match fresh+cluster; conservation stays exact."""
+        from epnn_tpu.infer import Predictor
+        from epnn_tpu.models import init_params
+
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.3 if a.ndim == 1 else a, params)
+        skin = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                         reuse_neighbors=True, neighbor_skin=0.5,
+                         far_cluster=8)
+        fresh = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                          far_cluster=8)
+        b = self._batch()
+        g = np.random.default_rng(3)
+        for step in range(2):
+            q = skin.predict_batch(b)
+            ref_b = self._batch()
+            ref_b.xyz[:] = b.xyz
+            q_ref = fresh.predict_batch(ref_b)
+            scale = np.abs(q_ref).max() + 1.0
+            assert np.abs(q - q_ref).max() < 1e-5 * scale, f"step {step}"
+            cons = (q * b.node_mask).sum(1) - (b.q0 * b.node_mask).sum(1)
+            assert np.abs(cons).max() < 1e-5 * scale
+            b.xyz += (g.uniform(-1, 1, b.xyz.shape) * 0.04).astype(
+                np.float32) * b.node_mask[..., None]
+
     def test_skin_requires_reuse(self):
         from epnn_tpu.infer import Predictor
         from epnn_tpu.models import init_params
@@ -1349,3 +1381,44 @@ class TestFarCluster:
         _, fused, *_ = build(rng, cfg, b=1, n=8, n_real=8)
         l = mids_lipschitz_bound(fused.messages)
         assert l > 0 and np.isfinite(l)
+
+    def test_error_bound_actually_bounds(self, rng):
+        """The claim the tier ships on (ops/cluster.py): per atom i the
+        clustered far-field message error satisfies
+
+            ‖Σ_j jvec_j [f(pi_i+pj_j) − f(pi_i+cent_{a(j)})] @ w_out‖₂
+                ≤ (Σ_j jvec_j) · L · max_radius
+
+        with f = mids ∘ relu and L = mids_lipschitz_bound.  Verified here
+        directly against the actual weighted_kmeans outputs on a random
+        (NOT inert) MLP, at a C small enough that the error is real."""
+        import jax.numpy as jnp
+
+        from epnn_tpu.ops.cluster import mids_lipschitz_bound, \
+            weighted_kmeans
+        from epnn_tpu.ops.fused import PairMLPWeights
+
+        g = np.random.default_rng(5)
+        n, h1, hm = 90, 12, 10
+        pi = jnp.asarray(g.normal(size=(n, h1)).astype(np.float32))
+        pj = jnp.asarray(g.normal(size=(n, h1)).astype(np.float32) * 2.0)
+        jvec = jnp.asarray((g.random(n) > 0.15).astype(np.float32))
+        w2 = jnp.asarray(g.normal(size=(h1, hm)).astype(np.float32) * 0.5)
+        b2 = jnp.asarray(g.normal(size=(hm,)).astype(np.float32) * 0.1)
+        w_out = jnp.asarray(g.normal(size=(hm, 3)).astype(np.float32) * 0.5)
+        w = PairMLPWeights(w1_i=jnp.zeros((1, h1)), w1_j=jnp.zeros((1, h1)),
+                           w1_e=jnp.zeros((1, h1)), b1=jnp.zeros((h1,)),
+                           mids=((w2, b2),), w_out=w_out,
+                           b_out=jnp.zeros((3,)))
+
+        def f(pre):  # mids ∘ relu, then the output head
+            return jnp.maximum(jnp.maximum(pre, 0.0) @ w2 + b2, 0.0) @ w_out
+
+        exact = jnp.einsum("j,ijo->io", jvec, f(pi[:, None] + pj[None]))
+        for c in (4, 16):
+            cent, wts, rad = weighted_kmeans(pj, jvec, c)
+            approx = jnp.einsum("c,ico->io", wts, f(pi[:, None] + cent[None]))
+            err = float(jnp.max(jnp.linalg.norm(exact - approx, axis=1)))
+            bound = float(jnp.sum(jvec)) * mids_lipschitz_bound(w) * float(rad)
+            assert err <= bound * (1 + 1e-5), (c, err, bound)
+            assert err > 0, c  # the test must exercise a REAL error
