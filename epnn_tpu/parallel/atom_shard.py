@@ -99,12 +99,15 @@ def forward_atom_sharded_batch(
         raise ValueError(f"N={n} not divisible by atoms axis {n_at}")
     if b % n_dp:
         raise ValueError(f"B={b} not divisible by data axis {n_dp}")
-    prec = HIGHEST if cfg.highest_precision else None
+    return _dense_batch_program(cfg, mesh)(fused, x, q0, xyz, node_mask)
 
-    eye = jnp.eye(n, dtype=x.dtype)
-    pairm = node_mask[:, :, None] * node_mask[:, None, :]  # diag kept (the
-    # dense model's pair_mask — self-messages flow there too)
-    valid = pairm * (1.0 - eye)                            # RBF diag zero
+
+@functools.lru_cache(maxsize=None)
+def _dense_batch_program(cfg: EPNNConfig, mesh: Mesh):
+    """Memoized jitted program for :func:`forward_atom_sharded_batch`
+    (same rationale as :func:`_nbr_batch_program`: the eager shard_map
+    re-traced on every call)."""
+    prec = HIGHEST if cfg.highest_precision else None
 
     rows = P(DATA_AXIS, ATOM_AXIS)
     full = P(DATA_AXIS)
@@ -142,34 +145,42 @@ def forward_atom_sharded_batch(
                 pi_full=pif, pj_full=pjf, xyz_full=xf)
         )(pi_rows, pj_rows, xyz_rows, valid_rows, pi_full, pj_full, xyz_full)
 
-    h = jnp.zeros((b, n, cfg.h_dim), x.dtype)
-    q = q0
-    nm = node_mask[:, :, None]
+    def run(fused, x, q0, xyz, node_mask):
+        b, n = x.shape[:2]
+        eye = jnp.eye(n, dtype=x.dtype)
+        pairm = node_mask[:, :, None] * node_mask[:, None, :]  # diag kept
+        # (the dense model's pair_mask — self-messages flow there too)
+        valid = pairm * (1.0 - eye)                            # RBF diag 0
+        h = jnp.zeros((b, n, cfg.h_dim), x.dtype)
+        q = q0
+        nm = node_mask[:, :, None]
 
-    def atom_inputs(h, q):
-        return jnp.concatenate([x, h, q[:, :, None]], axis=-1)
+        def atom_inputs(h, q):
+            return jnp.concatenate([x, h, q[:, :, None]], axis=-1)
 
-    def message_round(carry, w):
-        h, q = carry
-        a = atom_inputs(h, q)
-        pi = jnp.dot(a, w.w1_i, precision=prec)
-        pj = jnp.dot(a, w.w1_j, precision=prec)
-        messages = message_rows(w, pi, xyz, valid, pairm, pi, pj, xyz)
-        upd_in = jnp.concatenate([h, messages], axis=-1) * nm
-        h = _apply_mlp(fused.update, upd_in, prec) * nm
-        return (h, q), None
+        def message_round(carry, w):
+            h, q = carry
+            a = atom_inputs(h, q)
+            pi = jnp.dot(a, w.w1_i, precision=prec)
+            pj = jnp.dot(a, w.w1_j, precision=prec)
+            messages = message_rows(w, pi, xyz, valid, pairm, pi, pj, xyz)
+            upd_in = jnp.concatenate([h, messages], axis=-1) * nm
+            h = _apply_mlp(fused.update, upd_in, prec) * nm
+            return (h, q), None
 
-    (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
+        (h, q), _ = jax.lax.scan(message_round, (h, q), fused.messages)
 
-    def pass_round(q, w):
-        a = atom_inputs(h, q)
-        pi = jnp.dot(a, w.w1_i, precision=prec)
-        pj = jnp.dot(a, w.w1_j, precision=prec)
-        dq = pass_rows(w, pi, pj, xyz, valid, pi, pj, xyz)
-        return q + dq, None
+        def pass_round(q, w):
+            a = atom_inputs(h, q)
+            pi = jnp.dot(a, w.w1_i, precision=prec)
+            pj = jnp.dot(a, w.w1_j, precision=prec)
+            dq = pass_rows(w, pi, pj, xyz, valid, pi, pj, xyz)
+            return q + dq, None
 
-    q, _ = jax.lax.scan(pass_round, q, fused.passes)
-    return q * node_mask
+        q, _ = jax.lax.scan(pass_round, q, fused.passes)
+        return q * node_mask
+
+    return jax.jit(run)
 
 
 def forward_atom_sharded_nbr_batch(
@@ -274,6 +285,32 @@ def forward_atom_sharded_nbr_batch(
             neighbors=neighbors, far_cluster=far_cluster,
         )
         return out.astype(jnp.float32) * node_mask
+
+    # the compiled program depends only on statics — memoize it so
+    # repeated serving calls (and repeated Predictor instances) reuse ONE
+    # jitted executable instead of re-tracing the shard_map every call
+    run = _nbr_batch_program(
+        cfg, mesh, k, use_pallas, remat, uniform_q0, far_cluster, b, n,
+        0 if neighbors is None else len(neighbors),
+        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")))
+    args = (fused, x, q0, xyz, node_mask)
+    if neighbors is not None:
+        args = args + tuple(neighbors)
+    return run(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
+                       use_pallas: bool, remat: bool, uniform_q0: bool,
+                       far_cluster: int, b: int, n: int, n_nbr: int,
+                       far_iters: int):
+    """Build + jit the :func:`forward_atom_sharded_nbr_batch` program for
+    one static configuration (cfg/mesh/shapes/flags are all hashable).
+    Without this memo every call re-traced the shard_map and recompiled —
+    ~15 s per serving call on the CPU test mesh."""
+    n_at = mesh.shape[ATOM_AXIS]
+    n_dp = mesh.shape.get(DATA_AXIS, 1)
+    r = n // n_at
     prec = _resolve_precision(cfg)
     dense_name = getattr(cfg, "dense_matmul_precision", "")
     if dense_name == "bf16x3":
@@ -380,8 +417,6 @@ def forward_atom_sharded_nbr_batch(
 
             _, out = jax.lax.scan(dscan, None, blocks)
             return out.reshape(rp, -1)[:r]
-
-        far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
 
         def dense_clustered(pi_rows, pj_f, w: PairMLPWeights):
             """Clustered far-field tier (see the function docstring): fit
@@ -543,7 +578,7 @@ def forward_atom_sharded_nbr_batch(
     # device receives exactly its rows' slices (global column indices);
     # a 2-tuple (idx, mask) additionally makes fwd_rows gather d² from
     # the current coordinates in-graph (Verlet-skin serving)
-    nbr_specs = (rows,) * len(neighbors) if neighbors is not None else ()
+    nbr_specs = (rows,) * n_nbr
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -570,10 +605,7 @@ def forward_atom_sharded_nbr_batch(
             lambda a, b_, c, d, *nbr: fwd_rows(fused, a, b_, c, d, nbr)
         )(x_b, q0_b, xyz_b, mask_b, *nb)
 
-    args = (fused, x, q0, xyz, node_mask)
-    if neighbors is not None:
-        args = args + tuple(neighbors)
-    return run(*args)
+    return jax.jit(run)
 
 
 def forward_atom_sharded(

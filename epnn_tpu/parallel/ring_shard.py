@@ -67,14 +67,22 @@ def forward_ring_sharded(
     n_dev = mesh.shape[ATOM_AXIS]
     if n % n_dev:
         raise ValueError(f"N={n} not divisible by atoms axis {n_dev}")
+    run = _ring_dense_program(cfg, mesh, n, jnp.dtype(x.dtype).name)
+    return run(fused, x, q0, xyz, node_mask,
+               jnp.arange(n, dtype=jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_dense_program(cfg: EPNNConfig, mesh: Mesh, n: int, dtype: str):
+    """Memoized jitted program for :func:`forward_ring_sharded` (the
+    eager shard_map re-traced on every call otherwise)."""
+    n_dev = mesh.shape[ATOM_AXIS]
     nd = n // n_dev
     prec = _resolve_precision(cfg)
-    dt = x.dtype
+    dt = jnp.dtype(dtype)
 
     rows = P(ATOM_AXIS)
     rep = P()
-
-    gidx = jnp.arange(n, dtype=jnp.int32)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -168,7 +176,7 @@ def forward_ring_sharded(
         q_d, _ = jax.lax.scan(pass_round, q_d, fused.passes)
         return q_d * mask_d
 
-    return fwd(fused, x, q0, xyz, node_mask, gidx)
+    return jax.jit(fwd)
 
 
 def forward_ring_sharded_nbr_batch(
@@ -300,6 +308,28 @@ def forward_ring_sharded_nbr_batch(
             far_cluster=far_cluster,
         )
         return out.astype(jnp.float32) * node_mask
+
+    # memoized jitted program (same rationale as atom_shard's
+    # _nbr_batch_program: the eager shard_map re-traced on every call)
+    run = _ring_nbr_program(
+        cfg, mesh, k_blk, use_pallas, remat, uniform_q0, far_cluster, b, n,
+        0 if neighbors is None else len(neighbors),
+        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")))
+    nbrs = tuple(neighbors) if neighbors is not None else ()
+    return run(fused, x, q0, xyz, node_mask, *nbrs)
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_nbr_program(cfg: EPNNConfig, mesh: Mesh, k_blk: int,
+                      use_pallas: bool, remat: bool, uniform_q0: bool,
+                      far_cluster: int, b: int, n: int, n_nbr: int,
+                      far_iters: int):
+    """Build + jit the :func:`forward_ring_sharded_nbr_batch` program for
+    one static configuration — repeated serving calls reuse one compiled
+    executable."""
+    n_at = mesh.shape[ATOM_AXIS]
+    n_dp = mesh.shape.get(DATA_AXIS, 1)
+    nd = n // n_at
     prec = _resolve_precision(cfg)
     dense_name = getattr(cfg, "dense_matmul_precision", "")
     if dense_name == "bf16x3":
@@ -316,17 +346,6 @@ def forward_ring_sharded_nbr_batch(
     prec_name = ("default" if dense_name == "int8" else dense_name) or \
         getattr(cfg, "matmul_precision", "") or (
         "highest" if cfg.highest_precision else "default")
-    far_iters = int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8"))
-
-    if pallas_ok:
-        from epnn_tpu.ops.pallas_kernels import (dense_message_pad,
-                                                 dense_message_rowsum)
-
-        h1 = int(fused.messages.b1.shape[-1])
-        bi, bjp = (128, 64) if nd >= 128 else (8, 8)
-        r_pad = int(-(-nd // bi) * bi)
-        lcm = dense_message_pad(bi, bjp, h1)
-        c_pad = int(-(-nd // lcm) * lcm)
 
     def fwd_rows(fused, x_d, q0_d, xyz_d, mask_d, nbr_rows=None):
         """One graph's local shard: my nd rows, ring over D blocks.
@@ -334,6 +353,15 @@ def forward_ring_sharded_nbr_batch(
         ``nbr_rows`` — optional (idx, mask[, d2]) slices of a global
         (N, k) table for MY rows, each (nd, k) with GLOBAL column
         indices (see ``neighbors`` above)."""
+        if pallas_ok:
+            from epnn_tpu.ops.pallas_kernels import (dense_message_pad,
+                                                     dense_message_rowsum)
+
+            h1 = int(fused.messages.b1.shape[-1])
+            bi, bjp = (128, 64) if nd >= 128 else (8, 8)
+            r_pad = int(-(-nd // bi) * bi)
+            lcm = dense_message_pad(bi, bjp, h1)
+            c_pad = int(-(-nd // lcm) * lcm)
         D = jax.lax.axis_size(ATOM_AXIS)
         perm = [(i, (i + 1) % D) for i in range(D)]
         my_start = jax.lax.axis_index(ATOM_AXIS) * nd
@@ -596,8 +624,7 @@ def forward_ring_sharded_nbr_batch(
     rows = P(DATA_AXIS, ATOM_AXIS)
     local_b = b // n_dp
     rep = P()
-    nbrs = tuple(neighbors) if neighbors is not None else ()
-    nbr_specs = (rows,) * len(nbrs)
+    nbr_specs = (rows,) * n_nbr
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -619,4 +646,4 @@ def forward_ring_sharded_nbr_batch(
                 fused, a, b_, c, d, nb_ if nb_ else None)
         )(x_b, q0_b, xyz_b, mask_b, *nbr_b)
 
-    return run(fused, x, q0, xyz, node_mask, *nbrs)
+    return jax.jit(run)

@@ -39,9 +39,12 @@ def test_matches_dense_model(rng, mask_messages):
     q_dense = np.asarray(EPNN(cfg).apply(params, x, q0, e, mask))
     q_block = np.asarray(forward_blocked(fused, x, q0, xyz, mask, cfg, block=7))
     # split-first-layer association noise only (scale-relative: the
-    # bias-perturbed params produce O(50) charges)
+    # bias-perturbed params produce O(50) charges).  2e-5: the suite runs
+    # XLA:CPU at LLVM -O0 (conftest), where no FMA contraction forms —
+    # the two paths' accumulation noise sits at 1.1e-5 relative there
+    # (1e-5 held at -O2; the golden-parity suite is unaffected).
     scale = np.abs(q_dense).max() + 1.0
-    assert np.abs(q_block - q_dense).max() < 1e-5 * scale
+    assert np.abs(q_block - q_dense).max() < 2e-5 * scale
 
 
 def test_block_size_invariance(rng):
