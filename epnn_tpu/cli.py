@@ -79,6 +79,7 @@ def cmd_train(args):
         resume=args.resume, init_from=args.init_from,
         dense_max_atoms=args.dense_max_atoms,
         collapse_round1=not getattr(args, "no_collapse_round1", False),
+        far_cluster=getattr(args, "far_cluster", 0) or 0,
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.out and args.tensorboard else None),
     )
@@ -297,6 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused/sharded buckets (auto-verified per bucket; "
                         "~19%% off the protein-scale train step — this "
                         "flag pins the uncollapsed summation order)")
+    p.add_argument("--far-cluster", type=int, default=0, dest="far_cluster",
+                   help="opt-in APPROXIMATE clustered far-field tier for "
+                        "the TRAINING step on fused/sharded buckets (C "
+                        "weighted k-means centroids replace each h!=0 "
+                        "round's O(N^2) far field; the far-field dL/dpj "
+                        "path is dropped — big-graph fine-tuning "
+                        "accelerator; eval + checkpoint selection stay "
+                        "exact).  0 = exact")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)

@@ -629,7 +629,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             neighbor_k: Optional[int] = None,
                             use_pallas: bool = False,
                             shard_mode: str = "atom",
-                            uniform_q0: bool = False):
+                            uniform_q0: bool = False,
+                            far_cluster: int = 0):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -648,6 +649,14 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     circulate via ppermute; ``epnn_tpu.parallel.ring_shard``) — for graphs
     whose per-atom state itself exceeds one chip; gradients flow through
     the ppermute scans (their transpose is the reverse ring).
+
+    ``far_cluster`` (requires ``neighbor_k``) — opt-in APPROXIMATE
+    clustered far-field tier for the training step (the sharded twin of
+    ``TrainConfig.far_cluster``): forward error carries the usual
+    Lipschitz×radius bound, and the gradient drops the far-field ∂/∂pj
+    path (assignment + centroids are stop-gradient — the far field is
+    frozen per step).  Big-graph fine-tuning accelerator; eval twins stay
+    exact.
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -656,6 +665,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
     if shard_mode == "ring" and neighbor_k is None:
         raise ValueError("shard_mode='ring' requires neighbor_k")
+    if far_cluster and neighbor_k is None:
+        raise ValueError("far_cluster requires neighbor_k")
 
     def loss_fn(params, x, q0, xyz, node_mask, y, weight):
         fused = fuse_params(params, cfg)
@@ -665,11 +676,13 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
-                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0)
+                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
+                far_cluster=far_cluster)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
-                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0)
+                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
+                far_cluster=far_cluster)
         else:
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)

@@ -84,6 +84,18 @@ class TrainConfig:
     #: 6).  False pins the uncollapsed round-1 summation order for strict
     #: audits (the Predictor's collapse_round1='off' analog).
     collapse_round1: bool = True
+    #: opt-in APPROXIMATE clustered far-field tier for the TRAINING step on
+    #: fused/sharded (neighbor-split) buckets — the training twin of
+    #: ``Predictor(far_cluster=C)``: each h≠0 message round's O(N²) far
+    #: field runs as a C-centroid weighted grid.  The forward error carries
+    #: the usual Lipschitz×radius bound; the GRADIENT is additionally
+    #: approximate — the cluster assignment and centroids are
+    #: stop-gradient, so the far-field path contributes ∂/∂pi but not
+    #: ∂/∂pj (the j-side hidden-state far-field gradient is dropped, as if
+    #: the far field were frozen per step).  Intended for big-graph
+    #: fine-tuning where the near field dominates learning; EVAL steps and
+    #: checkpoint selection always run EXACT.  0 = exact training (default).
+    far_cluster: int = 0
 
 
 class TrainState(struct.PyTreeNode):
@@ -149,7 +161,8 @@ def eval_step(params, model: EPNN, loss_name: str,
 
 
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
-                   x, q0, xyz, node_mask, y, weight, uniform_q0=False):
+                   x, q0, xyz, node_mask, y, weight, uniform_q0=False,
+                   far_cluster=0):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
@@ -164,22 +177,25 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
     fused = fuse_params(params, cfg)
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
                            block=block, neighbor_k=neighbor_k, remat=True,
-                           use_pallas=use_pallas, uniform_q0=uniform_q0)
+                           use_pallas=use_pallas, uniform_q0=uniform_q0,
+                           far_cluster=far_cluster)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
-                              "neighbor_k", "use_pallas", "uniform_q0")
+                              "neighbor_k", "use_pallas", "uniform_q0",
+                              "far_cluster")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
                      neighbor_k: int, x, q0, xyz, node_mask, y, weight,
-                     use_pallas: bool = False, uniform_q0: bool = False):
+                     use_pallas: bool = False, uniform_q0: bool = False,
+                     far_cluster: int = 0):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
-        x, q0, xyz, node_mask, y, weight, uniform_q0
+        x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -391,7 +407,8 @@ def train(
                     make_sharded_train_step(
                         cfg, opt, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
-                        uniform_q0=uq0),
+                        uniform_q0=uq0,
+                        far_cluster=tc.far_cluster if k else 0),
                     make_sharded_eval_step(
                         cfg, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
@@ -470,7 +487,8 @@ def train(
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
-                        uniform_q0=bucket_uq0(bucket)
+                        uniform_q0=bucket_uq0(bucket),
+                        far_cluster=tc.far_cluster
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()

@@ -221,6 +221,53 @@ class Test2DMesh:
             state, cfg, tc.loss, opt, 8, k, x, q0, xyz, mask, y, w)
         np.testing.assert_allclose(losses[0], float(loss1), rtol=1e-4)
 
+    def test_sharded_training_far_cluster(self, rng):
+        """make_sharded_train_step(far_cluster=C): the approximate clustered
+        far-field TRAINING tier on the atom-sharded mesh — loss decreases,
+        finite, and the first-step loss tracks the single-device fused
+        trainer at the same C (the sharded k-means fit is replicated on the
+        gathered pj, so forwards agree to fp noise)."""
+        import optax
+
+        from epnn_tpu.ops.fused import max_neighbor_count
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.train import TrainConfig, create_state
+        from epnn_tpu.train.loop import train_step_fused
+
+        cfg = SMALL
+        tc = TrainConfig(learning_rate=3e-3)
+        state = create_state(cfg, tc, jax.random.key(0))
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        opt = optax.adam(3e-3)
+        state = state.replace(opt_state=opt.init(state.params))
+
+        b, n = 1, 64
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 10, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(0, 0.3, size=(b, n)).astype(np.float32)
+        w = np.ones((b,), np.float32)
+        k = int(max_neighbor_count(xyz[0], mask[0], cfg.cutoff)) + 2
+
+        step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=k,
+                                       far_cluster=4)
+        st = state
+        losses = []
+        for _ in range(4):
+            st, loss, _, _ = step(st, x, q0, xyz, mask, y, w)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert np.isfinite(losses).all()
+
+        _, loss1, _, _ = train_step_fused(
+            state, cfg, tc.loss, opt, 8, k, x, q0, xyz, mask, y, w,
+            far_cluster=4)
+        np.testing.assert_allclose(losses[0], float(loss1), rtol=1e-4)
+
+        with pytest.raises(ValueError, match="far_cluster requires"):
+            make_sharded_train_step(cfg, opt, mesh, far_cluster=4)
+
     def test_public_trainer_atom_sharded_dispatch(self, rng):
         """train(mesh with atoms axis > 1) routes big buckets through the
         atom-sharded step — training a graph whose pair grid is spread over
