@@ -437,3 +437,44 @@ def test_train_step_fused_far_cluster(toy_train_mols):
     assert losses[4][-1] < losses[4][0]
     assert losses[16][-1] < losses[16][0]
     np.testing.assert_allclose(losses[16], losses[0], rtol=0.15)
+
+
+def test_public_train_far_cluster(toy_train_mols):
+    """train() with TrainConfig.far_cluster: big buckets train through the
+    clustered fused step via the PUBLIC API with decreasing loss, and the
+    recorded val metrics come from the EXACT eval step (the tier never
+    touches evaluation or checkpoint selection)."""
+    from epnn_tpu.data.xyz import Molecule
+    import epnn_tpu.train.loop as L
+
+    g = np.random.default_rng(8)
+    mols = []
+    for i in range(6):
+        n = int(g.integers(20, 28))  # pads above dense_max=16
+        symbols = list(g.choice(["H", "C", "N", "O"], size=n))
+        xyz = g.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        labels = g.normal(0, 0.2, size=n).astype(np.float32)
+        labels -= labels.sum() / n
+        mols.append(Molecule(name=f"big{i}", symbols=symbols, xyz=xyz,
+                             total_charge=0.0, labels=labels))
+
+    seen_fc = []
+    orig_fused = L.train_step_fused
+
+    def spy_fused(*a, **kw):
+        seen_fc.append(kw.get("far_cluster", 0))
+        return orig_fused(*a, **kw)
+
+    L.train_step_fused = spy_fused
+    try:
+        tc = TrainConfig(epochs=6, batch_size=4, seed=1, dense_max_atoms=16,
+                         far_cluster=4)
+        res = train(mols, SMALL, tc, progress=False)
+    finally:
+        L.train_step_fused = orig_fused
+
+    assert seen_fc and all(fc == 4 for fc in seen_fc), seen_fc
+    first = res.history[0]["train_loss"]
+    last = res.history[-1]["train_loss"]
+    assert last < first * 0.9, (first, last)
+    assert np.isfinite(res.best_val_masked_mae)
