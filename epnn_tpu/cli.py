@@ -80,6 +80,8 @@ def cmd_train(args):
         dense_max_atoms=args.dense_max_atoms,
         collapse_round1=not getattr(args, "no_collapse_round1", False),
         far_cluster=getattr(args, "far_cluster", 0) or 0,
+        far_cluster_grad=getattr(args, "far_cluster_grad",
+                                 "exact") != "stop",
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.out and args.tensorboard else None),
     )
@@ -302,10 +304,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in APPROXIMATE clustered far-field tier for "
                         "the TRAINING step on fused/sharded buckets (C "
                         "weighted k-means centroids replace each h!=0 "
-                        "round's O(N^2) far field; the far-field dL/dpj "
-                        "path is dropped — big-graph fine-tuning "
+                        "round's O(N^2) far field — big-graph fine-tuning "
                         "accelerator; eval + checkpoint selection stay "
                         "exact).  0 = exact")
+    p.add_argument("--far-cluster-grad", choices=("exact", "stop"),
+                   default="exact", dest="far_cluster_grad",
+                   help="gradient mode of the clustered tier: 'exact' "
+                        "(default) differentiates the final centroids "
+                        "under the fixed assignment (the true gradient of "
+                        "the clustered forward); 'stop' drops the "
+                        "far-field dL/dpj path (fit fully stop-gradient)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)

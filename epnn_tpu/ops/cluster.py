@@ -36,7 +36,8 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
                     iters: int = 8, *, fit_precision=HIGHEST,
-                    fit_rows: int = 0, seed: str = "norm"):
+                    fit_rows: int = 0, seed: str = "norm",
+                    differentiable: bool = False):
     """Deterministic weighted Lloyd k-means, fully in-graph (jit/vmap-safe).
 
     ``rows`` (N, D): points to cluster (the per-round ``pj`` projections).
@@ -70,6 +71,22 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
       default) or ``"stride"`` (every (nvalid/C)-th valid row in input
       order via cumsum+searchsorted — sort-free, for when the argsort
       dominates the fit).
+
+    ``differentiable`` — exact-VJP-of-the-approximation mode for the
+    clustered TRAINING tier: the Lloyd fit and the final assignment stay
+    stop-gradient (the assignment is piecewise-constant in ``rows``, so
+    its a.e. derivative is zero anyway), but the returned centroids are
+    RECOMPUTED as the weighted mean of the differentiable ``rows`` over
+    ALL rows under the final assignment.  Gradients then flow
+    ``∂cent_c/∂rows_j = w_j/W_c`` for j in cluster c — the true Jacobian
+    of the clustered forward almost everywhere — so the far-field
+    ``∂L/∂pj`` path is exact for the approximation instead of dropped.
+    Values change slightly vs the default (one extra half Lloyd step
+    over all rows — a strictly tighter fit; with ``fit_rows`` subsampling
+    the final average still covers every row); serving keeps the default
+    for bitwise stability.  At C ≥ #distinct valid rows the clustered
+    forward AND its gradients reduce to the exact dense reduction up to
+    fp summation order (tests/test_cluster.py).
     """
     n, _ = rows.shape
     r32 = jax.lax.stop_gradient(rows.astype(jnp.float32))
@@ -128,6 +145,20 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
     onehot = (assign[:, None]
               == jnp.arange(n_clusters, dtype=assign.dtype)[None, :])
     wts = jnp.sum(onehot.astype(jnp.float32) * w32[:, None], axis=0)
+    if differentiable:
+        # final half Lloyd step over ALL rows, on the DIFFERENTIABLE rows:
+        # the returned centroids carry the true a.e. Jacobian of the
+        # clustered forward (∂cent_c/∂rows_j = w_j/W_c, assignment fixed)
+        rd = rows.astype(jnp.float32)
+        wo = onehot.astype(jnp.float32) * w32[:, None]
+        sums = jnp.dot(wo.T, rd, precision=fit_precision)
+        cent = jnp.where((wts > 0)[:, None],
+                         sums / jnp.maximum(wts, 1e-30)[:, None], cent)
+        # radius against the RETURNED centroids (diagnostic — stop-grad)
+        ca = jax.lax.stop_gradient(cent)[assign]
+        d2 = jnp.sum((r32 - ca) ** 2, axis=1)
+        d2 = jnp.where(valid, d2, 0.0)
+        return cent, wts, jnp.sqrt(jnp.max(d2))
     # ‖r − c‖² from the assignment scores (add ‖r‖² back); clamp the
     # cancellation residue at 0
     d2 = jnp.take_along_axis(score, assign[:, None], axis=1)[:, 0] + rn2
@@ -138,7 +169,8 @@ def weighted_kmeans(rows: jax.Array, weights: jax.Array, n_clusters: int,
 
 def weighted_kmeans_sharded(rows: jax.Array, weights: jax.Array,
                             n_clusters: int, axis_name: str,
-                            iters: int = 8):
+                            iters: int = 8, *,
+                            differentiable: bool = False):
     """Distributed twin of :func:`weighted_kmeans` for row-sharded inputs
     (the ring path, where the per-round ``pj`` never materializes globally).
 
@@ -205,6 +237,19 @@ def weighted_kmeans_sharded(rows: jax.Array, weights: jax.Array,
     wts = jax.lax.psum(
         jnp.sum(onehot.astype(jnp.float32) * w32[:, None], axis=0),
         axis_name)
+    if differentiable:
+        # exact-VJP mode (see weighted_kmeans): final half Lloyd step over
+        # all shards on the differentiable rows; psum carries the cotangent
+        # back to each shard's rows in reverse
+        rd = rows.astype(jnp.float32)
+        wo = onehot.astype(jnp.float32) * w32[:, None]
+        sums = jax.lax.psum(jnp.dot(wo.T, rd, precision=HIGHEST), axis_name)
+        cent = jnp.where((wts > 0)[:, None],
+                         sums / jnp.maximum(wts, 1e-30)[:, None], cent)
+        ca = jax.lax.stop_gradient(cent)[assign]
+        d2 = jnp.sum((r32 - ca) ** 2, axis=1)
+        d2 = jnp.where(valid, d2, 0.0)
+        return cent, wts, jnp.sqrt(jax.lax.pmax(jnp.max(d2), axis_name))
     d2 = jnp.take_along_axis(score, assign[:, None], axis=1)[:, 0] + rn2
     d2 = jnp.where(valid, jnp.maximum(d2, 0.0), 0.0)
     radius = jnp.sqrt(jax.lax.pmax(jnp.max(d2), axis_name))

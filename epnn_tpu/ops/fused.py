@@ -657,6 +657,7 @@ def _forward_single_nbr(
     uniform_q0: bool = False,
     far_cluster: int = 0,
     far_diag: bool = False,
+    far_cluster_grad: bool = False,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
@@ -740,7 +741,7 @@ def _forward_single_nbr(
                 neighbor_grid=neighbor_grid,
                 compat_width=None if cfg.mask_messages else n0,
                 uniform_q0=uniform_q0, far_cluster=far_cluster,
-                far_diag=far_diag,
+                far_diag=far_diag, far_cluster_grad=far_cluster_grad,
             )
             if far_diag:
                 return out[0][:n0], out[1]
@@ -950,9 +951,9 @@ def _forward_single_nbr(
             # (``ops/cluster.py``) and rides the carry for ``far_diag``.
             from epnn_tpu.ops.cluster import weighted_kmeans
 
-            cent, wts, r_round = weighted_kmeans(pj, jvec, far_cluster,
-                                                 iters=far_iters,
-                                                 **far_fit_kw)
+            cent, wts, r_round = weighted_kmeans(
+                pj, jvec, far_cluster, iters=far_iters,
+                differentiable=far_cluster_grad, **far_fit_kw)
             rad = jnp.maximum(rad, r_round)
             if pallas_ok and len(w.mids) == 1:
                 (w2, b2), = w.mids
@@ -1329,7 +1330,7 @@ def _forward_single(
     jax.jit,
     static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
                      "remat", "neighbor_grid", "uniform_q0", "far_cluster",
-                     "far_diag"),
+                     "far_diag", "far_cluster_grad"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -1348,6 +1349,7 @@ def forward_blocked(
     uniform_q0: bool = False,
     far_cluster: int = 0,
     far_diag: bool = False,
+    far_cluster_grad: bool = False,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
 
@@ -1357,9 +1359,12 @@ def forward_blocked(
     (O(N·C)); near corrections and pass rounds stay exact, so charge
     conservation is untouched.  ``far_diag`` additionally returns the max
     intra-cluster radius (B,) — the measured factor of the error bound
-    (:func:`epnn_tpu.ops.cluster.mids_lipschitz_bound`).  Inference tier:
-    the cluster assignment is piecewise-constant (stop-gradient), so
-    training paths must keep the exact reduction.
+    (:func:`epnn_tpu.ops.cluster.mids_lipschitz_bound`).  The default
+    fit is fully stop-gradient (bitwise-stable serving); training paths
+    set ``far_cluster_grad=True`` for exact-VJP-of-the-approximation
+    gradients (differentiable final centroids — see
+    :func:`epnn_tpu.ops.cluster.weighted_kmeans`; forward values shift
+    by one extra half Lloyd step, a strictly tighter fit).
 
     ``uniform_q0`` (static) — caller asserts every graph's valid atoms all
     carry the same initial charge with valid rows first (the
@@ -1432,6 +1437,7 @@ def forward_blocked(
             pack_to=pack_to, remat=remat, neighbors=neighbors,
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
             far_cluster=far_cluster, far_diag=far_diag,
+            far_cluster_grad=far_cluster_grad,
         )
         if far_diag:
             return out[0].astype(jnp.float32) * node_mask, out[1]
@@ -1449,6 +1455,7 @@ def forward_blocked(
             use_pallas=use_pallas, pack_to=pack_to, remat=remat,
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
             far_cluster=far_cluster, far_diag=far_diag,
+            far_cluster_grad=far_cluster_grad,
         )
     elif use_pallas and len(fused.messages.mids) == 1:
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction

@@ -197,6 +197,7 @@ def forward_atom_sharded_nbr_batch(
     uniform_q0: bool = False,
     neighbors: "Optional[tuple]" = None,
     far_cluster: int = 0,
+    far_cluster_grad: bool = False,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
@@ -283,6 +284,7 @@ def forward_atom_sharded_nbr_batch(
                         highest_precision=False),
             mesh, k=k, use_pallas=False, remat=remat, uniform_q0=uniform_q0,
             neighbors=neighbors, far_cluster=far_cluster,
+            far_cluster_grad=far_cluster_grad,
         )
         return out.astype(jnp.float32) * node_mask
 
@@ -292,7 +294,8 @@ def forward_atom_sharded_nbr_batch(
     run = _nbr_batch_program(
         cfg, mesh, k, use_pallas, remat, uniform_q0, far_cluster, b, n,
         0 if neighbors is None else len(neighbors),
-        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")))
+        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")),
+        far_cluster_grad)
     args = (fused, x, q0, xyz, node_mask)
     if neighbors is not None:
         args = args + tuple(neighbors)
@@ -303,7 +306,7 @@ def forward_atom_sharded_nbr_batch(
 def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
                        use_pallas: bool, remat: bool, uniform_q0: bool,
                        far_cluster: int, b: int, n: int, n_nbr: int,
-                       far_iters: int):
+                       far_iters: int, far_cluster_grad: bool = False):
     """Build + jit the :func:`forward_atom_sharded_nbr_batch` program for
     one static configuration (cfg/mesh/shapes/flags are all hashable).
     Without this memo every call re-traced the shard_map and recompiled —
@@ -427,7 +430,8 @@ def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
             from epnn_tpu.ops.cluster import weighted_kmeans
 
             cent, wts, _ = weighted_kmeans(pj_f, jvec, far_cluster,
-                                           iters=far_iters)
+                                           iters=far_iters,
+                                           differentiable=far_cluster_grad)
             if pallas_ok and len(w.mids) == 1:
                 (w2, b2), = w.mids
                 # packed-row contract of dense_message_rowsum (same padding
@@ -630,7 +634,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             use_pallas: bool = False,
                             shard_mode: str = "atom",
                             uniform_q0: bool = False,
-                            far_cluster: int = 0):
+                            far_cluster: int = 0,
+                            far_cluster_grad: bool = False):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -653,10 +658,14 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     ``far_cluster`` (requires ``neighbor_k``) — opt-in APPROXIMATE
     clustered far-field tier for the training step (the sharded twin of
     ``TrainConfig.far_cluster``): forward error carries the usual
-    Lipschitz×radius bound, and the gradient drops the far-field ∂/∂pj
-    path (assignment + centroids are stop-gradient — the far field is
-    frozen per step).  Big-graph fine-tuning accelerator; eval twins stay
-    exact.
+    Lipschitz×radius bound.  ``far_cluster_grad=True`` makes the final
+    centroids differentiable under the stop-gradient assignment — the
+    step optimizes the true gradient of the clustered forward
+    (``ops/cluster.py``); False (default here, matching
+    ``train_step_fused``; ``TrainConfig.far_cluster_grad`` defaults True
+    and drives both) drops the far-field ∂/∂pj path entirely (fit fully
+    stop-gradient — the far field frozen per step).  Big-graph
+    fine-tuning accelerator; eval twins stay exact.
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -677,12 +686,12 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
                 use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
-                far_cluster=far_cluster)
+                far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
-                far_cluster=far_cluster)
+                far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         else:
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)

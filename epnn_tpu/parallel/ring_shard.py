@@ -193,6 +193,7 @@ def forward_ring_sharded_nbr_batch(
     uniform_q0: bool = False,
     neighbors: "Tuple[jax.Array, ...] | None" = None,
     far_cluster: int = 0,
+    far_cluster_grad: bool = False,
 ) -> jax.Array:
     """Neighbor-split ring-sharded forward (SURVEY §7 stage 6: the ring
     variant OF the stage-5 kernel, not of the dense loop).
@@ -305,7 +306,7 @@ def forward_ring_sharded_nbr_batch(
                         highest_precision=False),
             mesh, k_blk=k_blk, use_pallas=False, remat=remat,
             uniform_q0=uniform_q0, neighbors=neighbors,
-            far_cluster=far_cluster,
+            far_cluster=far_cluster, far_cluster_grad=far_cluster_grad,
         )
         return out.astype(jnp.float32) * node_mask
 
@@ -314,7 +315,8 @@ def forward_ring_sharded_nbr_batch(
     run = _ring_nbr_program(
         cfg, mesh, k_blk, use_pallas, remat, uniform_q0, far_cluster, b, n,
         0 if neighbors is None else len(neighbors),
-        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")))
+        int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")),
+        far_cluster_grad)
     nbrs = tuple(neighbors) if neighbors is not None else ()
     return run(fused, x, q0, xyz, node_mask, *nbrs)
 
@@ -323,7 +325,7 @@ def forward_ring_sharded_nbr_batch(
 def _ring_nbr_program(cfg: EPNNConfig, mesh: Mesh, k_blk: int,
                       use_pallas: bool, remat: bool, uniform_q0: bool,
                       far_cluster: int, b: int, n: int, n_nbr: int,
-                      far_iters: int):
+                      far_iters: int, far_cluster_grad: bool = False):
     """Build + jit the :func:`forward_ring_sharded_nbr_batch` program for
     one static configuration — repeated serving calls reuse one compiled
     executable."""
@@ -490,7 +492,8 @@ def _ring_nbr_program(cfg: EPNNConfig, mesh: Mesh, k_blk: int,
 
             jvec_d = mask_d if cfg.mask_messages else jnp.ones_like(mask_d)
             cent, wts, _rad = weighted_kmeans_sharded(
-                pj, jvec_d, far_cluster, ATOM_AXIS, iters=far_iters)
+                pj, jvec_d, far_cluster, ATOM_AXIS, iters=far_iters,
+                differentiable=far_cluster_grad)
             if pallas_ok and len(w.mids) == 1:
                 (w2, b2), = w.mids
                 # centroid rows padded to the packed-row contract (zero

@@ -88,14 +88,20 @@ class TrainConfig:
     #: fused/sharded (neighbor-split) buckets — the training twin of
     #: ``Predictor(far_cluster=C)``: each h≠0 message round's O(N²) far
     #: field runs as a C-centroid weighted grid.  The forward error carries
-    #: the usual Lipschitz×radius bound; the GRADIENT is additionally
-    #: approximate — the cluster assignment and centroids are
-    #: stop-gradient, so the far-field path contributes ∂/∂pi but not
-    #: ∂/∂pj (the j-side hidden-state far-field gradient is dropped, as if
-    #: the far field were frozen per step).  Intended for big-graph
-    #: fine-tuning where the near field dominates learning; EVAL steps and
-    #: checkpoint selection always run EXACT.  0 = exact training (default).
+    #: the usual Lipschitz×radius bound; gradients follow
+    #: ``far_cluster_grad``.  Intended for big-graph fine-tuning where the
+    #: near field dominates learning; EVAL steps and checkpoint selection
+    #: always run EXACT.  0 = exact training (default).
     far_cluster: int = 0
+    #: gradient mode of the clustered tier.  True (default): the final
+    #: centroids are recomputed differentiably under the (piecewise-
+    #: constant, stop-gradient) assignment, so the step optimizes the TRUE
+    #: gradient of the clustered forward — the far-field ∂L/∂pj path flows
+    #: with Jacobian w_j/W_c (``ops/cluster.py weighted_kmeans
+    #: differentiable=True``; at C=N this reduces to exact training up to
+    #: fp order).  False: r7f behavior — fit fully stop-gradient, the
+    #: j-side far-field gradient dropped (far field frozen per step).
+    far_cluster_grad: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -162,7 +168,7 @@ def eval_step(params, model: EPNN, loss_name: str,
 
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                    x, q0, xyz, node_mask, y, weight, uniform_q0=False,
-                   far_cluster=0):
+                   far_cluster=0, far_cluster_grad=False):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
@@ -178,7 +184,8 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
                            block=block, neighbor_k=neighbor_k, remat=True,
                            use_pallas=use_pallas, uniform_q0=uniform_q0,
-                           far_cluster=far_cluster)
+                           far_cluster=far_cluster,
+                           far_cluster_grad=far_cluster_grad)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
@@ -186,16 +193,17 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
                               "neighbor_k", "use_pallas", "uniform_q0",
-                              "far_cluster")
+                              "far_cluster", "far_cluster_grad")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
                      neighbor_k: int, x, q0, xyz, node_mask, y, weight,
                      use_pallas: bool = False, uniform_q0: bool = False,
-                     far_cluster: int = 0):
+                     far_cluster: int = 0, far_cluster_grad: bool = False):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
-        x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster
+        x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster,
+        far_cluster_grad
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -408,7 +416,8 @@ def train(
                         cfg, opt, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
                         uniform_q0=uq0,
-                        far_cluster=tc.far_cluster if k else 0),
+                        far_cluster=tc.far_cluster if k else 0,
+                        far_cluster_grad=tc.far_cluster_grad),
                     make_sharded_eval_step(
                         cfg, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
@@ -488,7 +497,8 @@ def train(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket),
-                        far_cluster=tc.far_cluster
+                        far_cluster=tc.far_cluster,
+                        far_cluster_grad=tc.far_cluster_grad
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()

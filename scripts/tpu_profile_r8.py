@@ -153,12 +153,54 @@ def stage_variants():
                           lambda qi: fwd(qi, fc, pack), qb, iters=8)
 
 
+def stage_traingrad():
+    """Step-time cost of the exact-VJP clustered-training gradient
+    (far_cluster_grad=True, round 8) vs the r7f stop-gradient tier and vs
+    exact training — same shapes/method as scripts/tpu_profile_r7f.py.
+    The extra backward work is one onehot-matmul scatter per message
+    round (O(N·C·H)); if it costs more than a few ms/step the TrainConfig
+    default (exact) needs revisiting."""
+    import jax.numpy as jnp
+
+    from scripts.profile_util import scan_time
+
+    for n in (2220, 17760):
+        params, cfg, table, fused = load_decay()
+        rng = np.random.default_rng(0)
+        bb = pad_molecules([synth_molecule(n, rng)], table, pad_to=n)
+        y = rng.normal(size=bb.q0.shape).astype(np.float32) * 0.1
+        k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                            cfg.cutoff) + 4, 8))
+        c = cfg.replace(matmul_precision="default")
+        put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
+        x, q0, z, m, yv = map(put, (bb.x, bb.q0, bb.xyz, bb.node_mask, y))
+
+        for label, fc, grad in (("exact", 0, False),
+                                ("fc32 stop-grad", 32, False),
+                                ("fc32 exact-vjp", 32, True)):
+            def loss(f, fc=fc, grad=grad):
+                q = forward_blocked(f, x, q0, z, m, c, block=256,
+                                    neighbor_k=k, use_pallas=True,
+                                    remat=True, uniform_q0=True,
+                                    far_cluster=fc, far_cluster_grad=grad)
+                return jnp.sum((q - yv) ** 2 * m)
+
+            def step(f, fc=fc, grad=grad):
+                g = jax.grad(lambda ff: loss(ff, fc, grad))(f)
+                return jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b,
+                                              f, g)
+
+            scan_time(f"train N={n} {label}", step, fused, iters=6)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "hlo"
     if stage == "hlo":
         stage_hlo()
     elif stage == "variants":
         stage_variants()
+    elif stage == "traingrad":
+        stage_traingrad()
     else:
         raise SystemExit(f"unknown stage {stage}")
 

@@ -940,44 +940,81 @@ class TestShardedFarCluster:
         np.testing.assert_allclose((q_sh * b.node_mask).sum(1), want,
                                    atol=2e-5)
 
-    def test_predictor_dispatch_and_warnings(self, rng, monkeypatch):
+    def test_predictor_dispatch_and_warnings(self):
         """Big graphs on an atom mesh AND the ring path run the clustered
-        tier silently; dense small graphs warn and run exact."""
-        import warnings
+        tier silently; dense small graphs warn and run exact.
 
-        import epnn_tpu.infer as I
-        from epnn_tpu.data.dataset import pad_molecules
-        from epnn_tpu.data.xyz import Molecule
-        from epnn_tpu.elements import table_for_n_elems
-        from epnn_tpu.infer import Predictor
+        Subprocess-isolated: this test alone runs THREE distinct sharded
+        predictor programs (atom clustered, ring clustered, atom exact);
+        on top of prior sharded tests' programs that crosses the XLA:CPU
+        virtual-device collectives SIGABRT threshold (silent abort at a
+        predict readback — reproduced 2026-08-19 both file-solo and with
+        just two specific prior tests; standalone it passes, and neither
+        jax.clear_caches nor a full jax.extend.backend.clear_backends
+        between tests dodges it)."""
+        import os
+        import subprocess
+        import sys
 
-        cfg, params, *_ = self._system(rng)
-        g = np.random.default_rng(7)
-        n = 40
-        mol = Molecule(name="m", symbols=["C"] * n,
-                       xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
-                       total_charge=1.0)
-        batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
-        mesh = make_mesh(n_data=1, n_atoms=8)
+        code = """
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import warnings
+import numpy as np
+import epnn_tpu.infer as I
+from epnn_tpu.data.dataset import pad_molecules
+from epnn_tpu.data.xyz import Molecule
+from epnn_tpu.elements import table_for_n_elems
+from epnn_tpu.infer import Predictor
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.parallel import make_mesh
 
-        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)
-        big = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")
-            q = big.predict_batch(batch)
-        np.testing.assert_allclose(q.sum(), 1.0, atol=1e-4)
+cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
+params = init_params(cfg, jax.random.key(0))
+params = jax.tree_util.tree_map(
+    lambda a: a + 0.2 if a.ndim == 1 else a, params)
+g = np.random.default_rng(7)
+n = 40
+mol = Molecule(name="m", symbols=["C"] * n,
+               xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
+               total_charge=1.0)
+batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
+mesh = make_mesh(n_data=1, n_atoms=8)
 
-        ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
-                         shard_mode="ring")
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")
-            q_ring = ring.predict_batch(batch)
-        np.testing.assert_allclose(q_ring.sum(), 1.0, atol=1e-4)
+I.DENSE_MAX_ATOMS = 16
+big = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+with warnings.catch_warnings():
+    warnings.simplefilter("error")
+    q = big.predict_batch(batch)
+np.testing.assert_allclose(q.sum(), 1.0, atol=1e-4)
 
-        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 4096)
-        dense = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
-        with pytest.warns(UserWarning, match="exact far field"):
-            dense.predict_batch(batch)
+ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
+                 shard_mode="ring")
+with warnings.catch_warnings():
+    warnings.simplefilter("error")
+    q_ring = ring.predict_batch(batch)
+np.testing.assert_allclose(q_ring.sum(), 1.0, atol=1e-4)
+
+I.DENSE_MAX_ATOMS = 4096
+dense = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+with warnings.catch_warnings(record=True) as rec:
+    warnings.simplefilter("always")
+    dense.predict_batch(batch)
+assert any("exact far field" in str(w.message) for w in rec), \\
+    [str(w.message) for w in rec]
+print("DISPATCH_OK")
+"""
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
+                              env=env, capture_output=True, text=True,
+                              timeout=900)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "DISPATCH_OK" in proc.stdout, proc.stdout
 
 
 @needs_devices
