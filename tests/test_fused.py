@@ -152,6 +152,7 @@ class TestNeighborPath:
         scale = np.abs(qn).sum(1) + 1.0
         assert np.all(np.abs(qn.sum(1) - q_total) < 2e-6 * scale)
 
+    @pytest.mark.heavy  # non-default option; kernel grads covered in test_pallas
     @pytest.mark.parametrize("mask_messages", [True, False])
     def test_near_kernel_option_matches(self, rng, mask_messages,
                                         monkeypatch):
@@ -1280,6 +1281,7 @@ class TestFarCluster:
             rads.append(rad.max())
         assert rads[0] > rads[1] > rads[2]
 
+    @pytest.mark.heavy  # non-default fit knobs (defaults unchanged since r7c)
     def test_fit_knobs_preserve_contract(self, rng, monkeypatch):
         """The fit-cost knobs (iteration count, fit-dot precision, sort-free
         strided seeding, subsampled fitting — ops/cluster.py, env-wired in

@@ -247,6 +247,7 @@ print("TWOPROC_OK", flush=True)
 """
 
 
+@pytest.mark.heavy  # 2 concurrent gloo processes; single-process twin is default
 def test_two_process_runtime_end_to_end():
     """REAL multi-process coverage (not the degenerate num_processes=1
     handshake): two OS processes, 4 virtual CPU devices each, join one

@@ -258,6 +258,7 @@ class TestNeighborCompact:
         k = int(max_neighbor_count(xyz, mask, 3.0)) + 2
         self._sets_match(xyz, mask, 3.0, k)
 
+    @pytest.mark.heavy  # non-default selection kernel (top_k/cell-list default)
     def test_forward_with_kernel_neighbors_matches(self, rng):
         """Kernel-built neighbor lists fed into the forward via the
         ``neighbors=`` argument (format integration: f32→int32 idx, mask

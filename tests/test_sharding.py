@@ -353,32 +353,60 @@ class TestDataParallel:
 class TestPredictorMesh:
     """User-facing multi-chip inference: Predictor(mesh=...) and the CLI."""
 
-    @pytest.mark.parametrize("shard_mode", ["atom", "ring"])
-    def test_predictor_matches_unsharded(self, rng, shard_mode):
-        from epnn_tpu.data.dataset import pad_molecules
-        from epnn_tpu.data.xyz import Molecule
-        from epnn_tpu.elements import table_for_n_elems
-        from epnn_tpu.infer import Predictor
+    def test_predictor_matches_unsharded(self):
+        """Predictor(mesh=...) atom AND ring modes match the unsharded
+        forward on a batch whose width is NOT divisible by the mesh.
 
-        cfg = SMALL
-        params = init_params(cfg, jax.random.key(0))
-        g = np.random.default_rng(4)
-        n = 21  # deliberately NOT divisible by the mesh — Predictor pads
-        mol = Molecule(name="m", symbols=["C"] * n,
-                       xyz=g.uniform(-4, 4, (n, 3)).astype(np.float32),
-                       total_charge=1.0)
-        table = table_for_n_elems(cfg.n_elems)
-        batch = pad_molecules([mol], table)
+        Subprocess-isolated (both modes in ONE child): in the full suite
+        this test sat past the XLA:CPU distinct-collective-program count
+        threshold (CLAUDE.md round-8) — the ring predict readback
+        SIGABRTed after ~200 prior tests while the same test passed
+        file-solo.  Same medicine as test_predictor_dispatch_and_warnings."""
+        import os
+        import subprocess
+        import sys
 
-        plain = Predictor(params=params, cfg=cfg)
-        q_plain = plain.predict_batch(batch)
+        code = """
+import os
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from epnn_tpu.data.dataset import pad_molecules
+from epnn_tpu.data.xyz import Molecule
+from epnn_tpu.elements import table_for_n_elems
+from epnn_tpu.infer import Predictor
+from epnn_tpu.models import EPNNConfig, init_params
+from epnn_tpu.parallel import make_mesh
 
-        mesh = make_mesh(n_data=1, n_atoms=8)
-        sharded = Predictor(params=params, cfg=cfg, mesh=mesh,
-                            shard_mode=shard_mode)
-        q_shard = sharded.predict_batch(batch)
-        scale = np.abs(q_plain).max() + 1.0
-        assert np.abs(q_shard - q_plain).max() < 1e-5 * scale
+cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                 mlp_hidden=(8, 8), T=2)
+params = init_params(cfg, jax.random.key(0))
+g = np.random.default_rng(4)
+n = 21  # deliberately NOT divisible by the mesh - Predictor pads
+mol = Molecule(name="m", symbols=["C"] * n,
+               xyz=g.uniform(-4, 4, (n, 3)).astype(np.float32),
+               total_charge=1.0)
+batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
+q_plain = Predictor(params=params, cfg=cfg).predict_batch(batch)
+scale = np.abs(q_plain).max() + 1.0
+mesh = make_mesh(n_data=1, n_atoms=8)
+for shard_mode in ("atom", "ring"):
+    sharded = Predictor(params=params, cfg=cfg, mesh=mesh,
+                        shard_mode=shard_mode)
+    q_shard = sharded.predict_batch(batch)
+    assert np.abs(q_shard - q_plain).max() < 1e-5 * scale, shard_mode
+print("PREDICTOR_MESH_OK")
+"""
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
+                              env=env, capture_output=True, text=True,
+                              timeout=900)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "PREDICTOR_MESH_OK" in proc.stdout, proc.stdout
 
     def test_predictor_big_graph_nbr_sharded_dispatch(self, rng, monkeypatch):
         """Graphs padded wider than DENSE_MAX_ATOMS dispatch to the
@@ -1184,6 +1212,7 @@ class TestShardedNeighborReuse:
         assert np.abs(q1 - q1_ref).max() < 1e-5 * scale
 
 
+@pytest.mark.heavy  # ring-train covered by loss_decreases + dryrun; uq0 tracks
 def test_ring_training_uniform_q0_tracks():
     """Ring-sharded training with the round-1 collapse (uniform_q0=True —
     pmax/psum grid assembly under remat+grad) tracks the uncollapsed step's
