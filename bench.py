@@ -348,6 +348,62 @@ def main():
                 fn_big_cl, qb, sc_iters, discard_loops=2), 2)
             extra["cluster32_17760_max_dq"] = float(
                 np.abs(q_cl - q_big).max())
+
+            # TRAIN-STEP truth on the same 17,760-atom system (the r7f/r8
+            # battery numbers, made driver-verifiable): one remat'd fused
+            # train step — exact far field vs the clustered C=32 tier with
+            # exact-VJP gradients (the shipped TrainConfig default).
+            # Timed as a jitted lax.scan of param->param steps (serialized
+            # dependency chain, scalar readback), first loop discarded per
+            # executable (CLAUDE.md inflation rule).
+            if os.environ.get("EPNN_BENCH_TRAIN", "1") != "0":
+                try:
+                    import jax.numpy as jnp
+
+                    y_t = jax.device_put((np.random.default_rng(1).normal(
+                        size=bb.q0.shape) * 0.1).astype(np.float32))
+
+                    def _step_ms(fc, grad, iters=6):
+                        def loss(f):
+                            # remat=False = the shipped TrainConfig.remat
+                            # default (r9 A/B: faster at every size tried)
+                            q = forward_blocked(
+                                f, xb, qb, zb, mb, c, block=256,
+                                neighbor_k=int(kb), use_pallas=on_tpu,
+                                remat=False, uniform_q0=uq0_b,
+                                far_cluster=fc, far_cluster_grad=grad)
+                            return jnp.sum((q - y_t) ** 2 * mb)
+
+                        def step(f):
+                            g = jax.grad(loss)(f)
+                            return jax.tree_util.tree_map(
+                                lambda a, b: a - 1e-9 * b, f, g)
+
+                        @jax.jit
+                        def run(f):
+                            out, _ = jax.lax.scan(
+                                lambda cf, _: (step(cf), None), f, None,
+                                length=iters)
+                            return jax.tree_util.tree_map(
+                                lambda a: jnp.sum(a.astype(jnp.float32)),
+                                out)
+
+                        def once():
+                            t0 = time.perf_counter()
+                            np.asarray(
+                                jax.tree_util.tree_leaves(run(fused))[0])
+                            return 1e3 * (time.perf_counter() - t0) / iters
+
+                        once()  # compile + discard loop
+                        return min(once() for _ in range(3))
+
+                    extra["train_step_17760_exact_ms"] = round(
+                        _step_ms(0, False), 1)
+                    extra["train_step_17760_cluster32_ms"] = round(
+                        _step_ms(32, True), 1)
+                except Exception as e:
+                    extra["train_step_error"] = \
+                        f"{type(e).__name__}: {e}"[:200]
         except Exception as e:
             extra["scaling_17760_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -82,6 +82,7 @@ def cmd_train(args):
         far_cluster=getattr(args, "far_cluster", 0) or 0,
         far_cluster_grad=getattr(args, "far_cluster_grad",
                                  "exact") != "stop",
+        remat=getattr(args, "remat", False),
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.out and args.tensorboard else None),
     )
@@ -314,6 +315,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "under the fixed assignment (the true gradient of "
                         "the clustered forward); 'stop' drops the "
                         "far-field dL/dpj path (fit fully stop-gradient)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize message/pass rounds in the fused/"
+                        "sharded training backward (bounds residual memory "
+                        "at O(round state); default OFF — measured faster "
+                        "without at every size tried, the far-field "
+                        "kernel's VJP already recomputes in-tile)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)

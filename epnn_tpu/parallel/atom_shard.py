@@ -635,7 +635,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             shard_mode: str = "atom",
                             uniform_q0: bool = False,
                             far_cluster: int = 0,
-                            far_cluster_grad: bool = False):
+                            far_cluster_grad: bool = False,
+                            remat: bool = True):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -666,6 +667,11 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     and drives both) drops the far-field ∂/∂pj path entirely (fit fully
     stop-gradient — the far field frozen per step).  Big-graph
     fine-tuning accelerator; eval twins stay exact.
+
+    ``remat`` — rematerialize rounds in the backward (True keeps the
+    historical behavior; ``TrainConfig.remat`` defaults False after the
+    r9 measurement: no-remat is faster at every size tried because the
+    far-field kernel's custom VJP already recomputes in-tile).
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -685,12 +691,12 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
 
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
-                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
+                use_pallas=use_pallas, remat=remat, uniform_q0=uniform_q0,
                 far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
-                use_pallas=use_pallas, remat=True, uniform_q0=uniform_q0,
+                use_pallas=use_pallas, remat=remat, uniform_q0=uniform_q0,
                 far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         else:
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,

@@ -93,6 +93,15 @@ class TrainConfig:
     #: near field dominates learning; EVAL steps and checkpoint selection
     #: always run EXACT.  0 = exact training (default).
     far_cluster: int = 0
+    #: rematerialize message/pass rounds in the fused/sharded training
+    #: backward.  False (default): keep round residuals — measured FASTER
+    #: on v5e at every size tried (17,760 atoms: exact 526→456 ms/step,
+    #: clustered C=32 160→155; scripts/tpu_profile_r9.py remat) because
+    #: the packed far-field kernel's custom VJP already recomputes
+    #: in-tile, so blanket remat only re-runs the cheap near chain.
+    #: Residual memory is O(N·k·h) per round (~3.5 GB at 17,760) — set
+    #: True for buckets where that breaks HBM.
+    remat: bool = False
     #: gradient mode of the clustered tier.  True (default): the final
     #: centroids are recomputed differentiably under the (piecewise-
     #: constant, stop-gradient) assignment, so the step optimizes the TRUE
@@ -168,7 +177,7 @@ def eval_step(params, model: EPNN, loss_name: str,
 
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                    x, q0, xyz, node_mask, y, weight, uniform_q0=False,
-                   far_cluster=0, far_cluster_grad=False):
+                   far_cluster=0, far_cluster_grad=False, remat=True):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
@@ -182,7 +191,7 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
 
     fused = fuse_params(params, cfg)
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
-                           block=block, neighbor_k=neighbor_k, remat=True,
+                           block=block, neighbor_k=neighbor_k, remat=remat,
                            use_pallas=use_pallas, uniform_q0=uniform_q0,
                            far_cluster=far_cluster,
                            far_cluster_grad=far_cluster_grad)
@@ -193,17 +202,18 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
                               "neighbor_k", "use_pallas", "uniform_q0",
-                              "far_cluster", "far_cluster_grad")
+                              "far_cluster", "far_cluster_grad", "remat")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
                      neighbor_k: int, x, q0, xyz, node_mask, y, weight,
                      use_pallas: bool = False, uniform_q0: bool = False,
-                     far_cluster: int = 0, far_cluster_grad: bool = False):
+                     far_cluster: int = 0, far_cluster_grad: bool = False,
+                     remat: bool = True):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
         x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster,
-        far_cluster_grad
+        far_cluster_grad, remat
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -417,7 +427,8 @@ def train(
                         use_pallas=fused_pallas if k else False,
                         uniform_q0=uq0,
                         far_cluster=tc.far_cluster if k else 0,
-                        far_cluster_grad=tc.far_cluster_grad),
+                        far_cluster_grad=tc.far_cluster_grad,
+                        remat=tc.remat),
                     make_sharded_eval_step(
                         cfg, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
@@ -498,7 +509,8 @@ def train(
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket),
                         far_cluster=tc.far_cluster,
-                        far_cluster_grad=tc.far_cluster_grad
+                        far_cluster_grad=tc.far_cluster_grad,
+                        remat=tc.remat
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()

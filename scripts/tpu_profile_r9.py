@@ -1,0 +1,217 @@
+"""Round-9 battery (one TPU process): anatomize the 160 ms clustered
+train step at 17,760 atoms (forward serving floor is ~25 ms — where do
+the other ~135 ms go?).
+
+  python scripts/tpu_profile_r9.py trace    # jax.profiler trace of the
+                                            # fc32 exact-VJP train step,
+                                            # device-op breakdown
+  python scripts/tpu_profile_r9.py remat    # A/B remat on/off (fc=32 has
+                                            # no O(N^2) residuals; the
+                                            # blanket big-graph remat may
+                                            # be paying ~a forward of
+                                            # recompute for memory we
+                                            # don't need)
+  python scripts/tpu_profile_r9.py scatter  # isolate the near-gather
+                                            # backward: XLA scatter-add
+                                            # vs a precomputed
+                                            # reverse-table gather adjoint
+
+Methodology: profile_util.scan_time (jitted lax.scan chain, scalar
+readback, discard-first-loop).  Reference hot loop being trained:
+/root/reference/charge_gn.py:62-70 at 8x its largest system.
+"""
+
+import collections
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scripts.profile_util import load_decay, scan_time, setup_cache, \
+    synth_molecule  # noqa: E402
+
+setup_cache()
+
+from epnn_tpu.data.dataset import pad_molecules, round_up  # noqa: E402
+from epnn_tpu.ops.fused import build_neighbors_batch, forward_blocked, \
+    max_neighbor_count  # noqa: E402
+
+
+def _system(n=17760):
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    bb = pad_molecules([synth_molecule(n, rng)], table, pad_to=n)
+    y = rng.normal(size=bb.q0.shape).astype(np.float32) * 0.1
+    k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                        cfg.cutoff) + 4, 8))
+    c = cfg.replace(matmul_precision="default")
+    put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
+    x, q0, z, m, yv = map(put, (bb.x, bb.q0, bb.xyz, bb.node_mask, y))
+    return fused, c, (x, q0, z, m, yv), k
+
+
+def _make_step(fused, c, data, k, fc, grad, remat):
+    x, q0, z, m, yv = data
+
+    def loss(f):
+        q = forward_blocked(f, x, q0, z, m, c, block=256, neighbor_k=k,
+                            use_pallas=True, remat=remat, uniform_q0=True,
+                            far_cluster=fc, far_cluster_grad=grad)
+        return jnp.sum((q - yv) ** 2 * m)
+
+    def step(f):
+        g = jax.grad(loss)(f)
+        return jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, f, g)
+
+    return step
+
+
+def stage_trace(n=17760, iters=4):
+    fused, c, data, k = _system(n)
+    step = _make_step(fused, c, data, k, fc=32, grad=True,
+                      remat=os.environ.get("R9_REMAT", "0") == "1")
+
+    @jax.jit
+    def run(f):
+        out, _ = jax.lax.scan(lambda cf, _: (step(cf), None), f, None,
+                              length=iters)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.sum(a.astype(jnp.float32)), out)
+
+    # compile + discard the inflation window, then trace one loop
+    np.asarray(jax.tree_util.tree_leaves(run(fused))[0])
+    np.asarray(jax.tree_util.tree_leaves(run(fused))[0])
+    trace_dir = "/tmp/r9_train_trace"
+    with jax.profiler.trace(trace_dir):
+        np.asarray(jax.tree_util.tree_leaves(run(fused))[0])
+    print(f"trace -> {trace_dir}", flush=True)
+
+    from scripts.trace_parse import load_events
+    ev = load_events(trace_dir)
+    pids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, nm in pids.items()
+                if "TPU" in nm or "/device" in nm.lower()}
+    groups = collections.Counter()
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        dur = e.get("dur", 0) / 1e3
+        groups[e.get("name", "?")] += dur
+        total += dur
+    print(f"device busy {total:.1f} ms / {iters} iters = "
+          f"{total / iters:.2f} ms/step", flush=True)
+    for name, ms in groups.most_common(40):
+        print(f"  {ms / iters:8.3f} ms/step  {name[:110]}", flush=True)
+
+
+def stage_remat(n=17760):
+    fused, c, data, k = _system(n)
+    for label, fc, grad, remat in (
+        ("fc32 exact-vjp remat=True ", 32, True, True),
+        ("fc32 exact-vjp remat=False", 32, True, False),
+        ("exact          remat=True ", 0, False, True),
+        ("exact          remat=False", 0, False, False),
+    ):
+        step = _make_step(fused, c, data, k, fc, grad, remat)
+        scan_time(f"train N={n} {label}", step, fused, iters=6)
+
+
+def stage_scatter(n=17760, h1=32):
+    """The adjoint of the per-round pj[idx] row gather is an XLA
+    scatter-add with duplicate indices.  A/B against the precomputed
+    reverse-table formulation: host-side, invert the (N, K) neighbor
+    table into (N, Krev) "who lists me" slots; the adjoint becomes a
+    gather + masked sum (no scatter at all)."""
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    bb = pad_molecules([synth_molecule(n, rng)], table, pad_to=n)
+    k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                        cfg.cutoff) + 4, 8))
+    z = jax.device_put(np.asarray(bb.xyz))
+    m = jax.device_put(np.asarray(bb.node_mask))
+    idx, nmask, _ = jax.block_until_ready(
+        build_neighbors_batch(z, m, cfg.cutoff, k))
+    idx = np.asarray(idx[0])          # (N, K)
+    nmask = np.asarray(nmask[0])      # (N, K)
+
+    # host-side reverse table: rev_src[j, s] = i such that idx[i, :] hits j
+    flat_j = idx.reshape(-1)
+    flat_i = np.repeat(np.arange(n, dtype=np.int32), k)
+    valid = nmask.reshape(-1) > 0
+    order = np.argsort(flat_j[valid], kind="stable")
+    js = flat_j[valid][order]
+    is_ = flat_i[valid][order]
+    counts = np.bincount(js, minlength=n)
+    krev = int(round_up(int(counts.max()), 8))
+    rev_src = np.zeros((n, krev), np.int32)
+    rev_mask = np.zeros((n, krev), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(js)) - starts[js]
+    rev_src[js, slot] = is_
+    rev_mask[js, slot] = 1.0
+    print(f"N={n} K={k} -> reverse table Krev={krev} "
+          f"(max in-degree {counts.max()})", flush=True)
+
+    idx_d = jax.device_put(idx)
+    nmask_d = jax.device_put(nmask.astype(np.float32))
+    rev_d = jax.device_put(rev_src)
+    rmask_d = jax.device_put(rev_mask)
+    rng2 = np.random.default_rng(1)
+    ct = jax.device_put(rng2.normal(size=(n, k, h1)).astype(np.float32))
+
+    # adjoint via XLA scatter-add (what jax.grad of pj[idx] emits)
+    def adj_scatter(c_in):
+        out = jnp.zeros((n, h1), jnp.float32)
+        return out.at[idx_d.reshape(-1)].add(
+            (c_in * nmask_d[:, :, None]).reshape(-1, h1))
+
+    # adjoint via the reverse-table gather: row j sums the cotangent
+    # entries of the (i, slot) positions that gathered it.  Needs the
+    # slot index too: precompute flat positions i*K + slot.
+    pos = np.zeros((n, krev), np.int64)
+    pos[js, slot] = (is_.astype(np.int64) * k
+                     + (np.argmax(idx[is_] == js[:, None], axis=1)))
+    # NOTE: np.argmax over (len(js), K) — exact slot of j in idx[i]
+    pos_d = jax.device_put(pos.astype(np.int32))
+
+    def adj_rev(c_in):
+        flat = (c_in * nmask_d[:, :, None]).reshape(-1, h1)
+        return jnp.sum(flat[pos_d] * rmask_d[:, :, None], axis=1)
+
+    a = np.asarray(jax.jit(adj_scatter)(ct))
+    b = np.asarray(jax.jit(adj_rev)(ct))
+    print(f"agreement max|diff| = {np.abs(a - b).max():.3e} "
+          f"(fp sum-order only)", flush=True)
+
+    scan_time("adjoint scatter-add (N,K,H)->(N,H)",
+              lambda v: adj_scatter(ct * v[0, 0]) + v, ct[:, 0, :] * 0 +
+              jnp.zeros((n, h1)), iters=10)
+    scan_time("adjoint reverse-gather (N,Krev,H)",
+              lambda v: adj_rev(ct * v[0, 0]) + v,
+              jnp.zeros((n, h1)), iters=10)
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "trace"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 17760
+    if stage == "trace":
+        stage_trace(n)
+    elif stage == "remat":
+        stage_remat(n)
+    elif stage == "scatter":
+        stage_scatter(n)
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+
+
+if __name__ == "__main__":
+    main()
