@@ -200,6 +200,29 @@ def stage_scatter(n=17760, h1=32):
               jnp.zeros((n, h1)), iters=10)
 
 
+def stage_hlo(n=17760):
+    """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
+    (not the scan) with metadata, to attribute the trace's hot fusions
+    (fusion.1000 = 59.5 ms/step, while.345 = 61.6) to source ops."""
+    fused, c, data, k = _system(n)
+    step = _make_step(fused, c, data, k, fc=32, grad=True, remat=False)
+    iters = 4
+
+    @jax.jit
+    def run(f):
+        out, _ = jax.lax.scan(lambda cf, _: (step(cf), None), f, None,
+                              length=iters)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.sum(a.astype(jnp.float32)), out)
+
+    compiled = run.lower(fused).compile()
+    txt = compiled.as_text()
+    out = "/tmp/r9_train_step.hlo"
+    with open(out, "w") as f:
+        f.write(txt)
+    print(f"optimized HLO -> {out} ({len(txt) / 1e6:.1f} MB)", flush=True)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "trace"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 17760
@@ -209,6 +232,8 @@ def main():
         stage_remat(n)
     elif stage == "scatter":
         stage_scatter(n)
+    elif stage == "hlo":
+        stage_hlo(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
