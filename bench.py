@@ -365,12 +365,15 @@ def main():
 
                     def _step_ms(fc, grad, iters=6):
                         def loss(f):
-                            # remat=False = the shipped TrainConfig.remat
-                            # default (r9 A/B: faster at every size tried)
+                            # remat=False + precomputed neighbor tables =
+                            # the shipped TrainConfig defaults (r9: remat
+                            # loses everywhere; per-step selection was 40%
+                            # of device time on static training geometry)
                             q = forward_blocked(
                                 f, xb, qb, zb, mb, c, block=256,
                                 neighbor_k=int(kb), use_pallas=on_tpu,
                                 remat=False, uniform_q0=uq0_b,
+                                neighbors=nbrs_b,
                                 far_cluster=fc, far_cluster_grad=grad)
                             return jnp.sum((q - y_t) ** 2 * mb)
 

@@ -83,6 +83,8 @@ def cmd_train(args):
         far_cluster_grad=getattr(args, "far_cluster_grad",
                                  "exact") != "stop",
         remat=getattr(args, "remat", False),
+        precompute_neighbors=not getattr(args, "no_precompute_neighbors",
+                                         False),
         tensorboard_dir=(os.path.join(args.out, "tb")
                          if args.out and args.tensorboard else None),
     )
@@ -315,6 +317,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "under the fixed assignment (the true gradient of "
                         "the clustered forward); 'stop' drops the "
                         "far-field dL/dpj path (fit fully stop-gradient)")
+    p.add_argument("--no-precompute-neighbors", action="store_true",
+                   help="rebuild neighbor lists inside every train/eval "
+                        "step instead of once per bucket (audit mode; "
+                        "per-bucket tables are bitwise-identical and "
+                        "skip the selection cost — 40%% of the big-graph "
+                        "step's device time)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize message/pass rounds in the fused/"
                         "sharded training backward (bounds residual memory "

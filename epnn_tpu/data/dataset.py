@@ -144,10 +144,14 @@ def minibatches(
     batch_size: int,
     rng: Optional[np.random.Generator] = None,
     drop_remainder: bool = False,
+    with_indices: bool = False,
 ):
     """Yield shuffled fixed-size minibatches; the tail is padded by repeating
     its first entries (with a zeroed loss weight via ``has_labels``-style
-    masking handled by the trainer)."""
+    masking handled by the trainer).  ``with_indices`` additionally yields
+    the bucket-row indices backing each minibatch — what lets the trainer
+    slice per-bucket precomputed side tables (neighbor lists) consistently
+    with the shuffle."""
     n = batch.batch_size
     order = np.arange(n)
     if rng is not None:
@@ -163,7 +167,10 @@ def minibatches(
             # a full fixed-shape batch (a short batch would recompile under
             # jit and break divisibility under a data-parallel mesh)
             idx = np.concatenate([idx, np.resize(order, pad_count)])
-        yield batch.select(idx), batch_size - pad_count
+        if with_indices:
+            yield batch.select(idx), batch_size - pad_count, idx
+        else:
+            yield batch.select(idx), batch_size - pad_count
 
 
 def train_val_split(

@@ -93,6 +93,15 @@ class TrainConfig:
     #: near field dominates learning; EVAL steps and checkpoint selection
     #: always run EXACT.  0 = exact training (default).
     far_cluster: int = 0
+    #: precompute per-bucket neighbor tables ONCE and reuse them every
+    #: step/epoch (training geometries never move, so per-step in-forward
+    #: selection is pure waste — the r9 trace showed top_k was 40% of the
+    #: 17,760-atom train step's device time).  Tables are (B, N, k) idx/
+    #: mask/d² device arrays per fused bucket, row-gathered in-graph per
+    #: minibatch; outputs are bitwise-identical to in-forward selection
+    #: (same d² plane).  Applies to the single-host fused path; sharded
+    #: steps keep in-forward selection (tables would need resharding).
+    precompute_neighbors: bool = True
     #: rematerialize message/pass rounds in the fused/sharded training
     #: backward.  False (default): keep round residuals — measured FASTER
     #: on v5e at every size tried (17,760 atoms: exact 526→456 ms/step,
@@ -177,7 +186,8 @@ def eval_step(params, model: EPNN, loss_name: str,
 
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                    x, q0, xyz, node_mask, y, weight, uniform_q0=False,
-                   far_cluster=0, far_cluster_grad=False, remat=True):
+                   far_cluster=0, far_cluster_grad=False, remat=True,
+                   neighbors=None, nbr_tables=None, nbr_rows=None):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
@@ -189,12 +199,18 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
     protein scale, scripts/tpu_profile_r6.py)."""
     from epnn_tpu.ops import forward_blocked, fuse_params
 
+    if nbr_tables is not None:
+        # bucket-resident (B_bucket, N, k) idx/mask/d² tables, row-gathered
+        # in-graph to this minibatch's rows (device gather — no per-step
+        # host transfer; TrainConfig.precompute_neighbors)
+        neighbors = tuple(t[nbr_rows] for t in nbr_tables)
     fused = fuse_params(params, cfg)
     pred = forward_blocked(fused, x, q0, xyz, node_mask, cfg,
                            block=block, neighbor_k=neighbor_k, remat=remat,
                            use_pallas=use_pallas, uniform_q0=uniform_q0,
                            far_cluster=far_cluster,
-                           far_cluster_grad=far_cluster_grad)
+                           far_cluster_grad=far_cluster_grad,
+                           neighbors=neighbors)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
@@ -209,11 +225,12 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      neighbor_k: int, x, q0, xyz, node_mask, y, weight,
                      use_pallas: bool = False, uniform_q0: bool = False,
                      far_cluster: int = 0, far_cluster_grad: bool = False,
-                     remat: bool = True):
+                     remat: bool = True, neighbors=None,
+                     nbr_tables=None, nbr_rows=None):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
         x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster,
-        far_cluster_grad, remat
+        far_cluster_grad, remat, neighbors, nbr_tables, nbr_rows
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -229,10 +246,12 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
 )
 def eval_step_fused(params, cfg: EPNNConfig, loss_name: str, block: int,
                     neighbor_k: int, x, q0, xyz, node_mask, y, weight,
-                    use_pallas: bool = False, uniform_q0: bool = False):
+                    use_pallas: bool = False, uniform_q0: bool = False,
+                    neighbors=None, nbr_tables=None, nbr_rows=None):
     loss, pred = _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
                                 use_pallas, x, q0, xyz, node_mask, y, weight,
-                                uniform_q0)
+                                uniform_q0, neighbors=neighbors,
+                                nbr_tables=nbr_tables, nbr_rows=nbr_rows)
     mets = M.mae_sums(pred, y, node_mask, weight)
     return loss, pred, mets
 
@@ -488,13 +507,53 @@ def train(
 
     fused_block = tc.fused_block
 
+    # TrainConfig.precompute_neighbors: per-bucket (B, N, k) idx/mask/d²
+    # neighbor tables built ONCE and kept device-resident — training
+    # geometries never move, so per-step in-forward selection is pure
+    # recompute (the r9 trace: top_k = 40% of the 17,760-atom step's
+    # device time).  Row-gathered in-graph per minibatch; charges are
+    # bitwise-identical (same d² plane as in-forward selection).
+    _nbr_cache: Dict[int, tuple] = {}
+
+    def bucket_neighbors(bucket: MolBatch, k: int):
+        if not tc.precompute_neighbors:
+            return None
+        key = id(bucket)
+        if key not in _nbr_cache:
+            from epnn_tpu.infer import CELL_GRID_MIN_ATOMS
+            from epnn_tpu.ops.fused import (build_neighbors_batch,
+                                            build_neighbors_cell,
+                                            cell_grid_params)
+
+            if bucket.padded_atoms >= CELL_GRID_MIN_ATOMS:
+                nc, cap = 1, 1
+                for bi in range(bucket.batch_size):
+                    c_, p_ = cell_grid_params(
+                        bucket.xyz[bi], bucket.node_mask[bi],
+                        float(cfg.cutoff))
+                    nc, cap = max(nc, c_), max(cap, p_)
+                nc, cap = round_up(nc, 512), round_up(cap, 4)
+                outs = [build_neighbors_cell(
+                    bucket.xyz[bi], bucket.node_mask[bi],
+                    float(cfg.cutoff), int(k), nc, cap)
+                    for bi in range(bucket.batch_size)]
+                tabs = tuple(jnp.stack([o[j] for o in outs])
+                             for j in range(3))
+            else:
+                tabs = tuple(build_neighbors_batch(
+                    jnp.asarray(bucket.xyz), jnp.asarray(bucket.node_mask),
+                    float(cfg.cutoff), int(k)))
+            _nbr_cache[key] = jax.block_until_ready(tabs)
+        return _nbr_cache[key]
+
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         acc = MetricAccumulator()
         rng = epoch_rng(epoch)
         for pad, bucket in train_buckets.items():
             bs, k = bucket_plan(pad, bucket)
-            for mb, n_real in minibatches(bucket, bs, rng=rng):
+            for mb, n_real, rows in minibatches(bucket, bs, rng=rng,
+                                                with_indices=True):
                 if k is None:
                     state, loss, _, mets = train_step(
                         state, model, tc.loss, opt, *put(mb, n_real)
@@ -504,19 +563,23 @@ def train(
                         state, *_batch_args(mb, n_real)
                     )
                 else:
+                    tabs = bucket_neighbors(bucket, k)
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket),
                         far_cluster=tc.far_cluster,
                         far_cluster_grad=tc.far_cluster_grad,
-                        remat=tc.remat
+                        remat=tc.remat, nbr_tables=tabs,
+                        nbr_rows=(jnp.asarray(rows, jnp.int32)
+                                  if tabs is not None else None)
                     )
                 acc.update(loss, mets)
         vacc = MetricAccumulator()
         for pad, bucket in val_buckets.items():
             bs, k = bucket_plan(pad, bucket)
-            for mb, n_real in minibatches(bucket, bs):
+            for mb, n_real, rows in minibatches(bucket, bs,
+                                                with_indices=True):
                 if k is None:
                     loss, _, mets = eval_step(
                         state.params, model, tc.loss, *put(mb, n_real)
@@ -526,10 +589,13 @@ def train(
                         state.params, *_batch_args(mb, n_real)
                     )
                 else:
+                    tabs = bucket_neighbors(bucket, k)
                     loss, _, mets = eval_step_fused(
                         state.params, cfg, tc.loss, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
-                        uniform_q0=bucket_uq0(bucket)
+                        uniform_q0=bucket_uq0(bucket), nbr_tables=tabs,
+                        nbr_rows=(jnp.asarray(rows, jnp.int32)
+                                  if tabs is not None else None)
                     )
                 vacc.update(loss, mets)
 

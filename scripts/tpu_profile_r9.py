@@ -55,12 +55,13 @@ def _system(n=17760):
     return fused, c, (x, q0, z, m, yv), k
 
 
-def _make_step(fused, c, data, k, fc, grad, remat):
+def _make_step(fused, c, data, k, fc, grad, remat, neighbors=None):
     x, q0, z, m, yv = data
 
     def loss(f):
         q = forward_blocked(f, x, q0, z, m, c, block=256, neighbor_k=k,
                             use_pallas=True, remat=remat, uniform_q0=True,
+                            neighbors=neighbors,
                             far_cluster=fc, far_cluster_grad=grad)
         return jnp.sum((q - yv) ** 2 * m)
 
@@ -123,6 +124,26 @@ def stage_remat(n=17760):
     ):
         step = _make_step(fused, c, data, k, fc, grad, remat)
         scan_time(f"train N={n} {label}", step, fused, iters=6)
+
+
+def stage_nbr(n=17760):
+    """A/B the r9b lever: precomputed per-bucket neighbor tables
+    (TrainConfig.precompute_neighbors, static training geometry) vs
+    per-step in-forward selection, both no-remat."""
+    fused, c, data, k = _system(n)
+    x, q0, z, m, yv = data
+    nbrs = jax.block_until_ready(build_neighbors_batch(z, m, c.cutoff, k))
+    for label, fc, grad in (
+        ("fc32 exact-vjp", 32, True),
+        ("exact         ", 0, False),
+    ):
+        step_in = _make_step(fused, c, data, k, fc, grad, remat=False)
+        step_pre = _make_step(fused, c, data, k, fc, grad, remat=False,
+                              neighbors=nbrs)
+        scan_time(f"train N={n} {label} in-forward sel", step_in, fused,
+                  iters=6)
+        scan_time(f"train N={n} {label} precomp tables", step_pre, fused,
+                  iters=6)
 
 
 def stage_scatter(n=17760, h1=32):
@@ -232,6 +253,8 @@ def main():
         stage_remat(n)
     elif stage == "scatter":
         stage_scatter(n)
+    elif stage == "nbr":
+        stage_nbr(n)
     elif stage == "hlo":
         stage_hlo(n)
     else:
