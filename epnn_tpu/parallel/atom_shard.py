@@ -683,7 +683,7 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     if far_cluster and neighbor_k is None:
         raise ValueError("far_cluster requires neighbor_k")
 
-    def loss_fn(params, x, q0, xyz, node_mask, y, weight):
+    def loss_fn(params, x, q0, xyz, node_mask, y, weight, neighbors=None):
         fused = fuse_params(params, cfg)
         if shard_mode == "ring":
             from epnn_tpu.parallel.ring_shard import (
@@ -692,21 +692,25 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
                 use_pallas=use_pallas, remat=remat, uniform_q0=uniform_q0,
+                neighbors=neighbors,
                 far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas, remat=remat, uniform_q0=uniform_q0,
+                neighbors=neighbors,
                 far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
         else:
+            if neighbors is not None:
+                raise ValueError("precomputed neighbors require neighbor_k")
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)
         return M.LOSSES[loss_name](pred, y, node_mask, weight), pred
 
     @jax.jit
-    def step(state, x, q0, xyz, node_mask, y, weight):
+    def step(state, x, q0, xyz, node_mask, y, weight, neighbors=None):
         (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, q0, xyz, node_mask, y, weight
+            state.params, x, q0, xyz, node_mask, y, weight, neighbors
         )
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -731,7 +735,7 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
         raise ValueError("shard_mode='ring' requires neighbor_k")
 
     @jax.jit
-    def step(params, x, q0, xyz, node_mask, y, weight):
+    def step(params, x, q0, xyz, node_mask, y, weight, neighbors=None):
         fused = fuse_params(params, cfg)
         if shard_mode == "ring":
             from epnn_tpu.parallel.ring_shard import (
@@ -739,12 +743,16 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
 
             pred = forward_ring_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k_blk=neighbor_k,
-                use_pallas=use_pallas, uniform_q0=uniform_q0)
+                use_pallas=use_pallas, uniform_q0=uniform_q0,
+                neighbors=neighbors)
         elif neighbor_k is not None:
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
-                use_pallas=use_pallas, uniform_q0=uniform_q0)
+                use_pallas=use_pallas, uniform_q0=uniform_q0,
+                neighbors=neighbors)
         else:
+            if neighbors is not None:
+                raise ValueError("precomputed neighbors require neighbor_k")
             pred = forward_atom_sharded_batch(fused, x, q0, xyz, node_mask,
                                               cfg, mesh)
         loss = M.LOSSES[loss_name](pred, y, node_mask, weight)

@@ -515,8 +515,8 @@ def train(
     # bitwise-identical (same d² plane as in-forward selection).
     _nbr_cache: Dict[int, tuple] = {}
 
-    def bucket_neighbors(bucket: MolBatch, k: int):
-        if not tc.precompute_neighbors:
+    def bucket_neighbors(bucket: MolBatch, k: Optional[int]):
+        if not tc.precompute_neighbors or k is None:
             return None
         key = id(bucket)
         if key not in _nbr_cache:
@@ -559,8 +559,11 @@ def train(
                         state, model, tc.loss, opt, *put(mb, n_real)
                     )
                 elif sharded_train is not None and pad % n_atoms_axis == 0:
+                    tabs = bucket_neighbors(bucket, k)
                     state, loss, _, mets = sharded_train(k, bucket_uq0(bucket))(
-                        state, *_batch_args(mb, n_real)
+                        state, *_batch_args(mb, n_real),
+                        neighbors=(tuple(t[np.asarray(rows)] for t in tabs)
+                                   if tabs is not None else None)
                     )
                 else:
                     tabs = bucket_neighbors(bucket, k)
@@ -585,8 +588,11 @@ def train(
                         state.params, model, tc.loss, *put(mb, n_real)
                     )
                 elif sharded_eval is not None and pad % n_atoms_axis == 0:
+                    tabs = bucket_neighbors(bucket, k)
                     loss, _, mets = sharded_eval(k, bucket_uq0(bucket))(
-                        state.params, *_batch_args(mb, n_real)
+                        state.params, *_batch_args(mb, n_real),
+                        neighbors=(tuple(t[np.asarray(rows)] for t in tabs)
+                                   if tabs is not None else None)
                     )
                 else:
                     tabs = bucket_neighbors(bucket, k)
