@@ -221,6 +221,49 @@ def stage_scatter(n=17760, h1=32):
               jnp.zeros((n, h1)), iters=10)
 
 
+def stage_e2e(n=17760, epochs=6):
+    """End-to-end PUBLIC train() fine-tune at scale: how much in-loop
+    overhead (host uploads, per-step metric readback, dispatch) rides on
+    top of the scan-measured 93 ms/step?  5 copies of the synthetic
+    system -> 4 train steps + 1 eval step per epoch."""
+    import time
+
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.io.tf_import import import_reference_model
+    from epnn_tpu.train import TrainConfig, train
+
+    from epnn_tpu.io import save_params
+
+    params, cfg = import_reference_model("/root/reference/models",
+                                         "decay_model")
+    ck = "/tmp/r9_e2e_init"
+    save_params(ck, params, cfg)
+    rng = np.random.default_rng(0)
+    base = synth_molecule(n, rng)
+    mols = []
+    for i in range(5):
+        labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+        labels -= labels.mean()
+        mols.append(Molecule(name=f"e{i}", symbols=list(base.symbols),
+                             xyz=base.xyz, total_charge=0.0, labels=labels))
+    t0 = time.time()
+    tc = TrainConfig(epochs=epochs, batch_size=1, far_cluster=32,
+                     loss="masked_mse", init_from=ck)
+    res = train(mols, cfg, tc, progress=False)
+    for h in res.history:
+        print(f"epoch {h['epoch']}: train {h['train_loss']:.4e} "
+              f"({h.get('seconds', float('nan')):.2f}s)", flush=True)
+    total = time.time() - t0
+    per_epoch = [h.get("seconds") for h in res.history[2:]
+                 if h.get("seconds")]
+    if per_epoch:
+        # 4 train steps + 1 eval (exact) per epoch
+        print(f"steady epoch {min(per_epoch):.2f}s -> incl-eval per-step "
+              f"~{min(per_epoch) / 5 * 1e3:.0f} ms (scan-measured step: "
+              f"93 ms fc32 / eval exact fwd ~87 ms)", flush=True)
+    print(f"total {total:.1f}s (incl table build + compiles)", flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -257,6 +300,8 @@ def main():
         stage_nbr(n)
     elif stage == "hlo":
         stage_hlo(n)
+    elif stage == "e2e":
+        stage_e2e(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
