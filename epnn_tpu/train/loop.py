@@ -535,7 +535,7 @@ def train(
                 nc, cap = round_up(nc, 512), round_up(cap, 4)
                 outs = [build_neighbors_cell(
                     bucket.xyz[bi], bucket.node_mask[bi],
-                    float(cfg.cutoff), int(k), nc, cap)
+                    float(cfg.cutoff), int(k), nc, cap, with_d2=True)
                     for bi in range(bucket.batch_size)]
                 tabs = tuple(jnp.stack([o[j] for o in outs])
                              for j in range(3))

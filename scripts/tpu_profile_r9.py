@@ -264,6 +264,51 @@ def stage_e2e(n=17760, epochs=6):
     print(f"total {total:.1f}s (incl table build + compiles)", flush=True)
 
 
+def stage_loopovh(n=17760, iters=12):
+    """Isolate the ~94 ms/step of public-train() loop overhead seen by
+    stage_e2e: per-call dispatch of ONE fc32 train step with (a) numpy
+    host args re-uploaded every call (what train() does via put()),
+    (b) device-resident args.  Timed per call with a loss readback (the
+    scan-chain number for the same program is ~93 ms)."""
+    import time
+
+    fused, c, data, k = _system(n)
+    x, q0, z, m, yv = data
+    nbrs = jax.block_until_ready(build_neighbors_batch(z, m, c.cutoff, k))
+
+    def loss(f, x_, q0_, z_, m_, yv_):
+        q = forward_blocked(f, x_, q0_, z_, m_, c, block=256, neighbor_k=k,
+                            use_pallas=True, remat=False, uniform_q0=True,
+                            neighbors=nbrs, far_cluster=32,
+                            far_cluster_grad=True)
+        return jnp.sum((q - yv_) ** 2 * m_)
+
+    @jax.jit
+    def step(f, *args):
+        l, g = jax.value_and_grad(loss)(f, *args)
+        return l, jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, f, g)
+
+    np_args = tuple(np.asarray(a) for a in (x, q0, z, m, yv))
+    dev_args = (x, q0, z, m, yv)
+
+    for label, args in (("device-resident args", dev_args),
+                        ("numpy args (re-upload)", np_args)):
+        f = fused
+        # compile + inflation discard
+        for _ in range(4):
+            l, f = step(f, *args)
+            float(l)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            l, f = step(f, *args)
+            float(l)  # force completion via scalar readback
+            times.append(time.perf_counter() - t0)
+        times = sorted(times)
+        print(f"per-call {label}: median {1e3 * times[len(times)//2]:.1f} "
+              f"min {1e3 * times[0]:.1f} ms", flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -302,6 +347,8 @@ def main():
         stage_hlo(n)
     elif stage == "e2e":
         stage_e2e(n)
+    elif stage == "loopovh":
+        stage_loopovh(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 

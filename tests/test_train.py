@@ -510,3 +510,26 @@ def test_precomputed_neighbor_training_matches_in_forward():
     for (t1, v1), (t0, v0) in zip(losses[True], losses[False]):
         np.testing.assert_allclose(t1, t0, rtol=1e-6)
         np.testing.assert_allclose(v1, v0, rtol=1e-6)
+
+
+def test_precompute_neighbors_cell_branch():
+    """Buckets >= CELL_GRID_MIN_ATOMS precompute their tables through the
+    cell-list builder (with_d2=True — the r9 e2e battery caught this
+    branch untested); one epoch through the public trainer must run and
+    keep conservation-grade finite losses."""
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.infer import CELL_GRID_MIN_ATOMS
+
+    n = CELL_GRID_MIN_ATOMS + 16
+    g = np.random.default_rng(13)
+    side = (n / 0.1) ** (1 / 3)
+    labels = g.normal(0, 0.1, size=n).astype(np.float32)
+    labels -= labels.sum() / n
+    mols = [Molecule(name="cell0",
+                     symbols=list(g.choice(["H", "C", "N", "O"], size=n)),
+                     xyz=g.uniform(0, side, (n, 3)).astype(np.float32),
+                     total_charge=0.0, labels=labels)]
+    tc = TrainConfig(epochs=1, batch_size=1, seed=1, val_fraction=0.0)
+    res = train(mols, SMALL, tc, val_mols=mols, progress=False)
+    assert np.isfinite(res.history[0]["train_loss"])
+    assert np.isfinite(res.best_val_masked_mae)
