@@ -72,6 +72,18 @@ def cmd_train(args):
         from epnn_tpu.io import load_config
 
         cfg = load_config(args.init_from)
+    prec = getattr(args, "precision", "keep")
+    if prec == "fast":
+        # precision is a runtime policy, not part of the architecture —
+        # overriding it keeps the weights/arch compatible.  Imported
+        # reference checkpoints carry highest_precision=True (artifact
+        # parity), which silently disables the packed far-field kernel
+        # and runs HIGHEST-precision matmuls in the train step (~2x
+        # slower at scale, scripts/tpu_profile_r9.py realstep/e2e).
+        cfg = cfg.replace(matmul_precision="default")
+    elif prec == "parity":
+        cfg = cfg.replace(matmul_precision="highest",
+                          dense_matmul_precision="default")
     tc = TrainConfig(
         learning_rate=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         loss=args.loss, seed=args.seed, checkpoint_dir=args.out,
@@ -286,6 +298,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-from",
                    help="fine-tune: initialize params (and config) from a "
                         "native checkpoint dir (e.g. from import-ckpt)")
+    p.add_argument("--precision", choices=["keep", "fast", "parity"],
+                   default="keep",
+                   help="matmul precision POLICY for training (runtime "
+                        "knob, not architecture): 'keep' (default) honors "
+                        "the config/checkpoint; 'fast' forces default "
+                        "precision (enables the packed far-field kernel — "
+                        "imported reference checkpoints otherwise carry "
+                        "highest_precision and train ~2x slower at scale); "
+                        "'parity' forces the inference parity policy")
     p.add_argument("--dense-max-atoms", type=int, default=256,
                    help="buckets padded wider than this train through the "
                         "blockwise fused path (no dense pair tensors)")
@@ -444,6 +465,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", platform)
     cache_dir = os.environ.get("EPNN_COMPILE_CACHE", ".cache/jaxcache")
+    # The persistent cache only helps where compiles are expensive (the
+    # tunneled TPU backend); on XLA:CPU, loading AOT executables compiled
+    # on a different host steps on machine-feature mismatches (E-log spam,
+    # potential SIGILL — the documented suite SIGABRT tell).  Default it
+    # off on CPU; EPNN_COMPILE_CACHE=<dir> still forces it anywhere.
+    if cache_dir == ".cache/jaxcache" and platform == "cpu":
+        cache_dir = None
     if cache_dir and cache_dir != "0":
         import jax
 

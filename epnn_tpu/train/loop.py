@@ -270,32 +270,41 @@ class MetricAccumulator:
     def __init__(self):
         self._mets = []
         self._losses = []
+        self._cache = None
 
     def update(self, loss, mets):
         self._mets.append(mets)
         self._losses.append(loss)
+        self._cache = None
 
     def _reduced(self):
-        import numpy as _np
+        # ONE batched device_get for losses+metrics, cached until the next
+        # update — each separate transfer over the tunnel costs ~25 ms, so
+        # per-property gets would tax every epoch boundary 6x
+        if self._cache is None:
+            import numpy as _np
 
-        m = _np.asarray(jax.device_get(self._mets), dtype=_np.float64)
-        return m.sum(axis=0) if len(m) else _np.zeros(4)
+            ls, ms = jax.device_get((self._losses, self._mets))
+            m = _np.asarray(ms, dtype=_np.float64)
+            self._cache = (
+                float(_np.mean(_np.asarray(ls))) if ls else 0.0,
+                m.sum(axis=0) if len(m) else _np.zeros(4),
+            )
+        return self._cache
 
     @property
     def masked_mae(self) -> float:
-        ms, mn, _, _ = self._reduced()
+        _, (ms, mn, _, _) = self._reduced()
         return float(ms / max(mn, 1.0))
 
     @property
     def padded_mae(self) -> float:
-        _, _, ps, pn = self._reduced()
+        _, (_, _, ps, pn) = self._reduced()
         return float(ps / max(pn, 1.0))
 
     @property
     def loss(self) -> float:
-        if not self._losses:
-            return 0.0
-        return float(np.mean(jax.device_get(self._losses)))
+        return self._reduced()[0]
 
 
 def _dump_prediction_artifacts(out_dir, params, cfg, train_mols, val_mols):
@@ -467,6 +476,18 @@ def train(
     except Exception:
         _on_tpu = False
     fused_pallas = _on_tpu and _dense_prec == "default"
+    if (_on_tpu and _dense_prec != "default"
+            and any(pad > tc.dense_max_atoms for pad in train_buckets)):
+        # imported reference checkpoints carry highest_precision=True (an
+        # inference artifact-parity policy) — inheriting it into a big-graph
+        # fine-tune disables the packed far-field kernel and runs HIGHEST-
+        # precision matmuls (~2x slower at 17,760 atoms).  Runtime policy,
+        # not architecture: overriding keeps the weights compatible.
+        print("note: training big-graph buckets at non-default matmul "
+              "precision (cfg.highest_precision/matmul_precision) — "
+              "~2x slower and the packed far-field kernel is disabled; "
+              "pass cfg.replace(matmul_precision='default') or CLI "
+              "--precision fast unless you need parity-grade training")
 
     # round-1 far-field collapse (bitwise-identical on TPU, ~19% off the
     # protein-scale train step — scripts/tpu_profile_r6.py): bucket rows

@@ -236,6 +236,10 @@ def stage_e2e(n=17760, epochs=6):
 
     params, cfg = import_reference_model("/root/reference/models",
                                          "decay_model")
+    # fine-tune at FAST precision (the imported cfg carries the parity
+    # policy highest_precision=True, which would train ~2x slower with
+    # the far-field kernel off — the r9 "loop overhead" red herring)
+    cfg = cfg.replace(matmul_precision="default")
     ck = "/tmp/r9_e2e_init"
     save_params(ck, params, cfg)
     rng = np.random.default_rng(0)
@@ -309,6 +313,136 @@ def stage_loopovh(n=17760, iters=12):
               f"min {1e3 * times[0]:.1f} ms", flush=True)
 
 
+def stage_pipelined(n=17760, iters=12):
+    """The train() loop never blocks per step (MetricAccumulator is lazy)
+    — successive dispatches should PIPELINE and hide the per-call RPC
+    latency stage_loopovh measured (+21.5 ms blocked / +12 ms upload).
+    Time `iters` back-to-back dispatches with one readback at the end,
+    device-resident vs numpy args, to get the true amortized per-step
+    cost of the public-train() dispatch pattern."""
+    import time
+
+    fused, c, data, k = _system(n)
+    x, q0, z, m, yv = data
+    nbrs = jax.block_until_ready(build_neighbors_batch(z, m, c.cutoff, k))
+
+    def loss(f, x_, q0_, z_, m_, yv_):
+        q = forward_blocked(f, x_, q0_, z_, m_, c, block=256, neighbor_k=k,
+                            use_pallas=True, remat=False, uniform_q0=True,
+                            neighbors=nbrs, far_cluster=32,
+                            far_cluster_grad=True)
+        return jnp.sum((q - yv_) ** 2 * m_)
+
+    @jax.jit
+    def step(f, *args):
+        l, g = jax.value_and_grad(loss)(f, *args)
+        return l, jax.tree_util.tree_map(lambda a, b: a - 1e-9 * b, f, g)
+
+    np_args = tuple(np.asarray(a) for a in (x, q0, z, m, yv))
+    dev_args = (x, q0, z, m, yv)
+
+    for label, args in (("device-resident args", dev_args),
+                        ("numpy args (re-upload)", np_args)):
+        f = fused
+        for _ in range(4):          # compile + inflation discard
+            l, f = step(f, *args)
+            float(l)
+        for rep in range(2):
+            t0 = time.perf_counter()
+            f2, losses = f, []
+            for _ in range(iters):
+                l, f2 = step(f2, *args)
+                losses.append(l)
+            float(losses[-1])       # one readback at the end
+            dt = time.perf_counter() - t0
+            print(f"pipelined {label} rep{rep}: "
+                  f"{dt / iters * 1e3:.1f} ms/step", flush=True)
+
+
+def stage_realstep(n=17760, iters=12):
+    """Time the ACTUAL train_step_fused / eval_step_fused programs exactly
+    as train() dispatches them (Adam update + metric sums + per-minibatch
+    nbr_rows in-graph row gather, bucket tables), pipelined — the toy
+    battery step reads 91-93 ms/step but public train() steady epochs
+    imply ~180; find which program carries the difference."""
+    import time
+
+    from epnn_tpu.data.dataset import bucket_molecules, minibatches
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train.loop import (TrainConfig, _batch_args, create_state,
+                                     eval_step_fused, make_optimizer,
+                                     train_step_fused)
+
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    base = synth_molecule(n, rng)
+    mols = []
+    for i in range(4):
+        labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+        labels -= labels.mean()
+        mols.append(Molecule(name=f"e{i}", symbols=list(base.symbols),
+                             xyz=base.xyz, total_charge=0.0, labels=labels))
+    buckets = bucket_molecules(mols, table_for_n_elems(cfg.n_elems), 8)
+    (pad, bucket), = buckets.items()
+    tc = TrainConfig(batch_size=1, far_cluster=32, loss="masked_mse")
+    opt = make_optimizer(tc)
+    state = create_state(cfg, tc, jax.random.key(0))
+    state = state.replace(params=params)  # train_step_fused fuses in-graph
+    c = cfg.replace(matmul_precision="default")
+    k = int(round_up(max_neighbor_count(bucket.xyz[0], bucket.node_mask[0],
+                                        cfg.cutoff) + 4, 8))
+    tabs = tuple(build_neighbors_batch(
+        jnp.asarray(bucket.xyz), jnp.asarray(bucket.node_mask),
+        float(cfg.cutoff), k))
+    jax.block_until_ready(tabs)
+
+    mbs = [(mb, n_real, rows) for mb, n_real, rows in
+           minibatches(bucket, 1, rng=np.random.default_rng(1),
+                       with_indices=True)]
+
+    def call(st, i):
+        mb, n_real, rows = mbs[i % len(mbs)]
+        return train_step_fused(
+            st, c, tc.loss, opt, 256, k, *_batch_args(mb, n_real),
+            use_pallas=True, uniform_q0=True, far_cluster=32,
+            far_cluster_grad=True, remat=False, nbr_tables=tabs,
+            nbr_rows=jnp.asarray(rows, jnp.int32))
+
+    # compile + inflation discard
+    for i in range(6):
+        state, loss, _, mets = call(state, i)
+    float(loss)
+    for rep in range(2):
+        t0 = time.perf_counter()
+        st = state
+        for i in range(iters):
+            st, loss, _, mets = call(st, i)
+        float(loss)
+        print(f"real train_step_fused pipelined rep{rep}: "
+              f"{(time.perf_counter() - t0) / iters * 1e3:.1f} ms/step",
+              flush=True)
+
+    def ecall(i):
+        mb, n_real, rows = mbs[i % len(mbs)]
+        return eval_step_fused(
+            state.params, c, tc.loss, 256, k, *_batch_args(mb, n_real),
+            use_pallas=True, uniform_q0=True, nbr_tables=tabs,
+            nbr_rows=jnp.asarray(rows, jnp.int32))
+
+    for i in range(6):
+        loss, _, mets = ecall(i)
+    float(loss)
+    for rep in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            loss, _, mets = ecall(i)
+        float(loss)
+        print(f"real eval_step_fused pipelined rep{rep}: "
+              f"{(time.perf_counter() - t0) / iters * 1e3:.1f} ms/step",
+              flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -349,6 +483,10 @@ def main():
         stage_e2e(n)
     elif stage == "loopovh":
         stage_loopovh(n)
+    elif stage == "pipelined":
+        stage_pipelined(n)
+    elif stage == "realstep":
+        stage_realstep(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 

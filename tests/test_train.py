@@ -533,3 +533,20 @@ def test_precompute_neighbors_cell_branch():
     res = train(mols, SMALL, tc, val_mols=mols, progress=False)
     assert np.isfinite(res.history[0]["train_loss"])
     assert np.isfinite(res.best_val_masked_mae)
+
+
+def test_metric_accumulator_batched_readback():
+    """loss/masked/padded reduce in ONE batched device_get (tunnel hosts
+    pay ~25 ms per transfer) and the cache invalidates on update."""
+    import jax.numpy as jnp
+
+    from epnn_tpu.train.loop import MetricAccumulator
+
+    acc = MetricAccumulator()
+    assert acc.loss == 0.0 and acc.masked_mae == 0.0 and acc.padded_mae == 0.0
+    acc.update(jnp.asarray(2.0), jnp.asarray([4.0, 2.0, 6.0, 3.0]))
+    assert acc.loss == 2.0
+    acc.update(jnp.asarray(4.0), jnp.asarray([2.0, 1.0, 3.0, 1.0]))
+    assert acc.loss == 3.0
+    assert acc.masked_mae == pytest.approx(2.0)      # (4+2)/(2+1)
+    assert acc.padded_mae == pytest.approx(9.0 / 4)  # (6+3)/(3+1)
