@@ -95,6 +95,7 @@ def cmd_train(args):
         far_cluster_grad=getattr(args, "far_cluster_grad",
                                  "exact") != "stop",
         remat=getattr(args, "remat", False),
+        eval_every=getattr(args, "eval_every", 1),
         precompute_neighbors=not getattr(args, "no_precompute_neighbors",
                                          False),
         tensorboard_dir=(os.path.join(args.out, "tb")
@@ -350,6 +351,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "at O(round state); default OFF — measured faster "
                         "without at every size tried, the far-field "
                         "kernel's VJP already recomputes in-tile)")
+    p.add_argument("--eval-every", type=int, default=1, dest="eval_every",
+                   help="evaluate the validation set every Nth epoch only "
+                        "(the final epoch always evaluates; skipped epochs "
+                        "log val metrics as null and never update the best "
+                        "checkpoint).  Exact eval on a big-graph bucket "
+                        "costs ~a training epoch — >1 amortizes it")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)

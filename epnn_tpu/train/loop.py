@@ -65,6 +65,13 @@ class TrainConfig:
     #: warning when no SummaryWriter implementation is importable)
     tensorboard_dir: Optional[str] = None
     debug_nans: bool = False
+    #: evaluate the validation set every Nth epoch only (the final epoch
+    #: always evaluates, so best-checkpoint selection can never end on a
+    #: skipped epoch).  Exact eval on a big-graph bucket costs about a
+    #: training epoch (17,760 atoms: eval fwd ~87 ms/step vs clustered
+    #: train 93 — RESULTS.md r9c); >1 amortizes it across epochs.
+    #: Skipped epochs log val metrics as None and never update "best".
+    eval_every: int = 1
     #: dump train/val prediction + label + name arrays next to the best
     #: checkpoint on every improvement (the reference's artifact protocol,
     #: charge_gn.py:433-434,465-468 — what model_systems/ contains)
@@ -599,8 +606,11 @@ def train(
                                   if tabs is not None else None)
                     )
                 acc.update(loss, mets)
+        run_eval = (tc.eval_every <= 1
+                    or (epoch + 1) % tc.eval_every == 0
+                    or epoch == tc.epochs - 1)
         vacc = MetricAccumulator()
-        for pad, bucket in val_buckets.items():
+        for pad, bucket in (val_buckets.items() if run_eval else ()):
             bs, k = bucket_plan(pad, bucket)
             for mb, n_real, rows in minibatches(bucket, bs,
                                                 with_indices=True):
@@ -631,9 +641,9 @@ def train(
             "train_loss": acc.loss,
             "train_masked_mae": acc.masked_mae,
             "train_padded_mae": acc.padded_mae,
-            "val_loss": vacc.loss,
-            "val_masked_mae": vacc.masked_mae,
-            "val_padded_mae": vacc.padded_mae,
+            "val_loss": vacc.loss if run_eval else None,
+            "val_masked_mae": vacc.masked_mae if run_eval else None,
+            "val_padded_mae": vacc.padded_mae if run_eval else None,
             "seconds": time.time() - t0,
         }
         history.append(row)
@@ -642,17 +652,18 @@ def train(
             log_f.flush()
         if tb is not None:
             for key, val in row.items():
-                if key != "epoch":
+                if key != "epoch" and val is not None:
                     tb.add_scalar(key, val, epoch)
         if progress:
+            vtxt = f"{vacc.masked_mae:.5f}" if run_eval else "—"
             print(
                 f"epoch {epoch}: loss {acc.loss:.3e} "
-                f"train MAE {acc.masked_mae:.5f} val MAE {vacc.masked_mae:.5f} "
+                f"train MAE {acc.masked_mae:.5f} val MAE {vtxt} "
                 f"({row['seconds']:.1f}s)",
                 flush=True,
             )
 
-        improved = vacc.masked_mae < best
+        improved = run_eval and vacc.masked_mae < best
         if improved:
             best = vacc.masked_mae
             best_padded = vacc.padded_mae

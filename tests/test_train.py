@@ -550,3 +550,19 @@ def test_metric_accumulator_batched_readback():
     assert acc.loss == 3.0
     assert acc.masked_mae == pytest.approx(2.0)      # (4+2)/(2+1)
     assert acc.padded_mae == pytest.approx(9.0 / 4)  # (6+3)/(3+1)
+
+
+def test_eval_every_skips_and_forces_final(toy_train_mols, tmp_path):
+    """eval_every=2 over 3 epochs: epoch 0 skips eval (val metrics None,
+    best untouched), epoch 1 evaluates, the FINAL epoch always evaluates."""
+    tc = TrainConfig(epochs=3, batch_size=8, seed=0, eval_every=2,
+                     checkpoint_dir=str(tmp_path / "run"))
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    evals = [r["val_masked_mae"] is not None for r in res.history]
+    assert evals == [False, True, True]
+    assert res.history[0]["val_loss"] is None
+    # best comes only from evaluated epochs
+    assert res.best_val_masked_mae == pytest.approx(
+        min(r["val_masked_mae"] for r in res.history if r["val_masked_mae"]
+            is not None))
+    assert (tmp_path / "run" / "best").exists()
