@@ -96,6 +96,7 @@ def cmd_train(args):
                                  "exact") != "stop",
         remat=getattr(args, "remat", False),
         eval_every=getattr(args, "eval_every", 1),
+        early_stop_patience=getattr(args, "early_stop_patience", None),
         precompute_neighbors=not getattr(args, "no_precompute_neighbors",
                                          False),
         tensorboard_dir=(os.path.join(args.out, "tb")
@@ -357,6 +358,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "log val metrics as null and never update the best "
                         "checkpoint).  Exact eval on a big-graph bucket "
                         "costs ~a training epoch — >1 amortizes it")
+    p.add_argument("--early-stop-patience", type=int, default=None,
+                   dest="early_stop_patience",
+                   help="stop when the val masked MAE has not improved for "
+                        "this many consecutive EVALUATED epochs (composes "
+                        "with --eval-every; default: run all epochs, the "
+                        "reference protocol)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard event files under <out>/tb")
     p.set_defaults(fn=cmd_train)

@@ -72,6 +72,10 @@ class TrainConfig:
     #: train 93 — RESULTS.md r9c); >1 amortizes it across epochs.
     #: Skipped epochs log val metrics as None and never update "best".
     eval_every: int = 1
+    #: stop when the val masked MAE has not improved for this many
+    #: consecutive EVALUATED epochs (composes with eval_every; None —
+    #: the reference protocol — runs all epochs and keeps best-val)
+    early_stop_patience: Optional[int] = None
     #: dump train/val prediction + label + name arrays next to the best
     #: checkpoint on every improvement (the reference's artifact protocol,
     #: charge_gn.py:433-434,465-468 — what model_systems/ contains)
@@ -574,6 +578,7 @@ def train(
             _nbr_cache[key] = jax.block_until_ready(tabs)
         return _nbr_cache[key]
 
+    stale_evals = 0
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         acc = MetricAccumulator()
@@ -682,6 +687,15 @@ def train(
                         tc.checkpoint_dir, state.params, cfg,
                         train_mols, val_mols,
                     )
+        if run_eval:
+            stale_evals = 0 if improved else stale_evals + 1
+            if (tc.early_stop_patience is not None
+                    and stale_evals >= tc.early_stop_patience):
+                if progress:
+                    print(f"early stop at epoch {epoch}: no val "
+                          f"improvement in {stale_evals} evaluated epochs",
+                          flush=True)
+                break
 
     if log_f:
         log_f.close()

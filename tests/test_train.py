@@ -566,3 +566,14 @@ def test_eval_every_skips_and_forces_final(toy_train_mols, tmp_path):
         min(r["val_masked_mae"] for r in res.history if r["val_masked_mae"]
             is not None))
     assert (tmp_path / "run" / "best").exists()
+
+
+def test_early_stopping(toy_train_mols):
+    """lr=0 never improves after the first eval; patience=2 stops the run
+    well before the epoch budget, and best reflects the first eval."""
+    tc = TrainConfig(epochs=50, batch_size=8, seed=0, learning_rate=0.0,
+                     early_stop_patience=2)
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    assert len(res.history) == 3  # eval0 improves, evals 1-2 stale -> stop
+    assert res.best_val_masked_mae == pytest.approx(
+        res.history[0]["val_masked_mae"])
