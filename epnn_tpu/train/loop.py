@@ -404,6 +404,7 @@ def train(
     start_epoch = 0
     best = float("inf")
     best_padded = float("inf")
+    stale_evals = 0
 
     if tc.resume and tc.checkpoint_dir and ckpt_io.has_checkpoint(tc.checkpoint_dir):
         state = ckpt_io.load_train_state(tc.checkpoint_dir, state)
@@ -411,6 +412,7 @@ def train(
         start_epoch = int(meta.get("epoch", -1)) + 1
         best = float(meta.get("best_val_masked_mae", best))
         best_padded = float(meta.get("best_val_padded_mae", best_padded))
+        stale_evals = int(meta.get("stale_evals", 0))
 
     if mesh is not None:
         from epnn_tpu.parallel.sharding import shard_state
@@ -578,7 +580,6 @@ def train(
             _nbr_cache[key] = jax.block_until_ready(tabs)
         return _nbr_cache[key]
 
-    stale_evals = 0
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         acc = MetricAccumulator()
@@ -672,11 +673,14 @@ def train(
         if improved:
             best = vacc.masked_mae
             best_padded = vacc.padded_mae
+        if run_eval:
+            stale_evals = 0 if improved else stale_evals + 1
         if tc.checkpoint_dir:
             ckpt_io.save_train_state(
                 tc.checkpoint_dir, state,
                 meta={"epoch": epoch, "best_val_masked_mae": best,
-                      "best_val_padded_mae": best_padded, "step": int(state.step)},
+                      "best_val_padded_mae": best_padded,
+                      "stale_evals": stale_evals, "step": int(state.step)},
             )
             if improved:
                 ckpt_io.save_params(
@@ -688,7 +692,6 @@ def train(
                         train_mols, val_mols,
                     )
         if run_eval:
-            stale_evals = 0 if improved else stale_evals + 1
             if (tc.early_stop_patience is not None
                     and stale_evals >= tc.early_stop_patience):
                 if progress:

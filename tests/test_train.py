@@ -577,3 +577,18 @@ def test_early_stopping(toy_train_mols):
     assert len(res.history) == 3  # eval0 improves, evals 1-2 stale -> stop
     assert res.best_val_masked_mae == pytest.approx(
         res.history[0]["val_masked_mae"])
+
+
+def test_early_stop_patience_survives_resume(toy_train_mols, tmp_path):
+    """stale_evals persists in checkpoint meta: a run interrupted one
+    stale eval short of the patience stops after ONE more stale eval on
+    resume (not a full fresh patience window)."""
+    out = str(tmp_path / "run")
+    tc = TrainConfig(epochs=2, batch_size=8, seed=0, learning_rate=0.0,
+                     early_stop_patience=3, checkpoint_dir=out)
+    train(toy_train_mols, SMALL, tc, progress=False)  # eval0 best, eval1 stale
+    tc2 = TrainConfig(epochs=50, batch_size=8, seed=0, learning_rate=0.0,
+                      early_stop_patience=3, checkpoint_dir=out, resume=True)
+    res = train(toy_train_mols, SMALL, tc2, progress=False)
+    # resumes at epoch 2 with stale_evals=1; epochs 2,3 go stale -> stop
+    assert [r["epoch"] for r in res.history] == [2, 3]
