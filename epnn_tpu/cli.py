@@ -67,6 +67,16 @@ def cmd_train(args):
     cfg = _model_config(args)
     mols = [m for m in load_directory(args.data) if m.labels is not None]
     print(f"{len(mols)} labeled systems from {args.data}")
+    val_mols = None
+    if getattr(args, "val_data", None):
+        val_mols = [m for m in load_directory(args.val_data)
+                    if m.labels is not None]
+        if not val_mols:
+            raise SystemExit(
+                f"--val-data {args.val_data}: no labeled systems found "
+                "(needs .xyz files with matching .npy label arrays)")
+        print(f"{len(val_mols)} labeled validation systems "
+              f"from {args.val_data}")
     if args.init_from:
         # fine-tune: the checkpoint's config wins (arch must match weights)
         from epnn_tpu.io import load_config
@@ -89,6 +99,7 @@ def cmd_train(args):
         loss=args.loss, seed=args.seed, checkpoint_dir=args.out,
         log_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
         resume=args.resume, init_from=args.init_from,
+        val_fraction=getattr(args, "val_fraction", 0.2),
         dense_max_atoms=args.dense_max_atoms,
         collapse_round1=not getattr(args, "no_collapse_round1", False),
         far_cluster=getattr(args, "far_cluster", 0) or 0,
@@ -131,7 +142,7 @@ def cmd_train(args):
 
         mesh = make_mesh()
         print(f"data-parallel over {mesh.shape} mesh")
-    res = train(mols, cfg, tc, mesh=mesh)
+    res = train(mols, cfg, tc, val_mols=val_mols, mesh=mesh)
     print(f"best val masked MAE: {res.best_val_masked_mae:.5f} e "
           f"(padded-metric equivalent: {res.best_val_padded_mae:.5f} e)")
 
@@ -289,6 +300,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("train", help="train a model")
     _add_model_args(p)
     p.add_argument("--data", required=True)
+    p.add_argument("--val-data", dest="val_data", default=None,
+                   help="explicit validation directory (xyz+npy); when set, "
+                        "ALL of --data trains and no random split happens")
+    p.add_argument("--val-fraction", type=float, default=0.2,
+                   dest="val_fraction",
+                   help="random held-out fraction of --data when no "
+                        "--val-data is given (default 0.2, split seed 42 — "
+                        "the reference protocol)")
     p.add_argument("--out", default="runs/default")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epochs", type=int, default=500)

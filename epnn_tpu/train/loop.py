@@ -382,13 +382,27 @@ def train(
         jax.config.update("jax_debug_nans", True)
 
     if val_mols is None:
-        from epnn_tpu.data.dataset import train_val_split
+        if tc.val_fraction <= 0.0:
+            train_mols, val_mols = list(mols), []
+        else:
+            from epnn_tpu.data.dataset import train_val_split
 
-        tr_idx, va_idx = train_val_split(len(mols), tc.val_fraction, tc.split_seed)
-        train_mols = [mols[i] for i in tr_idx]
-        val_mols = [mols[i] for i in va_idx]
+            tr_idx, va_idx = train_val_split(len(mols), tc.val_fraction,
+                                             tc.split_seed)
+            train_mols = [mols[i] for i in tr_idx]
+            val_mols = [mols[i] for i in va_idx]
     else:
         train_mols = list(mols)
+
+    has_val = len(val_mols) > 0
+    if not has_val:
+        import warnings
+
+        warnings.warn(
+            "empty validation set: val metrics will be null, no best "
+            "checkpoint is selected, and early stopping never fires — "
+            "pass val_mols (CLI --val-data) or val_fraction > 0",
+            stacklevel=2)
 
     table = table_for_n_elems(cfg.n_elems)
     train_buckets = bucket_molecules(train_mols, table, tc.bucket_multiple)
@@ -612,9 +626,9 @@ def train(
                                   if tabs is not None else None)
                     )
                 acc.update(loss, mets)
-        run_eval = (tc.eval_every <= 1
-                    or (epoch + 1) % tc.eval_every == 0
-                    or epoch == tc.epochs - 1)
+        run_eval = has_val and (tc.eval_every <= 1
+                                or (epoch + 1) % tc.eval_every == 0
+                                or epoch == tc.epochs - 1)
         vacc = MetricAccumulator()
         for pad, bucket in (val_buckets.items() if run_eval else ()):
             bs, k = bucket_plan(pad, bucket)

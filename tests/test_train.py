@@ -592,3 +592,15 @@ def test_early_stop_patience_survives_resume(toy_train_mols, tmp_path):
     res = train(toy_train_mols, SMALL, tc2, progress=False)
     # resumes at epoch 2 with stale_evals=1; epochs 2,3 go stale -> stop
     assert [r["epoch"] for r in res.history] == [2, 3]
+
+
+def test_empty_validation_set_warns_and_skips_eval(toy_train_mols, tmp_path):
+    """val_fraction=0 with no explicit val set: loud warning, val metrics
+    null, no bogus 0.0 'best', no best/ checkpoint dir."""
+    tc = TrainConfig(epochs=2, batch_size=8, seed=0, val_fraction=0.0,
+                     checkpoint_dir=str(tmp_path / "run"))
+    with pytest.warns(UserWarning, match="empty validation set"):
+        res = train(toy_train_mols, SMALL, tc, progress=False)
+    assert all(r["val_masked_mae"] is None for r in res.history)
+    assert res.best_val_masked_mae == float("inf")
+    assert not (tmp_path / "run" / "best").exists()
