@@ -100,6 +100,13 @@ def cmd_train(args):
         log_path=os.path.join(args.out, "metrics.jsonl") if args.out else None,
         resume=args.resume, init_from=args.init_from,
         val_fraction=getattr(args, "val_fraction", 0.2),
+        split_seed=getattr(args, "split_seed", 42),
+        lr_schedule=getattr(args, "lr_schedule", "constant"),
+        warmup_steps=getattr(args, "warmup_steps", 0),
+        lr_final_fraction=getattr(args, "lr_final_fraction", 0.05),
+        grad_clip_norm=getattr(args, "grad_clip_norm", None),
+        dump_predictions=getattr(args, "dump_predictions", False),
+        debug_nans=getattr(args, "debug_nans", False),
         dense_max_atoms=args.dense_max_atoms,
         collapse_round1=not getattr(args, "no_collapse_round1", False),
         far_cluster=getattr(args, "far_cluster", 0) or 0,
@@ -377,6 +384,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "log val metrics as null and never update the best "
                         "checkpoint).  Exact eval on a big-graph bucket "
                         "costs ~a training epoch — >1 amortizes it")
+    p.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                   default="constant", dest="lr_schedule",
+                   help="LR schedule (cosine decays to --lr-final-fraction "
+                        "of the peak over the run)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   dest="warmup_steps",
+                   help="linear LR warmup steps (cosine schedule only)")
+    p.add_argument("--lr-final-fraction", type=float, default=0.05,
+                   dest="lr_final_fraction",
+                   help="cosine floor as a fraction of the peak LR")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   dest="grad_clip_norm",
+                   help="optax global-norm gradient clipping (stabilized "
+                        "the rescued charged-species training — "
+                        "benchmarks/RESULTS.md)")
+    p.add_argument("--split-seed", type=int, default=42, dest="split_seed",
+                   help="random-split seed (default 42, the reference "
+                        "protocol)")
+    p.add_argument("--dump-predictions", action="store_true",
+                   dest="dump_predictions",
+                   help="dump train/val prediction+label+name arrays next "
+                        "to the best checkpoint on every improvement (the "
+                        "reference's model_systems/ artifact protocol)")
+    p.add_argument("--debug-nans", action="store_true", dest="debug_nans",
+                   help="enable jax_debug_nans for the run")
     p.add_argument("--early-stop-patience", type=int, default=None,
                    dest="early_stop_patience",
                    help="stop when the val masked MAE has not improved for "
