@@ -105,6 +105,8 @@ def cmd_train(args):
         warmup_steps=getattr(args, "warmup_steps", 0),
         lr_final_fraction=getattr(args, "lr_final_fraction", 0.05),
         grad_clip_norm=getattr(args, "grad_clip_norm", None),
+        lr_plateau_factor=getattr(args, "lr_plateau_factor", None),
+        lr_plateau_patience=getattr(args, "lr_plateau_patience", 2),
         dump_predictions=getattr(args, "dump_predictions", False),
         debug_nans=getattr(args, "debug_nans", False),
         dense_max_atoms=args.dense_max_atoms,
@@ -394,6 +396,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-final-fraction", type=float, default=0.05,
                    dest="lr_final_fraction",
                    help="cosine floor as a fraction of the peak LR")
+    p.add_argument("--lr-plateau-factor", type=float, default=None,
+                   dest="lr_plateau_factor",
+                   help="reduce-on-plateau: multiply the LR by this when "
+                        "val MAE has not improved for "
+                        "--lr-plateau-patience evaluated epochs (constant "
+                        "schedule only; scales a runtime operand — no "
+                        "step recompile)")
+    p.add_argument("--lr-plateau-patience", type=int, default=2,
+                   dest="lr_plateau_patience",
+                   help="evaluated epochs without improvement before each "
+                        "plateau LR reduction (default 2)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    dest="grad_clip_norm",
                    help="optax global-norm gradient clipping (stabilized "

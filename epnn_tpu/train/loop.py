@@ -44,6 +44,14 @@ class TrainConfig:
     lr_final_fraction: float = 0.05  # cosine floor as a fraction of peak
     warmup_steps: int = 0
     total_steps: Optional[int] = None  # cosine horizon (derived if None)
+    #: reduce-on-plateau: multiply the LR by this factor when the val
+    #: masked MAE has not improved for lr_plateau_patience consecutive
+    #: EVALUATED epochs (constant schedule only).  The LR lives in the
+    #: optimizer state as a runtime operand (optax.inject_hyperparams),
+    #: so scaling it between epochs recompiles NOTHING — important on
+    #: tunneled TPU hosts where a big-graph step compile costs minutes.
+    lr_plateau_factor: Optional[float] = None
+    lr_plateau_patience: int = 2
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-7
@@ -140,21 +148,47 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    if tc.lr_schedule == "cosine":
-        total = tc.total_steps or 100_000
-        lr = optax.warmup_cosine_decay_schedule(
-            init_value=0.0 if tc.warmup_steps else tc.learning_rate,
-            peak_value=tc.learning_rate,
-            warmup_steps=tc.warmup_steps,
-            decay_steps=total,
-            end_value=tc.learning_rate * tc.lr_final_fraction,
-        )
+    if tc.lr_plateau_factor is not None:
+        if tc.lr_schedule != "constant":
+            raise ValueError(
+                "lr_plateau_factor requires lr_schedule='constant' "
+                "(a step-indexed schedule and plateau scaling would fight)")
+        # the LR becomes a leaf of opt_state (a runtime operand of the
+        # compiled step), so train() can scale it between epochs without
+        # retracing/recompiling any step executable
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=tc.learning_rate,
+            b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
     else:
-        lr = tc.learning_rate
-    opt = optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
+        if tc.lr_schedule == "cosine":
+            total = tc.total_steps or 100_000
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if tc.warmup_steps else tc.learning_rate,
+                peak_value=tc.learning_rate,
+                warmup_steps=tc.warmup_steps,
+                decay_steps=total,
+                end_value=tc.learning_rate * tc.lr_final_fraction,
+            )
+        else:
+            lr = tc.learning_rate
+        opt = optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
     if tc.grad_clip_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), opt)
     return opt
+
+
+def _scale_plateau_lr(opt_state, factor: float):
+    """Multiply the injected learning_rate leaf by ``factor`` in place of
+    structure (same pytree shape/dtypes — compiled steps keep their
+    executables).  Chain states are plain tuples; recurse through them."""
+    hp = getattr(opt_state, "hyperparams", None)  # Inject[Stateful]HyperparamsState
+    if isinstance(hp, dict) and "learning_rate" in hp:
+        hp = dict(hp)
+        hp["learning_rate"] = hp["learning_rate"] * factor
+        return opt_state._replace(hyperparams=hp)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(_scale_plateau_lr(s, factor) for s in opt_state)
+    return opt_state
 
 
 def create_state(cfg: EPNNConfig, tc: TrainConfig, rng: jax.Array) -> TrainState:
@@ -419,6 +453,8 @@ def train(
     best = float("inf")
     best_padded = float("inf")
     stale_evals = 0
+    lr_now = tc.learning_rate
+    lr_stale = 0
 
     if tc.resume and tc.checkpoint_dir and ckpt_io.has_checkpoint(tc.checkpoint_dir):
         state = ckpt_io.load_train_state(tc.checkpoint_dir, state)
@@ -427,6 +463,10 @@ def train(
         best = float(meta.get("best_val_masked_mae", best))
         best_padded = float(meta.get("best_val_padded_mae", best_padded))
         stale_evals = int(meta.get("stale_evals", 0))
+        # the scaled LR itself lives in the restored opt_state; these are
+        # the host-side mirrors (history logging + plateau counter)
+        lr_now = float(meta.get("lr_now", lr_now))
+        lr_stale = int(meta.get("lr_stale", 0))
 
     if mesh is not None:
         from epnn_tpu.parallel.sharding import shard_state
@@ -666,6 +706,8 @@ def train(
             "val_padded_mae": vacc.padded_mae if run_eval else None,
             "seconds": time.time() - t0,
         }
+        if tc.lr_plateau_factor is not None:
+            row["lr"] = lr_now
         history.append(row)
         if log_f:
             log_f.write(json.dumps(row) + "\n")
@@ -689,12 +731,22 @@ def train(
             best_padded = vacc.padded_mae
         if run_eval:
             stale_evals = 0 if improved else stale_evals + 1
+            if tc.lr_plateau_factor is not None:
+                lr_stale = 0 if improved else lr_stale + 1
+                if lr_stale >= tc.lr_plateau_patience:
+                    state = state.replace(opt_state=_scale_plateau_lr(
+                        state.opt_state, tc.lr_plateau_factor))
+                    lr_now *= tc.lr_plateau_factor
+                    lr_stale = 0
+                    if progress:
+                        print(f"plateau: LR -> {lr_now:.3e}", flush=True)
         if tc.checkpoint_dir:
             ckpt_io.save_train_state(
                 tc.checkpoint_dir, state,
                 meta={"epoch": epoch, "best_val_masked_mae": best,
                       "best_val_padded_mae": best_padded,
-                      "stale_evals": stale_evals, "step": int(state.step)},
+                      "stale_evals": stale_evals, "lr_now": lr_now,
+                      "lr_stale": lr_stale, "step": int(state.step)},
             )
             if improved:
                 ckpt_io.save_params(

@@ -604,3 +604,38 @@ def test_empty_validation_set_warns_and_skips_eval(toy_train_mols, tmp_path):
     assert all(r["val_masked_mae"] is None for r in res.history)
     assert res.best_val_masked_mae == float("inf")
     assert not (tmp_path / "run" / "best").exists()
+
+
+def _find_injected_lr(opt_state):
+    hp = getattr(opt_state, "hyperparams", None)
+    if isinstance(hp, dict) and "learning_rate" in hp:
+        return float(hp["learning_rate"])
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        for s in opt_state:
+            lr = _find_injected_lr(s)
+            if lr is not None:
+                return lr
+    return None
+
+
+def test_lr_reduce_on_plateau(toy_train_mols):
+    """A vanishing LR never improves val after the first eval; patience=1
+    then halves the LR every evaluated epoch.  The scaled value must land
+    in BOTH the history mirror and the live opt_state leaf (the runtime
+    operand the compiled step reads — no recompile)."""
+    tc = TrainConfig(epochs=4, batch_size=8, seed=0, learning_rate=1e-30,
+                     lr_plateau_factor=0.5, lr_plateau_patience=1,
+                     grad_clip_norm=1.0)  # chain() exercises the traversal
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    assert [r["lr"] for r in res.history] == pytest.approx(
+        [1e-30, 1e-30, 0.5e-30, 0.25e-30])
+    assert _find_injected_lr(res.state.opt_state) == pytest.approx(
+        0.125e-30)  # scaled once more after the final epoch's row
+
+
+def test_lr_plateau_rejects_cosine():
+    from epnn_tpu.train.loop import make_optimizer
+
+    with pytest.raises(ValueError, match="constant"):
+        make_optimizer(TrainConfig(lr_schedule="cosine",
+                                   lr_plateau_factor=0.5))
