@@ -107,6 +107,7 @@ def cmd_train(args):
         grad_clip_norm=getattr(args, "grad_clip_norm", None),
         lr_plateau_factor=getattr(args, "lr_plateau_factor", None),
         lr_plateau_patience=getattr(args, "lr_plateau_patience", 2),
+        ema_decay=getattr(args, "ema_decay", None),
         dump_predictions=getattr(args, "dump_predictions", False),
         debug_nans=getattr(args, "debug_nans", False),
         dense_max_atoms=args.dense_max_atoms,
@@ -396,6 +397,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-final-fraction", type=float, default=0.05,
                    dest="lr_final_fraction",
                    help="cosine floor as a fraction of the peak LR")
+    p.add_argument("--ema-decay", type=float, default=None, dest="ema_decay",
+                   help="exponential moving average of the weights (e.g. "
+                        "0.999); validation, best-checkpoint selection and "
+                        "artifact dumps then use the EMA params — best/ "
+                        "contains what you serve.  One fused multiply-add "
+                        "per step; resumes from <out>/ema")
     p.add_argument("--lr-plateau-factor", type=float, default=None,
                    dest="lr_plateau_factor",
                    help="reduce-on-plateau: multiply the LR by this when "

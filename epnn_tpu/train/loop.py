@@ -52,6 +52,13 @@ class TrainConfig:
     #: tunneled TPU hosts where a big-graph step compile costs minutes.
     lr_plateau_factor: Optional[float] = None
     lr_plateau_patience: int = 2
+    #: exponential moving average of the weights (e.g. 0.999): one fused
+    #: multiply-add over the ~74K params per step (negligible; dispatch
+    #: pipelines with the step).  When set, validation, best-checkpoint
+    #: selection, and prediction artifacts all use the EMA weights —
+    #: "best/" then CONTAINS the EMA params (what you serve).  The EMA
+    #: tree checkpoints/resumes alongside the train state (<out>/ema).
+    ema_decay: Optional[float] = None
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-7
@@ -473,6 +480,17 @@ def train(
 
         state = shard_state(state, mesh)
 
+    ema_params = None
+    if tc.ema_decay is not None:
+        ema_params = state.params  # inherits the mesh sharding, if any
+        _ema_dir = (os.path.join(tc.checkpoint_dir, "ema")
+                    if tc.checkpoint_dir else None)
+        if tc.resume and _ema_dir and os.path.isdir(_ema_dir):
+            ema_params = ckpt_io.load_params(_ema_dir, state.params)
+        _d = float(tc.ema_decay)
+        ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: _d * a + (1.0 - _d) * b, e, p))
+
     # data-order RNG is re-derived per epoch from (seed, epoch) — a resumed
     # run at epoch E draws the SAME minibatch order an uninterrupted run
     # would have (no dependence on how many epochs this process replayed),
@@ -666,6 +684,9 @@ def train(
                                   if tabs is not None else None)
                     )
                 acc.update(loss, mets)
+                if ema_params is not None:
+                    ema_params = ema_step(ema_params, state.params)
+        eval_params = state.params if ema_params is None else ema_params
         run_eval = has_val and (tc.eval_every <= 1
                                 or (epoch + 1) % tc.eval_every == 0
                                 or epoch == tc.epochs - 1)
@@ -676,19 +697,19 @@ def train(
                                                 with_indices=True):
                 if k is None:
                     loss, _, mets = eval_step(
-                        state.params, model, tc.loss, *put(mb, n_real)
+                        eval_params, model, tc.loss, *put(mb, n_real)
                     )
                 elif sharded_eval is not None and pad % n_atoms_axis == 0:
                     tabs = bucket_neighbors(bucket, k)
                     loss, _, mets = sharded_eval(k, bucket_uq0(bucket))(
-                        state.params, *_batch_args(mb, n_real),
+                        eval_params, *_batch_args(mb, n_real),
                         neighbors=(tuple(t[np.asarray(rows)] for t in tabs)
                                    if tabs is not None else None)
                     )
                 else:
                     tabs = bucket_neighbors(bucket, k)
                     loss, _, mets = eval_step_fused(
-                        state.params, cfg, tc.loss, min(fused_block, pad), k,
+                        eval_params, cfg, tc.loss, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket), nbr_tables=tabs,
                         nbr_rows=(jnp.asarray(rows, jnp.int32)
@@ -748,13 +769,17 @@ def train(
                       "stale_evals": stale_evals, "lr_now": lr_now,
                       "lr_stale": lr_stale, "step": int(state.step)},
             )
+            if ema_params is not None:
+                ckpt_io.save_params(
+                    os.path.join(tc.checkpoint_dir, "ema"), ema_params, cfg
+                )
             if improved:
                 ckpt_io.save_params(
-                    os.path.join(tc.checkpoint_dir, "best"), state.params, cfg
+                    os.path.join(tc.checkpoint_dir, "best"), eval_params, cfg
                 )
                 if tc.dump_predictions:
                     _dump_prediction_artifacts(
-                        tc.checkpoint_dir, state.params, cfg,
+                        tc.checkpoint_dir, eval_params, cfg,
                         train_mols, val_mols,
                     )
         if run_eval:

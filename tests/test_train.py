@@ -639,3 +639,42 @@ def test_lr_plateau_rejects_cosine():
     with pytest.raises(ValueError, match="constant"):
         make_optimizer(TrainConfig(lr_schedule="cosine",
                                    lr_plateau_factor=0.5))
+
+
+def test_ema_decay_zero_matches_live_params(toy_train_mols):
+    """decay=0 makes the EMA track the live params exactly — val metrics
+    must equal a run without EMA at the same seed."""
+    tc0 = TrainConfig(epochs=2, batch_size=8, seed=0)
+    tc1 = TrainConfig(epochs=2, batch_size=8, seed=0, ema_decay=0.0)
+    r0 = train(toy_train_mols, SMALL, tc0, progress=False)
+    r1 = train(toy_train_mols, SMALL, tc1, progress=False)
+    for a, b in zip(r0.history, r1.history):
+        assert a["val_masked_mae"] == pytest.approx(b["val_masked_mae"],
+                                                    rel=1e-6)
+
+
+def test_ema_decay_one_freezes_eval(toy_train_mols, tmp_path):
+    """decay=1 freezes the EMA at init: val MAE is constant across epochs
+    while the train loss decreases, and best/ holds the EMA (init) params,
+    not the trained live params."""
+    import os
+
+    import jax
+
+    from epnn_tpu.io import load_params
+    from epnn_tpu.models import init_params
+    from epnn_tpu.train.loop import create_state
+
+    out = str(tmp_path / "run")
+    tc = TrainConfig(epochs=3, batch_size=8, seed=0, ema_decay=1.0,
+                     checkpoint_dir=out)
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    maes = [r["val_masked_mae"] for r in res.history]
+    assert maes[0] == pytest.approx(maes[-1], rel=1e-6)
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+    init = create_state(SMALL, tc, jax.random.key(tc.seed)).params
+    saved = load_params(os.path.join(out, "best"), init)
+    flat_saved = jax.tree_util.tree_leaves(saved)
+    flat_init = jax.tree_util.tree_leaves(init)
+    for a, b in zip(flat_saved, flat_init):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
