@@ -105,6 +105,7 @@ def cmd_train(args):
         warmup_steps=getattr(args, "warmup_steps", 0),
         lr_final_fraction=getattr(args, "lr_final_fraction", 0.05),
         grad_clip_norm=getattr(args, "grad_clip_norm", None),
+        grad_accum=getattr(args, "grad_accum", 1),
         lr_plateau_factor=getattr(args, "lr_plateau_factor", None),
         lr_plateau_patience=getattr(args, "lr_plateau_patience", 2),
         ema_decay=getattr(args, "ema_decay", None),
@@ -414,6 +415,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="lr_plateau_patience",
                    help="evaluated epochs without improvement before each "
                         "plateau LR reduction (default 2)")
+    p.add_argument("--grad-accum", type=int, default=1, dest="grad_accum",
+                   help="accumulate gradients over N minibatches before "
+                        "each optimizer update (effective batch = "
+                        "batch-size x N; use when big-graph memory forces "
+                        "batch-size down)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    dest="grad_clip_norm",
                    help="optax global-norm gradient clipping (stabilized "

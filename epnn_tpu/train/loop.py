@@ -63,6 +63,14 @@ class TrainConfig:
     beta2: float = 0.999
     eps: float = 1e-7
     grad_clip_norm: Optional[float] = None  # optax global-norm clipping
+    #: accumulate gradients over this many minibatches before applying one
+    #: optimizer update (optax.MultiSteps) — simulates an effective batch
+    #: of batch_size*grad_accum when a bucket's memory forces batch_size
+    #: down (e.g. protein-scale graphs at batch_size=1).  Grads average
+    #: across the window; clipping/Adam see the averaged grad.  The
+    #: accumulator lives in opt_state, so it checkpoints/resumes — but a
+    #: resume must use the SAME grad_accum (opt_state shape changes).
+    grad_accum: int = 1
     epochs: int = 500
     batch_size: int = 32
     loss: str = "masked_mse"
@@ -181,6 +189,12 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         opt = optax.adam(lr, b1=tc.beta1, b2=tc.beta2, eps=tc.eps)
     if tc.grad_clip_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), opt)
+    if tc.grad_accum > 1:
+        # mean-accumulate grads across grad_accum minibatches; the inner
+        # chain (clip -> adam) updates once per window with its own step
+        # count advancing per WINDOW (correct schedule semantics)
+        opt = optax.MultiSteps(
+            opt, every_k_schedule=tc.grad_accum).gradient_transformation()
     return opt
 
 
@@ -195,6 +209,12 @@ def _scale_plateau_lr(opt_state, factor: float):
         return opt_state._replace(hyperparams=hp)
     if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
         return tuple(_scale_plateau_lr(s, factor) for s in opt_state)
+    if hasattr(opt_state, "_fields") and hasattr(opt_state, "_replace"):
+        # namedtuple wrapper states (e.g. optax MultiStepsState holding
+        # the injected-LR chain in inner_opt_state): recurse every field
+        return opt_state._replace(**{
+            f: _scale_plateau_lr(getattr(opt_state, f), factor)
+            for f in opt_state._fields})
     return opt_state
 
 

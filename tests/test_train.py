@@ -678,3 +678,85 @@ def test_ema_decay_one_freezes_eval(toy_train_mols, tmp_path):
     flat_init = jax.tree_util.tree_leaves(init)
     for a, b in zip(flat_saved, flat_init):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_grad_accum_window_semantics(toy_train_mols):
+    """grad_accum=k (optax.MultiSteps): params are FROZEN inside an
+    accumulation window, and a window of k copies of the SAME minibatch
+    equals one plain-optimizer step on that minibatch (the running mean
+    of identical grads is exactly the grad)."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train import create_state, make_optimizer, train_step_fused
+
+    cfg = SMALL
+    table = table_for_n_elems(cfg.n_elems)
+    batch = pad_molecules(toy_train_mols[:6], table, pad_to=16)
+    w = np.ones((6,), np.float32)
+    args = (batch.x, batch.q0, batch.xyz, batch.node_mask, batch.y, w)
+    k = 3
+
+    tc_acc = TrainConfig(learning_rate=3e-3, grad_accum=k)
+    opt_acc = make_optimizer(tc_acc)
+    st = create_state(cfg, tc_acc, jax.random.key(0))
+    p0 = st.params
+    for i in range(k):
+        if i:  # params must not move before the window boundary
+            for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                            jax.tree_util.tree_leaves(p0)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        st, loss, _, _ = train_step_fused(st, cfg, tc_acc.loss, opt_acc,
+                                          8, 12, *args)
+
+    tc1 = TrainConfig(learning_rate=3e-3)
+    opt1 = make_optimizer(tc1)
+    st1 = create_state(cfg, tc1, jax.random.key(0))
+    st1, _, _, _ = train_step_fused(st1, cfg, tc1.loss, opt1, 8, 12, *args)
+    for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                    jax.tree_util.tree_leaves(st1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_grad_accum_composes_with_plateau_lr():
+    """_scale_plateau_lr must reach the injected LR leaf INSIDE the
+    MultiStepsState wrapper (namedtuple recursion) without disturbing the
+    pytree structure the compiled step was traced with."""
+    import jax
+
+    from epnn_tpu.train.loop import (_scale_plateau_lr, create_state,
+                                     make_optimizer)
+
+    tc = TrainConfig(learning_rate=1e-3, lr_plateau_factor=0.5,
+                     grad_accum=2, grad_clip_norm=1.0)
+    st = create_state(SMALL, tc, jax.random.key(0))
+    scaled = _scale_plateau_lr(st.opt_state, 0.5)
+
+    def find(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return float(hp["learning_rate"])
+        if isinstance(s, tuple):
+            subs = ((getattr(s, f) for f in s._fields)
+                    if hasattr(s, "_fields") else s)
+            for sub in subs:
+                r = find(sub)
+                if r is not None:
+                    return r
+        return None
+
+    assert find(st.opt_state) == pytest.approx(1e-3)
+    assert find(scaled) == pytest.approx(0.5e-3)
+    assert (jax.tree_util.tree_structure(scaled)
+            == jax.tree_util.tree_structure(st.opt_state))
+
+
+def test_grad_accum_train_loss_decreases(toy_train_mols):
+    """End-to-end: the public train() loop with grad_accum=2 still learns
+    (half as many optimizer updates per epoch, same minibatch stream)."""
+    tc = TrainConfig(epochs=8, batch_size=4, seed=1, grad_accum=2)
+    res = train(toy_train_mols, SMALL, tc, progress=False)
+    assert (res.history[-1]["train_loss"]
+            < res.history[0]["train_loss"] * 0.9)
