@@ -443,6 +443,76 @@ def stage_realstep(n=17760, iters=12):
               flush=True)
 
 
+def stage_ema(n=17760, iters=12):
+    """A/B the per-step EMA update (one jitted tree multiply-add over the
+    74K params) against the bare train_step_fused pipeline — TRAINING.md
+    claims the extra dispatch pipelines away; measure it."""
+    import time
+
+    from epnn_tpu.data.dataset import bucket_molecules, minibatches
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train.loop import (TrainConfig, _batch_args, create_state,
+                                     make_optimizer, train_step_fused)
+
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    base = synth_molecule(n, rng)
+    mols = []
+    for i in range(4):
+        labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+        labels -= labels.mean()
+        mols.append(Molecule(name=f"e{i}", symbols=list(base.symbols),
+                             xyz=base.xyz, total_charge=0.0, labels=labels))
+    buckets = bucket_molecules(mols, table_for_n_elems(cfg.n_elems), 8)
+    (pad, bucket), = buckets.items()
+    tc = TrainConfig(batch_size=1, far_cluster=32, loss="masked_mse")
+    opt = make_optimizer(tc)
+    state = create_state(cfg, tc, jax.random.key(0))
+    state = state.replace(params=params)
+    c = cfg.replace(matmul_precision="default")
+    k = int(round_up(max_neighbor_count(bucket.xyz[0], bucket.node_mask[0],
+                                        cfg.cutoff) + 4, 8))
+    tabs = tuple(build_neighbors_batch(
+        jnp.asarray(bucket.xyz), jnp.asarray(bucket.node_mask),
+        float(cfg.cutoff), k))
+    jax.block_until_ready(tabs)
+    mbs = [(mb, n_real, rows) for mb, n_real, rows in
+           minibatches(bucket, 1, rng=np.random.default_rng(1),
+                       with_indices=True)]
+
+    def call(st, i):
+        mb, n_real, rows = mbs[i % len(mbs)]
+        return train_step_fused(
+            st, c, tc.loss, opt, 256, k, *_batch_args(mb, n_real),
+            use_pallas=True, uniform_q0=True, far_cluster=32,
+            far_cluster_grad=True, remat=False, nbr_tables=tabs,
+            nbr_rows=jnp.asarray(rows, jnp.int32))
+
+    _d = 0.999
+    ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+        lambda a, b: _d * a + (1.0 - _d) * b, e, p))
+
+    for use_ema in (False, True):
+        st, ema = state, state.params
+        for i in range(6):
+            st, loss, _, mets = call(st, i)
+            if use_ema:
+                ema = ema_step(ema, st.params)
+        float(loss)
+        for rep in range(2):
+            t0 = time.perf_counter()
+            s2, e2 = st, ema
+            for i in range(iters):
+                s2, loss, _, mets = call(s2, i)
+                if use_ema:
+                    e2 = ema_step(e2, s2.params)
+            float(loss)
+            print(f"train step {'WITH' if use_ema else 'no  '} EMA rep{rep}: "
+                  f"{(time.perf_counter() - t0) / iters * 1e3:.1f} ms/step",
+                  flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -487,6 +557,8 @@ def main():
         stage_pipelined(n)
     elif stage == "realstep":
         stage_realstep(n)
+    elif stage == "ema":
+        stage_ema(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
