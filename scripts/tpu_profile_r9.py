@@ -513,6 +513,69 @@ def stage_ema(n=17760, iters=12):
                   flush=True)
 
 
+def stage_accum(n=17760, iters=12):
+    """A/B grad_accum=4 (optax.MultiSteps: per-step lax.cond + mean
+    accumulation over the 74K-param tree) against grad_accum=1 on the
+    fc32 step — confirm the wrapper costs nothing at scale."""
+    import time
+
+    from epnn_tpu.data.dataset import bucket_molecules, minibatches
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.train.loop import (TrainConfig, _batch_args, create_state,
+                                     make_optimizer, train_step_fused)
+
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    base = synth_molecule(n, rng)
+    mols = []
+    for i in range(4):
+        labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+        labels -= labels.mean()
+        mols.append(Molecule(name=f"a{i}", symbols=list(base.symbols),
+                             xyz=base.xyz, total_charge=0.0, labels=labels))
+    buckets = bucket_molecules(mols, table_for_n_elems(cfg.n_elems), 8)
+    (pad, bucket), = buckets.items()
+    c = cfg.replace(matmul_precision="default")
+    k = int(round_up(max_neighbor_count(bucket.xyz[0], bucket.node_mask[0],
+                                        cfg.cutoff) + 4, 8))
+    tabs = tuple(build_neighbors_batch(
+        jnp.asarray(bucket.xyz), jnp.asarray(bucket.node_mask),
+        float(cfg.cutoff), k))
+    jax.block_until_ready(tabs)
+    mbs = [(mb, n_real, rows) for mb, n_real, rows in
+           minibatches(bucket, 1, rng=np.random.default_rng(1),
+                       with_indices=True)]
+
+    for accum in (1, 4):
+        tc = TrainConfig(batch_size=1, far_cluster=32, loss="masked_mse",
+                         grad_accum=accum)
+        opt = make_optimizer(tc)
+        state = create_state(cfg, tc, jax.random.key(0))
+        state = state.replace(params=params)
+
+        def call(st, i):
+            mb, n_real, rows = mbs[i % len(mbs)]
+            return train_step_fused(
+                st, c, tc.loss, opt, 256, k, *_batch_args(mb, n_real),
+                use_pallas=True, uniform_q0=True, far_cluster=32,
+                far_cluster_grad=True, remat=False, nbr_tables=tabs,
+                nbr_rows=jnp.asarray(rows, jnp.int32))
+
+        for i in range(6):
+            state, loss, _, mets = call(state, i)
+        float(loss)
+        for rep in range(2):
+            t0 = time.perf_counter()
+            st = state
+            for i in range(iters):
+                st, loss, _, mets = call(st, i)
+            float(loss)
+            print(f"train step grad_accum={accum} rep{rep}: "
+                  f"{(time.perf_counter() - t0) / iters * 1e3:.1f} ms/step",
+                  flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -559,6 +622,8 @@ def main():
         stage_realstep(n)
     elif stage == "ema":
         stage_ema(n)
+    elif stage == "accum":
+        stage_accum(n)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
