@@ -484,8 +484,18 @@ def train(
     lr_stale = 0
 
     if tc.resume and tc.checkpoint_dir and ckpt_io.has_checkpoint(tc.checkpoint_dir):
-        state = ckpt_io.load_train_state(tc.checkpoint_dir, state)
         meta = ckpt_io.load_meta(tc.checkpoint_dir)
+        saved_accum = int(meta.get("grad_accum", 1))
+        if saved_accum != tc.grad_accum:
+            # the MultiSteps accumulator lives in opt_state, so the pytree
+            # template would not match — fail with the cause, not a
+            # serialization structure error
+            raise ValueError(
+                f"resume with grad_accum={tc.grad_accum} but the checkpoint "
+                f"was trained with grad_accum={saved_accum}; resume with "
+                f"the same value (the accumulator is part of the optimizer "
+                f"state)")
+        state = ckpt_io.load_train_state(tc.checkpoint_dir, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         best = float(meta.get("best_val_masked_mae", best))
         best_padded = float(meta.get("best_val_padded_mae", best_padded))
@@ -787,7 +797,8 @@ def train(
                 meta={"epoch": epoch, "best_val_masked_mae": best,
                       "best_val_padded_mae": best_padded,
                       "stale_evals": stale_evals, "lr_now": lr_now,
-                      "lr_stale": lr_stale, "step": int(state.step)},
+                      "lr_stale": lr_stale, "step": int(state.step),
+                      "grad_accum": tc.grad_accum},
             )
             if ema_params is not None:
                 ckpt_io.save_params(

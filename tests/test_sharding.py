@@ -458,6 +458,8 @@ print("PREDICTOR_MESH_OK")
         np.testing.assert_allclose(q.sum(), m.total_charge, atol=1e-4)
 
 
+@pytest.mark.heavy  # 85 s; byte-identical to the driver's own per-round
+# dryrun_multichip run (MULTICHIP_r0N.json) — zero unique coverage here
 @needs_devices
 def test_graft_dryrun():
     # Run in a SUBPROCESS (exactly how the driver invokes it): executing a

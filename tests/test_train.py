@@ -760,3 +760,23 @@ def test_grad_accum_train_loss_decreases(toy_train_mols):
     res = train(toy_train_mols, SMALL, tc, progress=False)
     assert (res.history[-1]["train_loss"]
             < res.history[0]["train_loss"] * 0.9)
+
+
+def test_grad_accum_resume_mismatch_fails_loudly(toy_train_mols, tmp_path):
+    """The MultiSteps accumulator lives in opt_state: resuming with a
+    different grad_accum must raise a clear ValueError (not a flax
+    structure error), and resuming with the SAME value works."""
+    ckpt = str(tmp_path / "run")
+    tc = TrainConfig(epochs=2, batch_size=8, seed=1, grad_accum=2,
+                     checkpoint_dir=ckpt)
+    train(toy_train_mols, SMALL, tc, progress=False)
+
+    bad = TrainConfig(epochs=3, batch_size=8, seed=1, grad_accum=1,
+                      checkpoint_dir=ckpt, resume=True)
+    with pytest.raises(ValueError, match="grad_accum=1.*grad_accum=2"):
+        train(toy_train_mols, SMALL, bad, progress=False)
+
+    ok = TrainConfig(epochs=3, batch_size=8, seed=1, grad_accum=2,
+                     checkpoint_dir=ckpt, resume=True)
+    res = train(toy_train_mols, SMALL, ok, progress=False)
+    assert res.history[0]["epoch"] == 2
