@@ -207,6 +207,26 @@ def cmd_infer(args):
         mols = load_directory(args.path)
     else:
         mols = [load_molecule(args.path)]
+    budget = getattr(args, "far_budget", None)
+    if budget is not None:
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.elements import table_for_n_elems
+
+        big = max(mols, key=lambda m: m.natoms)
+        cal = pred.calibrate_far_cluster(
+            pad_molecules([big], table_for_n_elems(pred.cfg.n_elems),
+                          pad_to=args.pad_to),
+            budget=budget, apply=True)
+        errs = ", ".join(f"C={c}: {e:.2e}" for c, e in
+                         sorted(cal["errors"].items()))
+        if cal["selected"] is None:
+            print(f"far-cluster calibration on {big.name}: no candidate "
+                  f"meets {budget:g} e ({errs}) — serving exact")
+        else:
+            print(f"far-cluster calibration on {big.name}: C="
+                  f"{cal['selected']} (measured max|dq| "
+                  f"{cal['errors'][cal['selected']]:.2e} e <= {budget:g}; "
+                  f"{errs})")
     charges = pred.predict_molecules(mols, pad_to=args.pad_to)
     os.makedirs(args.out, exist_ok=True)
     for m, q in zip(mols, charges):
@@ -484,6 +504,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "Near field + electron passing stay exact, so "
                         "conservation is untouched; quantify the h-error "
                         "with Predictor.far_field_diagnostics. 0 = exact")
+    p.add_argument("--far-budget", type=float, default=None, metavar="E",
+                   help="auto-calibrate the clustered tier: measure "
+                        "max|dq| vs the exact forward on the LARGEST input "
+                        "molecule at ascending C (16,32,64,128,256) and "
+                        "serve with the smallest C within E (in e); falls "
+                        "back to exact when none qualifies")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")

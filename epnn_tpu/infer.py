@@ -458,6 +458,49 @@ class Predictor:
                                        - np.asarray(q_e)).max(axis=1)
         return out
 
+    def calibrate_far_cluster(self, batch: MolBatch, budget: float,
+                              candidates=(16, 32, 64, 128, 256),
+                              apply: bool = False) -> dict:
+        """Pick the smallest clustered far-field tier ``C`` whose MEASURED
+        max per-atom charge error on this batch meets ``budget`` (in e).
+
+        Runs ONE exact forward, then clustered forwards in ascending ``C``
+        order, stopping at the first candidate within budget (each distinct
+        C compiles its own executable — ascending early-stop keeps the
+        one-time calibration cost minimal while selecting the fastest
+        serving tier that meets the budget).  Returns
+        ``{"selected": C or None, "errors": {C: max|dq|}, "budget": b}``;
+        with ``apply=True`` the Predictor switches to the selected tier
+        (no-op when no candidate meets the budget).
+
+        Calibrate on a geometry representative of the serving workload —
+        the error is weights- and geometry-dependent (docs/SERVING.md).
+        """
+        k = self._neighbor_k(batch)
+        common = dict(
+            cfg=self.cfg, block=min(self.block, batch.padded_atoms),
+            neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
+            neighbors=self._neighbors(batch, max(k, 1)),
+            neighbor_grid=self._neighbor_grid(batch),
+            uniform_q0=self._uniform_q0(batch),
+        )
+        q_e = np.asarray(forward_blocked(
+            self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
+            **common))
+        errors: dict = {}
+        selected = None
+        for cand in sorted({int(c) for c in candidates if int(c) > 0}):
+            q_c = np.asarray(forward_blocked(
+                self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
+                far_cluster=cand, **common))
+            errors[cand] = float(np.abs(q_c - q_e).max())
+            if errors[cand] <= budget:
+                selected = cand
+                break
+        if apply and selected is not None:
+            self.far_cluster = selected
+        return {"selected": selected, "errors": errors, "budget": budget}
+
     def _neighbors_skin(self, batch: MolBatch):
         """Verlet-skin (idx, nbr_mask) for the CURRENT drift window (see
         ``neighbor_skin``): selection at cutoff + skin once per window.

@@ -110,3 +110,11 @@ def test_cli_finetune_80atom_fragment(tmp_path, protein_dir):
     assert rows[-1]["train_loss"] < rows[0]["train_loss"], rows
     # fine-tuning from trained weights: starts at a low loss already
     assert rows[0]["train_loss"] < 1e-2
+
+
+def test_infer_far_budget_flag_parses():
+    a = build_parser().parse_args(
+        ["infer", "--checkpoint", "c", "p", "--far-budget", "1e-4"])
+    assert a.far_budget == pytest.approx(1e-4)
+    a2 = build_parser().parse_args(["infer", "--checkpoint", "c", "p"])
+    assert a2.far_budget is None

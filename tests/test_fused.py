@@ -1427,3 +1427,51 @@ class TestFarCluster:
             bound = float(jnp.sum(jvec)) * mids_lipschitz_bound(w) * float(rad)
             assert err <= bound * (1 + 1e-5), (c, err, bound)
             assert err > 0, c  # the test must exercise a REAL error
+
+
+def test_predictor_calibrate_far_cluster(rng):
+    """calibrate_far_cluster picks the smallest candidate C whose MEASURED
+    max|dq| vs the exact forward meets the budget (ascending early-stop:
+    untried larger candidates stay out of the table), apply=True switches
+    the Predictor's tier, and an unmeetable budget selects None."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.2 if a.ndim == 1 else a, params)
+    g = np.random.default_rng(7)
+    mol = Molecule(name="m", symbols=["C"] * 60,
+                   xyz=g.uniform(0, 12, (60, 3)).astype(np.float32),
+                   total_charge=0.0)
+    batch = pad_molecules([mol], table_for_n_elems(9))
+
+    pred = Predictor(params=params, cfg=cfg)
+    # C=60 == n_real tracks the exact forward to fp noise, so a loose
+    # budget is always met by the last candidate
+    res = pred.calibrate_far_cluster(batch, budget=1e-3,
+                                     candidates=(4, 16, 60))
+    assert res["selected"] in (4, 16, 60)
+    assert res["errors"][res["selected"]] <= 1e-3
+    tried = sorted(res["errors"])
+    assert tried[-1] == res["selected"]  # early stop: nothing past it
+    assert all(c < res["selected"] for c in tried[:-1])
+
+    # random weights at small C produce a real error; budget=0 is unmeetable
+    res0 = pred.calibrate_far_cluster(batch, budget=0.0, candidates=(4,))
+    assert res0["selected"] is None and res0["errors"][4] > 0.0
+    assert pred.far_cluster == 0  # apply defaults off
+
+    pred.calibrate_far_cluster(batch, budget=1e-3, candidates=(4, 16, 60),
+                               apply=True)
+    assert pred.far_cluster == res["selected"]
+    q = pred.predict_batch(batch)
+    np.testing.assert_allclose(q.sum(), 0.0, atol=1e-4)
