@@ -576,6 +576,86 @@ def stage_accum(n=17760, iters=12):
                   flush=True)
 
 
+def stage_hugetrain(n=142080, iters=6):
+    """Scale frontier for TRAINING: one fc32 train step at 142,080 atoms
+    (64x the reference's protein) on one chip.  No-remat residuals are
+    O(N*k*h) per round (~35 GB here) so this is the --remat use case the
+    r9 remat A/B predicted; precomputed cell-built neighbor tables keep
+    selection out of the step."""
+    import time
+
+    from epnn_tpu.data.dataset import pad_molecules, round_up
+    from epnn_tpu.ops.fused import (build_neighbors_cell, cell_grid_params,
+                                    max_neighbor_count)
+    from epnn_tpu.train.loop import (TrainConfig, create_state,
+                                     make_optimizer, train_step_fused)
+
+    params, cfg, table, fused = load_decay()
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    mol = synth_molecule(n, rng)
+    bb = pad_molecules([mol], table, pad_to=n)
+    labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+    labels -= labels.mean()
+    print(f"host featurize+pad: {time.time()-t0:.1f}s", flush=True)
+    c = cfg.replace(matmul_precision="default")
+
+    t0 = time.time()
+    k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                        c.cutoff) + 4, 8))
+    print(f"host cell-binned safe k = {k} ({time.time()-t0:.1f}s)",
+          flush=True)
+    ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0], c.cutoff)
+    grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)))
+    put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
+    z, m = put(bb.xyz[0]), put(bb.node_mask[0])
+    t0 = time.time()
+    nbrs = jax.block_until_ready(build_neighbors_cell(
+        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True))
+    print(f"neighbor build: {time.time()-t0:.1f}s (incl compile)",
+          flush=True)
+    tabs = tuple(a[None] for a in nbrs)
+
+    x, q0 = put(bb.x), put(bb.q0)
+    xyzb, maskb = z[None], m[None]
+    y, w = put(labels[None]), put(np.ones(1, np.float32))
+    rows = put(np.zeros(1, np.int32))
+
+    tc = TrainConfig(batch_size=1, far_cluster=32, loss="masked_mse",
+                     remat=True)
+    opt = make_optimizer(tc)
+    state = create_state(cfg, tc, jax.random.key(0))
+    state = state.replace(params=params)
+
+    def call(st):
+        return train_step_fused(
+            st, c, tc.loss, opt, 256, k, x, q0, xyzb, maskb, y, w,
+            use_pallas=True, uniform_q0=True, far_cluster=32,
+            far_cluster_grad=True, remat=True, nbr_tables=tabs,
+            nbr_rows=rows)
+
+    t0 = time.time()
+    state, loss, _, mets = call(state)
+    print(f"first step (incl compile): {time.time()-t0:.1f}s, "
+          f"loss {float(loss):.4f}", flush=True)
+    losses = [float(loss)]
+    for _ in range(3):  # inflation discard
+        state, loss, _, mets = call(state)
+    losses.append(float(loss))
+    for rep in range(2):
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(iters):
+            st, loss, _, mets = call(st)
+        float(loss)
+        print(f"142,080-atom train step fc32+remat rep{rep}: "
+              f"{(time.perf_counter() - t0) / iters * 1e3:.1f} ms/step",
+              flush=True)
+    assert losses[-1] < losses[0], losses
+    print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f} over 4 steps",
+          flush=True)
+
+
 def stage_hlo(n=17760):
     """Dump the optimized HLO of ONE fc32 exact-VJP no-remat train step
     (not the scan) with metadata, to attribute the trace's hot fusions
@@ -624,6 +704,8 @@ def main():
         stage_ema(n)
     elif stage == "accum":
         stage_accum(n)
+    elif stage == "hugetrain":
+        stage_hugetrain(n if n != 17760 else 142080)
     else:
         raise SystemExit(f"unknown stage {stage}")
 
