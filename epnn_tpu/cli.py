@@ -10,6 +10,7 @@ subcommands:
   eval-pol      polarization-response analysis on a dimer
   horton2npy    extract MBIS charges from HORTON *-mtp.txt outputs
   convert-qm9   convert raw QM9 .xyz files to loader format
+  export        AOT-export a serving forward (StableHLO via jax.export)
   bench         benchmark inference on a system
 """
 
@@ -289,6 +290,29 @@ def cmd_convert_qm9(args):
     print(f"converted {len(written)} raw QM9 files -> {args.dst}")
 
 
+def cmd_export(args):
+    from epnn_tpu.data import load_molecule, pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.io.export_serving import export_predictor
+
+    kw = {}
+    if getattr(args, "no_collapse_round1", False):
+        kw["collapse_round1"] = "off"
+    if getattr(args, "far_cluster", 0):
+        kw["far_cluster"] = args.far_cluster
+    pred = _make_predictor(args, **kw)
+    mol = load_molecule(args.path)
+    table = table_for_n_elems(pred.cfg.n_elems)
+    batch = pad_molecules([mol], table, pad_to=args.pad_to)
+    platforms = (tuple(args.platforms.split(","))
+                 if getattr(args, "platforms", None) else None)
+    manifest = export_predictor(pred, batch, args.out, mode=args.mode,
+                                platforms=platforms)
+    print(f"exported {manifest['mode']}-mode serving artifact "
+          f"(B={manifest['batch_size']}, N={manifest['padded_atoms']}, "
+          f"platforms={manifest['platforms']}) -> {args.out}")
+
+
 def cmd_bench(args):
     from epnn_tpu.data import load_molecule, pad_molecules
     from epnn_tpu.elements import table_for_n_elems
@@ -539,6 +563,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("src")
     p.add_argument("dst")
     p.set_defaults(fn=cmd_convert_qm9)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-export a serving forward (StableHLO via jax.export)")
+    _ckpt_args(p)
+    p.add_argument("path", help=".xyz file fixing the serving geometry "
+                               "class (shapes/neighbor_k are static in "
+                               "the artifact)")
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--pad-to", type=int,
+                   help="padded atom width of the artifact (default: the "
+                        "molecule's natoms rounded up)")
+    p.add_argument("--mode", choices=["dense", "blocked", "md"],
+                   default=None,
+                   help="calling convention (default: the Predictor's own "
+                        "dispatch for this size; 'md' adds precomputed "
+                        "(idx, nbr_mask) neighbor-table inputs for "
+                        "Verlet-skin loops)")
+    p.add_argument("--platforms",
+                   help="comma-separated lowering platforms (e.g. "
+                        "'tpu,cpu'); default: the current backend only. "
+                        "Multi-platform artifacts use the pure-XLA path")
+    p.add_argument("--far-cluster", type=int, default=0, metavar="C",
+                   help="bake the APPROXIMATE clustered far-field tier "
+                        "into the artifact (see `infer --far-cluster`)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="benchmark inference")
     _ckpt_args(p)

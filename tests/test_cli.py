@@ -14,7 +14,7 @@ def test_parser_covers_all_commands():
     sub = next(a for a in ap._actions if hasattr(a, "choices") and a.choices)
     assert set(sub.choices) == {
         "train", "infer", "import-ckpt", "eval-pol", "horton2npy",
-        "convert-qm9", "bench",
+        "convert-qm9", "export", "bench",
     }
 
 
