@@ -671,6 +671,7 @@ class Predictor:
                     self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
                     neighbor_k=k_skin, use_pallas=self._use_pallas(),
                     neighbors=(idx0, mask0), uniform_q0=uq0,
+                    far_cluster=self.far_cluster,
                 )
         else:
             k = max(self._neighbor_k(batch), 1)
@@ -685,6 +686,7 @@ class Predictor:
                     self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
                     neighbor_k=k, use_pallas=self._use_pallas(),
                     neighbors=nbrs, neighbor_grid=grid, uniform_q0=uq0,
+                    far_cluster=self.far_cluster,
                 )
 
         return benchmark_chained(fn, q0, iters=iters,

@@ -1,0 +1,114 @@
+"""Round-10 battery (one TPU process): serving frontier toward 10⁶ atoms.
+
+  python scripts/tpu_profile_r10.py frontier 568320
+  python scripts/tpu_profile_r10.py frontier 1136640
+
+The clustered far-field tier made serving O(N·k + N·C) per round; r7e
+proved linear scaling to 142,080 atoms (201 ms).  This battery pushes
+the single-chip frontier further:
+
+  - 568,320 atoms = 4× r7e = 256× the reference's protein
+  - 1,136,640 atoms = 8× r7e = 512× the reference's protein
+
+Memory notes: the near path's largest transients are (N, k, h) class —
+~1 GB per 142k atoms at k≈40, h=48 — so 1.14M atoms puts ~8 GB-class
+tensors in 16 GB HBM; the battery prints device memory stats after the
+first forward so an OOM boundary is recorded rather than guessed.  The
+EXACT control forward is O(N²) in the far field (~272 s/call projected
+at 1.14M) — run only at the 568k stage and below, 1 chained iter.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from scripts.profile_util import load_decay, scan_time, setup_cache, \
+    synth_molecule  # noqa: E402
+
+setup_cache()
+
+from epnn_tpu.data.dataset import pad_molecules, round_up  # noqa: E402
+from epnn_tpu.ops.fused import (build_neighbors_cell, cell_grid_params,  # noqa: E402
+                                forward_blocked)
+
+
+def _mem(tag):
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        print(f"[{tag}] HBM in use: {s['bytes_in_use']/2**30:.2f} GiB "
+              f"(peak {s.get('peak_bytes_in_use', 0)/2**30:.2f})",
+              flush=True)
+    except Exception:
+        pass
+
+
+def stage_frontier(n=568320, with_exact=None):
+    if with_exact is None:
+        with_exact = n <= 600000
+    params, cfg, table, fused = load_decay()
+    t0 = time.time()
+    mol = synth_molecule(n, np.random.default_rng(0))
+    bb = pad_molecules([mol], table, pad_to=n)
+    print(f"host featurize+pad: {time.time()-t0:.1f}s", flush=True)
+    c = cfg.replace(matmul_precision="default")
+    put = lambda a: jax.device_put(np.asarray(a))  # noqa: E731
+    x, q0, z, m = (put(bb.x[0]), put(bb.q0[0]), put(bb.xyz[0]),
+                   put(bb.node_mask[0]))
+
+    ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0], c.cutoff)
+    grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)))
+    t0 = time.time()
+    kcnt = int(build_neighbors_cell(z, m, c.cutoff, 1, grid[0], grid[1],
+                                    count_only=True))
+    k = int(round_up(kcnt + 4, 8))
+    print(f"cell count_only: k={k}, grid={grid} "
+          f"({time.time()-t0:.1f}s incl compile)", flush=True)
+
+    t0 = time.time()
+    nbrs = jax.block_until_ready(build_neighbors_cell(
+        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True))
+    print(f"neighbor build (cold): {time.time()-t0:.2f}s", flush=True)
+    _mem("tables")
+    nbrs_b = tuple(a[None] for a in nbrs)
+
+    def fwd(q0_in, fc, neighbors=nbrs_b):
+        return forward_blocked(
+            fused, x[None], q0_in[None], z[None], m[None], c, block=256,
+            neighbor_k=k, use_pallas=True, neighbors=neighbors,
+            neighbor_grid=grid, uniform_q0=True, far_cluster=fc)[0]
+
+    t0 = time.time()
+    q_cl = np.asarray(jax.block_until_ready(fwd(q0, 32)))
+    print(f"first clustered forward: {time.time()-t0:.1f}s (incl compile)",
+          flush=True)
+    _mem("fc32")
+    cons = abs(float(q_cl.sum()) - mol.total_charge)
+    print(f"{n:,} clustered conservation |dQ| = {cons:.2e}", flush=True)
+    scan_time(f"{n:,} reuse C=32", lambda qi: fwd(qi, 32), q0, iters=3)
+    scan_time(f"{n:,} cold C=32", lambda qi: fwd(qi, 32, None), q0,
+              iters=3)
+
+    if with_exact:
+        q_ex = np.asarray(jax.block_until_ready(fwd(q0, 0)))
+        dq = float(np.abs(q_cl - q_ex).max())
+        print(f"{n:,} clustered max|dq| vs exact = {dq:.2e}", flush=True)
+        scan_time(f"{n:,} reuse exact", lambda qi: fwd(qi, 0), q0, iters=1)
+    else:
+        # self-consistency diagnostic in place of the (too slow) exact
+        # control: a 8x finer tier should move charges by less than the
+        # coarse tier's own error scale if the approximation is stable
+        q_fine = np.asarray(jax.block_until_ready(fwd(q0, 256)))
+        print(f"{n:,} |q(C=32) - q(C=256)|max = "
+              f"{float(np.abs(q_cl - q_fine).max()):.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "frontier"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 568320
+    {"frontier": stage_frontier}[stage](n)

@@ -1475,3 +1475,49 @@ def test_predictor_calibrate_far_cluster(rng):
     assert pred.far_cluster == res["selected"]
     q = pred.predict_batch(batch)
     np.testing.assert_allclose(q.sum(), 0.0, atol=1e-4)
+
+
+def test_benchmark_batch_times_the_served_tier(rng, monkeypatch):
+    """Predictor.benchmark_batch must time the SAME computation
+    predict_batch serves — including the clustered far-field tier and
+    skin neighbors (regression: the chained fn dropped far_cluster, so
+    `bench --far-cluster C` timed the exact path while serving the
+    clustered one; caught by the r10 TPU export check, where the
+    artifact read 2.5 ms vs a 'live' 3.4)."""
+    from epnn_tpu.data.dataset import MolBatch
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.utils import timing
+
+    cfg = EPNNConfig(T=2)
+    params = init_params(cfg, jax.random.key(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.3 if a.ndim == 1 else a, params)
+    b, n, n_real = 2, 16, 13
+    x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+    xyz = rng.uniform(-4, 4, size=(b, n, 3)).astype(np.float32)
+    mask = np.zeros((b, n), np.float32)
+    mask[:, :n_real] = 1
+    x[:, n_real:] = 0
+    xyz[:, n_real:] = 0
+    q0 = mask * (np.arange(b, dtype=np.float32) - 1.0)[:, None] / n_real
+    batch = MolBatch(x=x, xyz=xyz, q0=q0,
+                     total_q=q0.sum(axis=1), y=np.zeros((b, n), np.float32),
+                     node_mask=mask, natoms=np.full(b, n_real, np.int32),
+                     names=["a", "b"], has_labels=np.zeros(b, bool))
+
+    captured = {}
+
+    def fake_chained(fn, q0_in, **kw):
+        captured["q"] = np.asarray(fn(q0_in))
+        return {"mean_s": 0.0, "iters": 1, "method": "chained",
+                "warmup_loops": 0}
+
+    monkeypatch.setattr(timing, "benchmark_chained", fake_chained)
+    for kw in ({"far_cluster": 4},
+               {"far_cluster": 4, "reuse_neighbors": True,
+                "neighbor_skin": 0.4}):
+        pred = Predictor(params=params, cfg=cfg, force_mode="blocked", **kw)
+        served = pred.predict_batch(batch)
+        pred.benchmark_batch(batch, iters=1, warmup_loops=0)
+        np.testing.assert_array_equal(captured.pop("q"), served)
