@@ -464,11 +464,13 @@ def cell_grid_params(xyz, node_mask, cutoff: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("cutoff", "k", "ncells_pad", "cell_cap",
-                                    "with_d2", "table_layout", "count_only"))
+                                    "with_d2", "table_layout", "count_only",
+                                    "row_chunk"))
 def build_neighbors_cell(
     xyz: jax.Array, node_mask: jax.Array, cutoff: float, k: int,
     ncells_pad: int, cell_cap: int, with_d2: bool = False,
     table_layout: str = "slices", count_only: bool = False,
+    row_chunk: int = 0,
 ):
     """Cell-list neighbor selection: same ``(idx, nbr_mask[, d2])`` contract
     as :func:`build_neighbors`, built from a spatial grid instead of an
@@ -509,6 +511,14 @@ def build_neighbors_cell(
     * ``"flat"`` — same flat table, but a channel-major transpose after
       the gather (between rows and slices at both sizes).
     * ``"rows"`` — (ncells+1, cap, 5) slot-major rows (the r4 layout).
+
+    ``row_chunk`` (static, ``"slices"`` layout only) — process the
+    per-row candidate scoring/sort in ``lax.map`` chunks of this many
+    atoms.  The full-width gather materializes (N, 27, 5·cap) — tile-
+    padded ~16 GB at N=568,320, cap=16, which OOMs one v5e (r10
+    battery); chunking bounds peak memory at O(row_chunk·27·cap) with
+    bitwise-identical outputs (every op in the scoring pipeline is
+    row-independent, including the per-row stable sort).  0 = off.
     """
     n = xyz.shape[0]
     xyz = xyz.astype(jnp.float32)
@@ -567,6 +577,9 @@ def build_neighbors_cell(
 
     cut2 = cutoff * cutoff
     self_id = jnp.arange(n, dtype=jnp.int32)
+    if row_chunk and table_layout != "slices":
+        raise ValueError("row_chunk is supported for the 'slices' layout "
+                         "only (the default)")
     if table_layout in ("flat", "slices"):
         # channel-blocked flat rows: one gathered row per neighbor cell
         # is a single 5·cap-lane vector [x·cap | y·cap | z·cap |
@@ -574,24 +587,68 @@ def build_neighbors_cell(
         # instead of 27 (cap, 5) slabs of 5-lane (→128-pad) sublanes
         tblf = jnp.transpose(tblx, (0, 2, 1)).reshape(
             ncells_pad + 1, 5 * cell_cap)
-        cxf = tblf[nlid]                          # (N, 27, 5·cap)
+
+        def _score_rows(xyz_r, real_r, nlid_r, self_r):
+            """dkey/cand for a set of rows — every op is row-independent,
+            so the chunked path below maps this bitwise-identically."""
+            m = xyz_r.shape[0]
+            cxf = tblf[nlid_r]                    # (m, 27, 5·cap)
+            cc = cell_cap
+            xs, ys, zs = (cxf[:, :, i * cc:(i + 1) * cc] for i in range(3))
+            ms_, ids = cxf[:, :, 3 * cc:4 * cc], cxf[:, :, 4 * cc:5 * cc]
+            d2_3 = ((xyz_r[:, 0:1, None] - xs) ** 2
+                    + (xyz_r[:, 1:2, None] - ys) ** 2
+                    + (xyz_r[:, 2:3, None] - zs) ** 2)
+            cand3 = ids.astype(jnp.int32)
+            valid3 = ((cand3 < n) & (cand3 != self_r[:, None, None])
+                      & (ms_ > 0) & real_r[:, None, None] & (d2_3 < cut2))
+            dkey = jnp.where(valid3, d2_3, jnp.inf).reshape(
+                m, 27 * cell_cap)
+            return dkey, cand3.reshape(m, 27 * cell_cap)
+
+        if row_chunk:
+            npad = -(-n // row_chunk) * row_chunk
+            nch = npad // row_chunk
+
+            def pad_rows(a, fill):
+                return jnp.pad(a, [(0, npad - n)] + [(0, 0)] * (a.ndim - 1),
+                               constant_values=fill)
+
+            def rs(a):
+                return a.reshape(nch, row_chunk, *a.shape[1:])
+
+            ops = (rs(pad_rows(xyz, 0.0)), rs(pad_rows(real, False)),
+                   rs(pad_rows(nlid, ncells_pad)),
+                   rs(jnp.arange(npad, dtype=jnp.int32)))
+
+            if count_only:
+                counts = jax.lax.map(
+                    lambda a: jnp.max(jnp.sum(
+                        (_score_rows(*a)[0] < jnp.inf).astype(jnp.int32),
+                        axis=1)), ops)
+                return jnp.max(counts)
+
+            def chunk(a):
+                dkey_c, cand_c = _score_rows(*a)
+                ds, cs = jax.lax.sort((dkey_c, cand_c), dimension=1,
+                                      is_stable=True, num_keys=1)
+                return ds[:, :k], cs[:, :k]
+
+            dss, css = jax.lax.map(chunk, ops)
+            dk = dss.reshape(npad, k)[:n]
+            idx = jnp.clip(css.reshape(npad, k)[:n], 0, n - 1)
+            nbr_mask = (dk < jnp.inf).astype(xyz.dtype)
+            if with_d2:
+                return idx, nbr_mask, jnp.where(dk < jnp.inf, dk, 0.0)
+            return idx, nbr_mask
+
         if table_layout == "flat":
+            cxf = tblf[nlid]                      # (N, 27, 5·cap)
             cx4 = cxf.reshape(n, 27, 5, cell_cap)
             cxT = jnp.transpose(cx4, (2, 0, 1, 3)).reshape(
                 5, n, 27 * cell_cap)
         else:
-            cc = cell_cap
-            xs, ys, zs = (cxf[:, :, i * cc:(i + 1) * cc] for i in range(3))
-            ms_, ids = cxf[:, :, 3 * cc:4 * cc], cxf[:, :, 4 * cc:5 * cc]
-            d2_3 = ((xyz[:, 0:1, None] - xs) ** 2
-                    + (xyz[:, 1:2, None] - ys) ** 2
-                    + (xyz[:, 2:3, None] - zs) ** 2)
-            cand3 = ids.astype(jnp.int32)
-            valid3 = ((cand3 < n) & (cand3 != self_id[:, None, None])
-                      & (ms_ > 0) & real[:, None, None] & (d2_3 < cut2))
-            dkey = jnp.where(valid3, d2_3, jnp.inf).reshape(
-                n, 27 * cell_cap)
-            cand = cand3.reshape(n, 27 * cell_cap)
+            dkey, cand = _score_rows(xyz, real, nlid, self_id)
     else:
         cx = tblx[nlid].reshape(n, 27 * cell_cap, 5)
         # channel-major relayout: the gathered (N, C, 5) array has a
@@ -658,9 +715,23 @@ def _forward_single_nbr(
     far_cluster: int = 0,
     far_diag: bool = False,
     far_cluster_grad: bool = False,
+    near_row_chunk: int = 0,
 ) -> jax.Array:
     """Neighbor-split forward: exact same math as :func:`_forward_single`
     (up to fp summation order) at O(N·k) edge work instead of O(N²).
+
+    ``near_row_chunk`` (static) — huge-N memory mode: when > 0, the
+    (N, k, ·) near-field activations (gathered projections, RBF features,
+    both pass-round MLP chains) never materialize full-width — each round
+    runs them in ``lax.map`` chunks of this many rows, recomputing the
+    chunk's RBF/gate from the resident (N, k) d² plane.  Outputs are
+    BITWISE identical (every near op is row-independent, including the
+    per-row j-sums, and both orderings of a pair still read the same
+    full-width projections — conservation's antisymmetry argument is
+    unchanged).  The full-width pass-round gather alone asked 16 GB of
+    HBM at N=568,320, k=40 (r10 battery OOM); chunks bound it at
+    O(chunk·k·h).  0 = off (the measured-fastest mode at benchmark
+    sizes).
 
     ``far_cluster`` (static) — opt-in APPROXIMATE serving tier: when > 0,
     every non-collapsed message round replaces the O(N²) no-feature dense
@@ -769,22 +840,53 @@ def _forward_single_nbr(
         else:
             idx, nbr_mask = neighbors
     elif neighbor_grid is not None:
+        # static tuple: (ncells_pad, cell_cap[, table_layout[, row_chunk]])
+        # — row_chunk bounds the in-forward builder's peak memory at huge
+        # N (the full-width candidate gather OOMs one chip near 500k atoms)
         idx, nbr_mask, d2_nbr = build_neighbors_cell(
             xyz, node_mask, cfg.cutoff, k, neighbor_grid[0],
             neighbor_grid[1], with_d2=True,
             table_layout=(neighbor_grid[2] if len(neighbor_grid) > 2
-                          else "slices"))
+                          else "slices"),
+            row_chunk=(neighbor_grid[3] if len(neighbor_grid) > 3 else 0))
     else:
         idx, nbr_mask, d2_nbr = build_neighbors(xyz, node_mask, cfg.cutoff,
                                                 k, with_d2=True)
     nbr_mask = nbr_mask.astype(x.dtype)  # selection runs on fp32 coords
-    if d2_nbr is None:
+    if near_row_chunk:
+        # huge-N memory mode (see docstring): only the (N, k) selection
+        # tables stay resident; RBF/gate and every gathered MLP chain run
+        # per chunk inside the rounds.  Chunk operands are built once.
+        nck = -(-n // near_row_chunk) * near_row_chunk
+        _nch = nck // near_row_chunk
+
+        def _crs(a, fill=0):
+            ap = jnp.pad(a, [(0, nck - n)] + [(0, 0)] * (a.ndim - 1),
+                         constant_values=fill)
+            return ap.reshape(_nch, near_row_chunk, *a.shape[1:])
+
+        idx_ck = _crs(idx)
+        mask_ck = _crs(nbr_mask)
+        # aux carries the chunk's distance source: the d² plane when the
+        # selection provided one, else the chunk's own coordinates (the
+        # neighbor coordinates gather from the full xyz inside the chunk)
+        d2_from_sel = d2_nbr is not None
+        aux_ck = _crs(d2_nbr) if d2_from_sel else _crs(xyz)
+        rbf_nbr = gate_nbr = None
+
+        def _chunk_rbf(aux_c, idx_c, mask_c):
+            if d2_from_sel:
+                return rbf_and_gate(aux_c, mask_c, cfg, dtype=x.dtype)
+            return _rbf_gathered(aux_c, xyz[idx_c], mask_c, cfg,
+                                 dtype=x.dtype)
+    elif d2_nbr is None:
         rbf_nbr, gate_nbr = _rbf_gathered(xyz, xyz[idx], nbr_mask, cfg,
                                           dtype=x.dtype)
+        gate_nbr = gate_nbr * nbr_mask
     else:
         rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
                                          dtype=x.dtype)
-    gate_nbr = gate_nbr * nbr_mask
+        gate_nbr = gate_nbr * nbr_mask
 
     pairm = node_mask[:, None] * node_mask[None, :]
     # Q10 compat width: the caller's ORIGINAL padded width (entry padding
@@ -869,6 +971,7 @@ def _forward_single_nbr(
     # far-field kernel plus f32 compute and single-mid weights.
     near_kernel = (pallas_ok and pack_to == 1
                    and x.dtype == jnp.float32
+                   and near_row_chunk == 0
                    and os.environ.get("EPNN_NEAR_KERNEL", "0") == "1")
     if near_kernel:
         from epnn_tpu.ops.pallas_kernels import (
@@ -1018,7 +1121,24 @@ def _forward_single_nbr(
             dense_sum = dsum.reshape(nb * block, -1)[:n]
 
         # gathered near part: with features, minus the no-feature double count
-        if near_kernel and len(w.mids) == 1:
+        if near_row_chunk:
+            def _near_chunk(ops_c):
+                pi_c, idx_c, mask_c, aux_c = ops_c
+                rbf_c, _ = _chunk_rbf(aux_c, idx_c, mask_c)
+                pj_nbr = pj[idx_c]
+                epart = jnp.dot(rbf_c, w.w1_e, precision=prec)
+                base = pi_c[:, None, :] + pj_nbr
+                hid_full = _packed_mids(jax.nn.relu(base + epart), w, prec,
+                                        pack_to)
+                hid_nofeat = _packed_mids(jax.nn.relu(base), w, prec,
+                                          pack_to)
+                return jnp.sum((hid_full - hid_nofeat) * mask_c[:, :, None],
+                               axis=1)
+
+            near_corr = jax.lax.map(
+                _near_chunk, (_crs(pi), idx_ck, mask_ck, aux_ck)
+            ).reshape(nck, -1)[:n]
+        elif near_kernel and len(w.mids) == 1:
             (w2m, b2m), = w.mids
             near_corr = near_message_corr(
                 pi, pj[idx_flat], rbf_flat, nbr_mask, w.w1_e, w2m, b2m,
@@ -1079,6 +1199,35 @@ def _forward_single_nbr(
             dsum = near_pass_rowsum(
                 rs, rs[idx_flat], rbf_flat, gh_pass, w.w1_e, w2m, b2m,
                 precision=near_prec)
+            dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
+                         precision=prec)[:, 0]
+            return q + dq, None
+        if near_row_chunk:
+            pp = jnp.concatenate([pi, pj], axis=-1)
+
+            def _pass_chunk(ops_c):
+                pi_c, pj_c, idx_c, mask_c, aux_c = ops_c
+                rbf_c, gate_c = _chunk_rbf(aux_c, idx_c, mask_c)
+                gate_c = gate_c * mask_c
+                pp_c = pp[idx_c]
+                pi_nbr = pp_c[..., :h1]
+                pj_nbr = pp_c[..., h1:]
+                epart = jnp.dot(rbf_c.astype(w.w1_e.dtype), w.w1_e,
+                                precision=prec)
+                hid_n = jax.nn.relu((pi_c[:, None, :] + pj_nbr) + epart)
+                hid_t = jax.nn.relu((pi_nbr + pj_c[:, None, :]) + epart)
+                hid_n = _packed_mids(hid_n, w, prec, pack_to)
+                hid_t = _packed_mids(hid_t, w, prec, pack_to)
+                # both orderings of a pair read the same full-width pp
+                # rows, so the pairwise antisymmetry stays bitwise under
+                # chunking — conservation is unchanged
+                diff = (hid_n - hid_t).astype(jnp.float32)
+                gate32 = gate_c.astype(jnp.float32)
+                return jnp.sum(0.5 * gate32[:, :, None] * diff, axis=1)
+
+            dsum = jax.lax.map(
+                _pass_chunk, (_crs(pi), _crs(pj), idx_ck, mask_ck, aux_ck)
+            ).reshape(nck, -1)[:n]
             dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
                          precision=prec)[:, 0]
             return q + dq, None
@@ -1330,7 +1479,7 @@ def _forward_single(
     jax.jit,
     static_argnames=("cfg", "block", "neighbor_k", "use_pallas", "pack_to",
                      "remat", "neighbor_grid", "uniform_q0", "far_cluster",
-                     "far_diag", "far_cluster_grad"),
+                     "far_diag", "far_cluster_grad", "near_row_chunk"),
 )
 def forward_blocked(
     fused: FusedParams,
@@ -1350,8 +1499,15 @@ def forward_blocked(
     far_cluster: int = 0,
     far_diag: bool = False,
     far_cluster_grad: bool = False,
+    near_row_chunk: int = 0,
 ) -> jax.Array:
     """Batched blockwise forward from raw coordinates (featurization fused).
+
+    ``near_row_chunk`` (static) — huge-N memory mode: run each round's
+    (N, k, ·) near-field activations in lax.map chunks of this many rows
+    (bitwise-identical outputs; see :func:`_forward_single_nbr`).  Pair
+    with a 4-tuple ``neighbor_grid`` (..., row_chunk) so the in-forward
+    cell builder is bounded too.  Needed past ~0.5M atoms on one v5e.
 
     ``far_cluster`` (static) — opt-in APPROXIMATE far-field serving tier
     (requires ``neighbor_k``): non-collapsed message rounds quantize the
@@ -1438,6 +1594,7 @@ def forward_blocked(
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
             far_cluster=far_cluster, far_diag=far_diag,
             far_cluster_grad=far_cluster_grad,
+            near_row_chunk=near_row_chunk,
         )
         if far_diag:
             return out[0].astype(jnp.float32) * node_mask, out[1]
@@ -1448,6 +1605,9 @@ def forward_blocked(
     if far_cluster > 0 and neighbor_k is None:
         raise ValueError("far_cluster requires neighbor_k (the clustered "
                          "far-field tier lives on the neighbor-split path)")
+    if near_row_chunk and neighbor_k is None:
+        raise ValueError("near_row_chunk requires neighbor_k (the huge-N "
+                         "memory mode lives on the neighbor-split path)")
 
     if neighbor_k is not None:
         single = functools.partial(
@@ -1456,6 +1616,7 @@ def forward_blocked(
             neighbor_grid=neighbor_grid, uniform_q0=uniform_q0,
             far_cluster=far_cluster, far_diag=far_diag,
             far_cluster_grad=far_cluster_grad,
+            near_row_chunk=near_row_chunk,
         )
     elif use_pallas and len(fused.messages.mids) == 1:
         # fully fused dense path: RBF + pair MLPs + antisymmetric reduction

@@ -62,17 +62,22 @@ def stage_frontier(n=568320, with_exact=None):
                    put(bb.node_mask[0]))
 
     ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0], c.cutoff)
-    grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)))
+    # row_chunk bounds the builder's candidate gather: full-width
+    # (N, 27, 5·cap) tile-padded OOMed the chip at 568k (16.2 GB asked)
+    chunk = 65536 if n > 200000 else 0
+    grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)), "slices",
+            chunk)
     t0 = time.time()
     kcnt = int(build_neighbors_cell(z, m, c.cutoff, 1, grid[0], grid[1],
-                                    count_only=True))
+                                    count_only=True, row_chunk=chunk))
     k = int(round_up(kcnt + 4, 8))
     print(f"cell count_only: k={k}, grid={grid} "
           f"({time.time()-t0:.1f}s incl compile)", flush=True)
 
     t0 = time.time()
     nbrs = jax.block_until_ready(build_neighbors_cell(
-        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True))
+        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True,
+        row_chunk=chunk))
     print(f"neighbor build (cold): {time.time()-t0:.2f}s", flush=True)
     _mem("tables")
     nbrs_b = tuple(a[None] for a in nbrs)
@@ -81,7 +86,8 @@ def stage_frontier(n=568320, with_exact=None):
         return forward_blocked(
             fused, x[None], q0_in[None], z[None], m[None], c, block=256,
             neighbor_k=k, use_pallas=True, neighbors=neighbors,
-            neighbor_grid=grid, uniform_q0=True, far_cluster=fc)[0]
+            neighbor_grid=grid, uniform_q0=True, far_cluster=fc,
+            near_row_chunk=chunk)[0]
 
     t0 = time.time()
     q_cl = np.asarray(jax.block_until_ready(fwd(q0, 32)))

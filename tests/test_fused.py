@@ -656,6 +656,42 @@ def test_cell_table_layouts_bitwise_identical(rng):
             np.testing.assert_array_equal(a, b)
 
 
+def test_cell_builder_row_chunk_bitwise_identical(rng):
+    """row_chunk bounds the candidate-gather memory at huge N (r10: the
+    full-width (N, 27, 5·cap) gather OOMs one v5e near 500k atoms) by
+    lax.map-ing the row-independent scoring pipeline — outputs, d² plane,
+    and count_only must be BITWISE identical to the full-width build,
+    for dividing and non-dividing chunk sizes."""
+    from epnn_tpu.ops.fused import (build_neighbors_cell, cell_grid_params,
+                                    max_neighbor_count)
+
+    n = 300
+    xyz = rng.uniform(0, 14, size=(n, 3)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[-9:] = 0.0
+    cutoff = 3.0
+    k = max_neighbor_count(xyz, mask, cutoff) + 2
+    ncells, cap = cell_grid_params(xyz, mask, cutoff)
+    ref = [np.asarray(a) for a in
+           build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                                with_d2=True)]
+    cnt_ref = int(build_neighbors_cell(xyz, mask, cutoff, 1, ncells, cap,
+                                       count_only=True))
+    for chunk in (50, 128, 300, 512):  # divides / lane-ish / == n / > n
+        out = [np.asarray(a) for a in
+               build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                                    with_d2=True, row_chunk=chunk)]
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a, b)
+        assert int(build_neighbors_cell(
+            xyz, mask, cutoff, 1, ncells, cap, count_only=True,
+            row_chunk=chunk)) == cnt_ref
+    # forward_blocked accepts the 4-tuple neighbor_grid
+    with pytest.raises(ValueError, match="slices"):
+        build_neighbors_cell(xyz, mask, cutoff, k, ncells, cap,
+                             table_layout="rows", row_chunk=64)
+
+
 def test_cell_list_through_forward(rng):
     """Cell-list neighbors fed through forward_blocked(neighbors=...) match
     the in-forward top_k selection to fp association noise."""
@@ -1521,3 +1557,36 @@ def test_benchmark_batch_times_the_served_tier(rng, monkeypatch):
         served = pred.predict_batch(batch)
         pred.benchmark_batch(batch, iters=1, warmup_loops=0)
         np.testing.assert_array_equal(captured.pop("q"), served)
+
+
+@pytest.mark.parametrize("sel", ["topk", "tuple2"])
+def test_near_row_chunk_bitwise_identical(rng, sel):
+    """near_row_chunk (huge-N memory mode: the (N, k, .) near activations
+    run in lax.map chunks) must be BITWISE identical to the full-width
+    forward — for d2-carrying selection and for 2-tuple neighbors (the
+    in-chunk coordinate re-gather branch), alone and composed with the
+    clustered far-field tier; conservation unchanged."""
+    from epnn_tpu.ops.fused import build_neighbors
+
+    cfg = EPNNConfig(T=2)
+    params, fused, x, q0, xyz, mask, q_total = build(rng, cfg, b=1, n=40,
+                                                     n_real=34)
+    k = 12
+    kw = dict(cfg=cfg, block=40, neighbor_k=k)
+    if sel == "tuple2":
+        idx, nbr_mask, _ = build_neighbors(xyz[0], mask[0], cfg.cutoff, k,
+                                           with_d2=True)
+        kw["neighbors"] = (idx[None], nbr_mask[None])
+    # uniform_q0=True runs the round-1 collapse on both sides (bitwise
+    # compare is between identical modes — x isn't element-layout here)
+    for extra in ({}, {"far_cluster": 4}, {"uniform_q0": True}):
+        ref = np.asarray(forward_blocked(fused, x, q0, xyz, mask,
+                                         **kw, **extra))
+        for chunk in (8, 16, 40, 64):  # divides / non-dividing / ==N / >N
+            out = np.asarray(forward_blocked(
+                fused, x, q0, xyz, mask, near_row_chunk=chunk,
+                **kw, **extra))
+            np.testing.assert_array_equal(out, ref)
+    with pytest.raises(ValueError, match="near_row_chunk requires"):
+        forward_blocked(fused, x, q0, xyz, mask, cfg=cfg, block=40,
+                        near_row_chunk=8)
