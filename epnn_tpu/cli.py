@@ -195,6 +195,8 @@ def cmd_infer(args):
         kw["collapse_round1"] = "off"
     if getattr(args, "far_cluster", 0):
         kw["far_cluster"] = args.far_cluster
+    if getattr(args, "near_row_chunk", -1) != -1:
+        kw["near_row_chunk"] = args.near_row_chunk
     shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
     if shard:
         from epnn_tpu.parallel import make_mesh
@@ -324,6 +326,8 @@ def cmd_bench(args):
         kw["neighbor_skin"] = args.neighbor_skin
     if getattr(args, "far_cluster", 0):
         kw["far_cluster"] = args.far_cluster
+    if getattr(args, "near_row_chunk", -1) != -1:
+        kw["near_row_chunk"] = args.near_row_chunk
     pred = _make_predictor(
         args, reuse_neighbors=getattr(args, "reuse_neighbors", False), **kw)
     mol = load_molecule(args.path)
@@ -534,6 +538,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "molecule at ascending C (16,32,64,128,256) and "
                         "serve with the smallest C within E (in e); falls "
                         "back to exact when none qualifies")
+    p.add_argument("--near-row-chunk", type=int, default=-1, metavar="R",
+                   dest="near_row_chunk",
+                   help="huge-N memory mode: run the (N,k,.) near-field "
+                        "activations and the cell builder's candidate "
+                        "gather in chunks of R rows (bitwise-identical "
+                        "charges, bounded HBM — graphs past ~0.5M atoms "
+                        "need it on one 16 GB chip). -1 = auto (on past "
+                        "200k padded atoms), 0 = off")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")
@@ -617,6 +629,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with C centroids (see `infer --far-cluster`); the "
                         "printed JSON adds the measured max |dq| vs the "
                         "exact forward on the same geometry")
+    p.add_argument("--near-row-chunk", type=int, default=-1, metavar="R",
+                   dest="near_row_chunk",
+                   help="huge-N memory mode (see `infer --near-row-chunk`); "
+                        "-1 = auto, 0 = off")
     p.set_defaults(fn=cmd_bench)
 
     return ap

@@ -40,6 +40,16 @@ DENSE_MAX_ATOMS = 256
 #: already cheap.
 CELL_GRID_MIN_ATOMS = 1024
 
+#: From this padded width up, ``near_row_chunk='auto'`` turns on the huge-N
+#: memory mode: the forward's (N, k, ·) near-field activations and the cell
+#: builder's (N, 27, 5·cap) candidate gather run in lax.map chunks of
+#: :data:`HUGE_GRAPH_ROW_CHUNK` rows (bitwise-identical outputs — see
+#: :func:`epnn_tpu.ops.fused.forward_blocked`).  Both full-width transients
+#: OOM one 16 GB v5e near 500k atoms (r10 battery); at the threshold the
+#: largest transient is ~2 GB padded, comfortably resident.
+HUGE_GRAPH_MIN_ATOMS = 200_000
+HUGE_GRAPH_ROW_CHUNK = 65_536
+
 
 @dataclasses.dataclass
 class Predictor:
@@ -126,6 +136,17 @@ class Predictor:
     #: Lloyd sums psum-ed — since pj never materializes globally); ignored
     #: (loud warn) by the dense small-graph path (no O(N²) bottleneck).
     far_cluster: int = 0
+    #: Huge-N memory mode (single-chip blocked path): lax.map-chunk the
+    #: (N, k, ·) near-field activations and the cell builder's candidate
+    #: gather so graphs past ~0.5M atoms fit one chip's HBM.  Outputs are
+    #: BITWISE identical to the full-width forward (row-independent ops;
+    #: conservation's antisymmetry argument unchanged).  ``-1`` (default) =
+    #: auto: chunk at :data:`HUGE_GRAPH_ROW_CHUNK` rows from
+    #: :data:`HUGE_GRAPH_MIN_ATOMS` padded atoms up, full-width (the
+    #: measured-fastest mode at benchmark sizes) below; ``0`` = force off;
+    #: ``> 0`` = explicit chunk size.  The sharded mesh paths ignore it
+    #: (each device already holds only N/D rows).
+    near_row_chunk: int = -1
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -152,6 +173,9 @@ class Predictor:
             raise ValueError("neighbor_skin requires reuse_neighbors=True")
         if self.far_cluster < 0:
             raise ValueError("far_cluster must be >= 0 (0 = exact)")
+        if self.near_row_chunk < -1:
+            raise ValueError("near_row_chunk must be -1 (auto), 0 (off), "
+                             "or a positive chunk size")
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -205,7 +229,8 @@ class Predictor:
 
             k = max(int(build_neighbors_cell(
                 batch.xyz[b], batch.node_mask[b], float(self.cfg.cutoff),
-                1, grid[0], grid[1], count_only=True))
+                1, grid[0], grid[1], count_only=True,
+                row_chunk=(grid[3] if len(grid) > 3 else 0)))
                 for b in range(batch.batch_size))
         else:
             k = max(
@@ -361,6 +386,15 @@ class Predictor:
                 stacklevel=2,
             )
         if self.mesh is not None:
+            if self.near_row_chunk > 0:
+                import warnings
+
+                warnings.warn(
+                    "near_row_chunk applies to the single-chip blocked "
+                    "path only — the sharded mesh paths already hold only "
+                    "N/D rows per device and run full-width",
+                    stacklevel=2,
+                )
             if self.reuse_neighbors and (
                 self.shard_mode == "atom"
                 and batch.padded_atoms <= DENSE_MAX_ATOMS
@@ -393,6 +427,7 @@ class Predictor:
                 use_pallas=self._use_pallas(), neighbors=(idx0, mask0),
                 uniform_q0=self._uniform_q0(batch),
                 far_cluster=self.far_cluster,
+                near_row_chunk=self._near_chunk(batch),
             )
         else:
             k = self._neighbor_k(batch)
@@ -404,6 +439,7 @@ class Predictor:
                 neighbor_grid=self._neighbor_grid(batch),
                 uniform_q0=self._uniform_q0(batch),
                 far_cluster=self.far_cluster,
+                near_row_chunk=self._near_chunk(batch),
             )
         return np.asarray(q)
 
@@ -436,6 +472,7 @@ class Predictor:
             neighbors=self._neighbors(batch, max(k, 1)),
             neighbor_grid=self._neighbor_grid(batch),
             uniform_q0=self._uniform_q0(batch),
+            near_row_chunk=self._near_chunk(batch),
         )
         q_c, rad = forward_blocked(
             self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
@@ -483,6 +520,7 @@ class Predictor:
             neighbors=self._neighbors(batch, max(k, 1)),
             neighbor_grid=self._neighbor_grid(batch),
             uniform_q0=self._uniform_q0(batch),
+            near_row_chunk=self._near_chunk(batch),
         )
         q_e = np.asarray(forward_blocked(
             self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
@@ -539,14 +577,15 @@ class Predictor:
                                           float(cutoff_sel))
                 nc, cap = max(nc, c_), max(cap, p_)
             nc, cap = round_up(nc, 512), round_up(cap, 4)
+            chunk = self._near_chunk(batch)
             k = max(int(build_neighbors_cell(
                 batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
-                1, nc, cap, count_only=True))
+                1, nc, cap, count_only=True, row_chunk=chunk))
                 for bi in range(batch.batch_size))
             k = max(min(round_up(k + 4, 8), batch.padded_atoms - 1), 1)
             outs = [jax.block_until_ready(build_neighbors_cell(
                 batch.xyz[bi], batch.node_mask[bi], float(cutoff_sel),
-                int(k), nc, cap))
+                int(k), nc, cap, row_chunk=chunk))
                 for bi in range(batch.batch_size)]
             idx, nbr_mask = (np.stack([np.asarray(o[j]) for o in outs])
                              for j in range(2))
@@ -568,22 +607,35 @@ class Predictor:
             pass
         return (idx, nbr_mask)
 
+    def _near_chunk(self, batch: MolBatch) -> int:
+        """Effective huge-N row chunk for this batch (see
+        ``near_row_chunk``): the explicit setting, or the auto policy."""
+        if self.near_row_chunk >= 0:
+            return self.near_row_chunk
+        return (HUGE_GRAPH_ROW_CHUNK
+                if batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS else 0)
+
     def _neighbor_grid(self, batch: MolBatch):
-        """Static (ncells_pad, cell_cap) for the cell-list builder, or None
-        when top_k should be used (small graphs / forced method).  Cached
-        per batch with the geometry fingerprint; bounds cover every graph
-        in the batch and are rounded up (ncells to 512, cap to 4) so
-        MD-style drift / similar geometries reuse the compiled program."""
+        """Static (ncells_pad, cell_cap[, layout, row_chunk]) for the
+        cell-list builder, or None when top_k should be used (small graphs
+        / forced method).  Cached per batch with the geometry fingerprint;
+        bounds cover every graph in the batch and are rounded up (ncells to
+        512, cap to 4) so MD-style drift / similar geometries reuse the
+        compiled program.  In huge-N mode the tuple carries the builder's
+        row_chunk (appended at call time — it depends on the mutable
+        ``near_row_chunk`` setting, not the geometry)."""
         if self.neighbor_method == "topk":
             return None
         if (self.neighbor_method == "auto"
                 and batch.padded_atoms < CELL_GRID_MIN_ATOMS):
             return None
+        chunk = self._near_chunk(batch)
+        ext = ("slices", chunk) if chunk else ()
         fp = self._geom_fingerprint(batch)
         try:
             cached_fp, grid = self._grid_cache[batch]
             if cached_fp == fp:
-                return grid
+                return grid + ext
         except (KeyError, TypeError):
             pass
         from epnn_tpu.data.dataset import round_up
@@ -599,7 +651,7 @@ class Predictor:
             self._grid_cache[batch] = (fp, grid)
         except TypeError:
             pass
-        return grid
+        return grid + ext
 
     def _neighbors(self, batch: MolBatch, k: int):
         """Cached (idx, nbr_mask, d2) batch arrays when reuse_neighbors is
@@ -614,10 +666,23 @@ class Predictor:
                 return nbrs
         except (KeyError, TypeError):
             pass
-        from epnn_tpu.ops.fused import build_neighbors_batch
+        grid = self._neighbor_grid(batch)
+        if len(grid or ()) > 3 and grid[3]:
+            # huge-N: the O(N²)-scored top_k build below would itself OOM
+            # (568k² scores ≈ 1.2 TB); build per graph through the chunked
+            # cell builder — the same selection the cold forward runs
+            from epnn_tpu.ops.fused import build_neighbors_cell
 
-        nbrs = jax.block_until_ready(build_neighbors_batch(
-            batch.xyz, batch.node_mask, self.cfg.cutoff, k))
+            outs = [jax.block_until_ready(build_neighbors_cell(
+                batch.xyz[b], batch.node_mask[b], float(self.cfg.cutoff),
+                int(k), grid[0], grid[1], with_d2=True, row_chunk=grid[3]))
+                for b in range(batch.batch_size)]
+            nbrs = tuple(jnp.stack([o[j] for o in outs]) for j in range(3))
+        else:
+            from epnn_tpu.ops.fused import build_neighbors_batch
+
+            nbrs = jax.block_until_ready(build_neighbors_batch(
+                batch.xyz, batch.node_mask, self.cfg.cutoff, k))
         try:
             self._nbr_cache[batch] = (fp, nbrs)
         except TypeError:
@@ -654,6 +719,12 @@ class Predictor:
             jax.device_put(np.asarray(a))
             for a in (batch.x, batch.q0, batch.xyz, batch.node_mask)
         )
+        # the batch arrays and neighbor tables ride as EXPLICIT operands of
+        # the chained program, not closure constants — closed-over arrays
+        # embed in the lowered program as dense constants, which at huge N
+        # exceeds remote-compile payload limits (HTTP 413 at 568k atoms)
+        # and bloats the executable on any backend
+        ops = None
         if mode == "dense":
             fn = lambda q0_in: self._dense(x, q0_in, xyz, mask)  # noqa: E731
         elif self.neighbor_skin > 0:
@@ -665,13 +736,17 @@ class Predictor:
             block = min(self.block, batch.padded_atoms)
             uq0 = self._uniform_q0(batch)
             k_skin = int(idx0.shape[-1])
+            chunk = self._near_chunk(batch)
+            ops = (x, xyz, mask, (idx0, mask0))
 
-            def fn(q0_in):
+            def fn(q0_in, ops_):
+                x_, xyz_, mask_, nbrs_ = ops_
                 return forward_blocked(
-                    self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
-                    neighbor_k=k_skin, use_pallas=self._use_pallas(),
-                    neighbors=(idx0, mask0), uniform_q0=uq0,
-                    far_cluster=self.far_cluster,
+                    self._fused, x_, q0_in, xyz_, mask_, self.cfg,
+                    block=block, neighbor_k=k_skin,
+                    use_pallas=self._use_pallas(),
+                    neighbors=nbrs_, uniform_q0=uq0,
+                    far_cluster=self.far_cluster, near_row_chunk=chunk,
                 )
         else:
             k = max(self._neighbor_k(batch), 1)
@@ -680,18 +755,22 @@ class Predictor:
             grid = self._neighbor_grid(batch)
 
             uq0 = self._uniform_q0(batch)
+            chunk = self._near_chunk(batch)
+            ops = (x, xyz, mask, nbrs)
 
-            def fn(q0_in):
+            def fn(q0_in, ops_):
+                x_, xyz_, mask_, nbrs_ = ops_
                 return forward_blocked(
-                    self._fused, x, q0_in, xyz, mask, self.cfg, block=block,
-                    neighbor_k=k, use_pallas=self._use_pallas(),
-                    neighbors=nbrs, neighbor_grid=grid, uniform_q0=uq0,
-                    far_cluster=self.far_cluster,
+                    self._fused, x_, q0_in, xyz_, mask_, self.cfg,
+                    block=block, neighbor_k=k,
+                    use_pallas=self._use_pallas(),
+                    neighbors=nbrs_, neighbor_grid=grid, uniform_q0=uq0,
+                    far_cluster=self.far_cluster, near_row_chunk=chunk,
                 )
 
         return benchmark_chained(fn, q0, iters=iters,
                                  warmup_loops=warmup_loops,
-                                 profile_dir=profile_dir)
+                                 profile_dir=profile_dir, operands=ops)
 
     def _use_pallas(self) -> bool:
         """Enable the packed Pallas far-field kernel where profiling shows

@@ -37,6 +37,7 @@ def benchmark_chained(
     iters: int = 20,
     warmup_loops: int = 2,
     profile_dir: Optional[str] = None,
+    operands=None,
 ):
     """Serialized-chain latency: the honest per-graph number on tunneled
     backends (benchmarks/RESULTS.md "round-3 measurement pitfall").
@@ -59,6 +60,13 @@ def benchmark_chained(
     (the first compiles;
     execution-time inflation is per compiled executable on the tunnel, so
     a whole measurement loop is discarded after every fresh compile).
+
+    ``operands``: optional pytree of LARGE arrays forwarded to ``fn`` as a
+    second argument (``fn(q0, operands)``).  Arrays closed over by ``fn``
+    are embedded in the lowered program as dense constants — at huge N the
+    serialized payload exceeds remote-compile body limits (HTTP 413 at
+    568k atoms: ~300 MB of neighbor tables) and bloats the executable on
+    any backend; explicit operands stay runtime parameters.
     """
     import jax.numpy as jnp
 
@@ -66,14 +74,19 @@ def benchmark_chained(
     # dispatch per iteration instead of forward + an eager chain-add (the
     # eager add is a second tunnel RPC — ~1.6 ms/iter of pure dispatch on
     # the hosted tunnel, r4c battery); shape-agnostic scalar broadcast
-    fn_chained = jax.jit(
-        lambda q0_base, prev: fn(q0_base + 0.0 * jnp.reshape(prev, (-1,))[:1])
-    )
+    if operands is None:
+        fn_chained = jax.jit(lambda q0_base, prev: fn(
+            q0_base + 0.0 * jnp.reshape(prev, (-1,))[:1]))
+        call = lambda prev: fn_chained(q0, prev)  # noqa: E731
+    else:
+        fn_chained = jax.jit(lambda q0_base, prev, ops: fn(
+            q0_base + 0.0 * jnp.reshape(prev, (-1,))[:1], ops))
+        call = lambda prev: fn_chained(q0, prev, operands)  # noqa: E731
 
     def loop():
         prev = q0
         for _ in range(iters):
-            prev = fn_chained(q0, prev)
+            prev = call(prev)
         np.asarray(prev)  # terminal readback = true sync
 
     for _ in range(max(warmup_loops, 1)):

@@ -27,24 +27,32 @@ def setup_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def scan_time(tag, step, x0, iters=10):
+def scan_time(tag, step, x0, iters=10, operands=None):
     """step: carry -> carry (same pytree structure).  Prints/returns the
     best per-iteration ms over 3 measurement loops of one jitted
-    scan(length=iters); compile + first run are excluded."""
+    scan(length=iters); compile + first run are excluded.
+
+    ``operands``: optional pytree of LARGE arrays forwarded to ``step`` as
+    a second argument.  Closed-over concrete arrays are embedded in the
+    lowered MLIR as dense constants — at huge N the serialized payload
+    blows past the axon remote-compile helper's HTTP body limit (413 at
+    568k atoms: ~300 MB of neighbor tables in the closure).  Explicit jit
+    operands stay runtime parameters."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     @jax.jit
-    def run(x):
-        c, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
-                            length=iters)
+    def run(x, ops):
+        body = ((lambda c, _: (step(c), None)) if operands is None
+                else (lambda c, _: (step(c, ops), None)))
+        c, _ = jax.lax.scan(body, x, None, length=iters)
         return jax.tree_util.tree_map(
             lambda a: jnp.sum(a.astype(jnp.float32)), c)
 
     t0 = time.perf_counter()
     try:
-        np.asarray(jax.tree_util.tree_leaves(run(x0))[0])
+        np.asarray(jax.tree_util.tree_leaves(run(x0, operands))[0])
     except Exception as e:
         print(f"{tag:<52s} FAILED {type(e).__name__}: {str(e)[:200]}",
               flush=True)
@@ -53,7 +61,7 @@ def scan_time(tag, step, x0, iters=10):
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(run(x0))[0])
+        np.asarray(jax.tree_util.tree_leaves(run(x0, operands))[0])
         ms = 1e3 * (time.perf_counter() - t0) / iters
         best = ms if best is None else min(best, ms)
     print(f"{tag:<52s} {best:9.3f} ms  (compile {compile_s:5.1f}s)",

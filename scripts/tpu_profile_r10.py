@@ -50,7 +50,11 @@ def _mem(tag):
 
 def stage_frontier(n=568320, with_exact=None):
     if with_exact is None:
-        with_exact = n <= 600000
+        # the exact O(N²) far-field control hit a TPU device error at 568k
+        # (the packed kernel's grid is ~4.9M cells there — past whatever
+        # Mosaic tolerates); past r7e scale the accuracy control is the
+        # C=256 self-consistency diagnostic instead
+        with_exact = n <= 150000
     params, cfg, table, fused = load_decay()
     t0 = time.time()
     mol = synth_molecule(n, np.random.default_rng(0))
@@ -82,34 +86,44 @@ def stage_frontier(n=568320, with_exact=None):
     _mem("tables")
     nbrs_b = tuple(a[None] for a in nbrs)
 
-    def fwd(q0_in, fc, neighbors=nbrs_b):
+    # the batch arrays + neighbor tables ride as EXPLICIT operands — as
+    # closure constants they embed in the lowered MLIR and the 568k scan
+    # payload (~300 MB of tables) 413s the remote-compile helper
+    ops_all = (x, z, m, nbrs_b)
+
+    def fwd(q0_in, ops_, fc, cold=False):
+        x_, z_, m_, nbrs_ = ops_
         return forward_blocked(
-            fused, x[None], q0_in[None], z[None], m[None], c, block=256,
-            neighbor_k=k, use_pallas=True, neighbors=neighbors,
+            fused, x_[None], q0_in[None], z_[None], m_[None], c, block=256,
+            neighbor_k=k, use_pallas=True,
+            neighbors=(None if cold else nbrs_),
             neighbor_grid=grid, uniform_q0=True, far_cluster=fc,
             near_row_chunk=chunk)[0]
 
     t0 = time.time()
-    q_cl = np.asarray(jax.block_until_ready(fwd(q0, 32)))
+    q_cl = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 32)))
     print(f"first clustered forward: {time.time()-t0:.1f}s (incl compile)",
           flush=True)
     _mem("fc32")
     cons = abs(float(q_cl.sum()) - mol.total_charge)
     print(f"{n:,} clustered conservation |dQ| = {cons:.2e}", flush=True)
-    scan_time(f"{n:,} reuse C=32", lambda qi: fwd(qi, 32), q0, iters=3)
-    scan_time(f"{n:,} cold C=32", lambda qi: fwd(qi, 32, None), q0,
-              iters=3)
+    scan_time(f"{n:,} reuse C=32", lambda qi, o: fwd(qi, o, 32), q0,
+              iters=3, operands=ops_all)
+    scan_time(f"{n:,} cold C=32", lambda qi, o: fwd(qi, o, 32, cold=True),
+              q0, iters=3, operands=ops_all)
 
     if with_exact:
-        q_ex = np.asarray(jax.block_until_ready(fwd(q0, 0)))
+        q_ex = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 0)))
         dq = float(np.abs(q_cl - q_ex).max())
         print(f"{n:,} clustered max|dq| vs exact = {dq:.2e}", flush=True)
-        scan_time(f"{n:,} reuse exact", lambda qi: fwd(qi, 0), q0, iters=1)
+        scan_time(f"{n:,} reuse exact", lambda qi, o: fwd(qi, o, 0), q0,
+                  iters=1, operands=ops_all)
     else:
-        # self-consistency diagnostic in place of the (too slow) exact
-        # control: a 8x finer tier should move charges by less than the
+        # self-consistency diagnostic in place of the exact control (too
+        # slow past r7e scale, and the O(N²) far-field kernel grid faults
+        # at 568k): an 8x finer tier should move charges by less than the
         # coarse tier's own error scale if the approximation is stable
-        q_fine = np.asarray(jax.block_until_ready(fwd(q0, 256)))
+        q_fine = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 256)))
         print(f"{n:,} |q(C=32) - q(C=256)|max = "
               f"{float(np.abs(q_cl - q_fine).max()):.2e}", flush=True)
 

@@ -1545,7 +1545,9 @@ def test_benchmark_batch_times_the_served_tier(rng, monkeypatch):
     captured = {}
 
     def fake_chained(fn, q0_in, **kw):
-        captured["q"] = np.asarray(fn(q0_in))
+        ops = kw.get("operands")
+        captured["q"] = np.asarray(fn(q0_in) if ops is None
+                                   else fn(q0_in, ops))
         return {"mean_s": 0.0, "iters": 1, "method": "chained",
                 "warmup_loops": 0}
 
@@ -1590,3 +1592,68 @@ def test_near_row_chunk_bitwise_identical(rng, sel):
     with pytest.raises(ValueError, match="near_row_chunk requires"):
         forward_blocked(fused, x, q0, xyz, mask, cfg=cfg, block=40,
                         near_row_chunk=8)
+
+
+def test_predictor_near_row_chunk(rng, monkeypatch):
+    """Predictor huge-N memory mode: explicit near_row_chunk chunks the
+    blocked forward bitwise-identically (plain, reuse, and skin serving),
+    and the auto policy threads the builder row_chunk through the cell
+    grid tuple (4-tuple) with identical charges."""
+    import jax
+
+    from epnn_tpu import infer as infer_mod
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(5)
+    mol = Molecule(name="m", symbols=["C"] * 48,
+                   xyz=g.uniform(0, 9, (48, 3)).astype(np.float32),
+                   total_charge=0.0)
+    table = table_for_n_elems(9)
+    batch = pad_molecules([mol], table)
+
+    base = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    ref = base.predict_batch(batch)
+    chunked = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                        near_row_chunk=16)
+    np.testing.assert_array_equal(chunked.predict_batch(batch), ref)
+
+    # reuse + skin serving compose with the chunking (chunk identity is
+    # asserted within the mode — the skin selection itself widens k)
+    def skin_pred(**kw):
+        return Predictor(params=params, cfg=cfg, force_mode="blocked",
+                         reuse_neighbors=True, neighbor_skin=0.4,
+                         **kw).predict_batch(batch)
+
+    np.testing.assert_array_equal(skin_pred(near_row_chunk=16),
+                                  skin_pred(near_row_chunk=0))
+
+    # auto policy: below the threshold the chunk is off; above (patched
+    # small) the builder row_chunk rides the grid tuple and the charges
+    # stay identical to the unchunked cell-grid predictor
+    assert base._near_chunk(batch) == 0
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_MIN_ATOMS", 16)
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_ROW_CHUNK", 16)
+    monkeypatch.setattr(infer_mod, "CELL_GRID_MIN_ATOMS", 16)
+    cell_full = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                          near_row_chunk=0)
+    cell_auto = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    grid = cell_auto._neighbor_grid(batch)
+    assert len(grid) == 4 and grid[3] == 16
+    np.testing.assert_array_equal(cell_auto.predict_batch(batch),
+                                  cell_full.predict_batch(batch))
+    # reuse-path one-time build goes through the chunked cell builder at
+    # huge N (the O(N^2) top_k build would OOM there)
+    cell_reuse = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                           reuse_neighbors=True)
+    np.testing.assert_array_equal(cell_reuse.predict_batch(batch),
+                                  cell_auto.predict_batch(batch))
+    with pytest.raises(ValueError, match="near_row_chunk"):
+        Predictor(params=params, cfg=cfg, near_row_chunk=-2)
