@@ -642,10 +642,10 @@ def main(argv=None):
     # Select the JAX platform before any backend initializes.  This must go
     # through jax.config (not env vars): some environments preimport jax with
     # a pinned platform via sitecustomize, making JAX_PLATFORMS too late.
+    import jax
+
     platform = os.environ.get("EPNN_PLATFORM")
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
     cache_dir = os.environ.get("EPNN_COMPILE_CACHE", ".cache/jaxcache")
     # The persistent cache only helps where compiles are expensive (the
@@ -653,7 +653,14 @@ def main(argv=None):
     # on a different host steps on machine-feature mismatches (E-log spam,
     # potential SIGILL — the documented suite SIGABRT tell).  Default it
     # off on CPU; EPNN_COMPILE_CACHE=<dir> still forces it anywhere.
-    if cache_dir == ".cache/jaxcache" and platform == "cpu":
+    # The CPU check must read the EFFECTIVE platform, not just the env
+    # var: in-process callers (the test suite) flip the platform through
+    # jax.config without setting EPNN_PLATFORM — keying on the env var
+    # alone silently enabled the cache for the whole pytest process and
+    # segfaulted a later suite run at the first AOT cache LOAD.
+    effective = (platform or jax.config.jax_platforms or "")
+    if (cache_dir == ".cache/jaxcache"
+            and effective.split(",")[0].strip() == "cpu"):
         cache_dir = None
     if cache_dir and cache_dir != "0":
         import jax

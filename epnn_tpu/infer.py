@@ -412,6 +412,19 @@ class Predictor:
         mode = self.force_mode or (
             "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
         )
+        if (mode == "blocked" and self.far_cluster == 0
+                and batch.padded_atoms >= 2 * HUGE_GRAPH_MIN_ATOMS):
+            import warnings
+
+            warnings.warn(
+                f"exact far field at {batch.padded_atoms:,} padded atoms: "
+                "the O(N²) beyond-cutoff reduction is impractical at this "
+                "scale (~minutes/call) and the packed far-field kernel's "
+                "grid faults the device past ~0.5M atoms — set "
+                "far_cluster (bounded-error clustered tier, see "
+                "docs/SERVING.md) for huge graphs",
+                stacklevel=2,
+            )
         if mode == "dense":
             q = self._dense(batch.x, batch.q0, batch.xyz, batch.node_mask)
         elif self.neighbor_skin > 0:

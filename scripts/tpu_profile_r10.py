@@ -48,7 +48,8 @@ def _mem(tag):
         pass
 
 
-def stage_frontier(n=568320, with_exact=None):
+def stage_frontier(n=568320, with_exact=None, chunk=None, k_hint=0,
+                   skip_consistency=False):
     if with_exact is None:
         # the exact O(N²) far-field control hit a TPU device error at 568k
         # (the packed kernel's grid is ~4.9M cells there — past whatever
@@ -68,15 +69,21 @@ def stage_frontier(n=568320, with_exact=None):
     ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0], c.cutoff)
     # row_chunk bounds the builder's candidate gather: full-width
     # (N, 27, 5·cap) tile-padded OOMed the chip at 568k (16.2 GB asked)
-    chunk = 65536 if n > 200000 else 0
+    if chunk is None:
+        chunk = 65536 if n > 200000 else 0
     grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)), "slices",
             chunk)
-    t0 = time.time()
-    kcnt = int(build_neighbors_cell(z, m, c.cutoff, 1, grid[0], grid[1],
-                                    count_only=True, row_chunk=chunk))
-    k = int(round_up(kcnt + 4, 8))
-    print(f"cell count_only: k={k}, grid={grid} "
-          f"({time.time()-t0:.1f}s incl compile)", flush=True)
+    if k_hint:
+        k = int(k_hint)
+        print(f"k={k} (hint), grid={grid}", flush=True)
+    else:
+        t0 = time.time()
+        kcnt = int(build_neighbors_cell(z, m, c.cutoff, 1, grid[0],
+                                        grid[1], count_only=True,
+                                        row_chunk=chunk))
+        k = int(round_up(kcnt + 4, 8))
+        print(f"cell count_only: k={k}, grid={grid} "
+              f"({time.time()-t0:.1f}s incl compile)", flush=True)
 
     t0 = time.time()
     nbrs = jax.block_until_ready(build_neighbors_cell(
@@ -118,7 +125,7 @@ def stage_frontier(n=568320, with_exact=None):
         print(f"{n:,} clustered max|dq| vs exact = {dq:.2e}", flush=True)
         scan_time(f"{n:,} reuse exact", lambda qi, o: fwd(qi, o, 0), q0,
                   iters=1, operands=ops_all)
-    else:
+    elif not skip_consistency:
         # self-consistency diagnostic in place of the exact control (too
         # slow past r7e scale, and the O(N²) far-field kernel grid faults
         # at 568k): an 8x finer tier should move charges by less than the
@@ -126,9 +133,23 @@ def stage_frontier(n=568320, with_exact=None):
         q_fine = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 256)))
         print(f"{n:,} |q(C=32) - q(C=256)|max = "
               f"{float(np.abs(q_cl - q_fine).max()):.2e}", flush=True)
+    return k
+
+
+def stage_chunksweep(n=568320):
+    """A/B the huge-N chunk size at fixed N: bigger chunks mean fewer
+    lax.map iterations (less per-chunk launch + boundary-relayout
+    overhead) at more peak HBM — full-width at 142k fit, so ~131k-row
+    chunks should too."""
+    k = 0
+    for chunk in (65536, 131072, 196608):
+        print(f"=== chunk={chunk} ===", flush=True)
+        k = stage_frontier(n, with_exact=False, chunk=chunk, k_hint=k,
+                           skip_consistency=True)
 
 
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "frontier"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 568320
-    {"frontier": stage_frontier}[stage](n)
+    {"frontier": stage_frontier,
+     "chunksweep": stage_chunksweep}[stage](n)

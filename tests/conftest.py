@@ -27,6 +27,10 @@ import jax  # noqa: E402
 
 if os.environ.get("EPNN_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    # in-process CLI calls (tests/test_cli.py) key their compile-cache
+    # policy on the effective platform; the env var makes the intent
+    # explicit for any subprocess the suite spawns too
+    os.environ.setdefault("EPNN_PLATFORM", "cpu")
 
 # NO persistent compile cache for the suite.  It was tried (2× faster
 # warm runs) and is UNSAFE with XLA:CPU virtual-device collectives in

@@ -118,3 +118,20 @@ def test_infer_far_budget_flag_parses():
     assert a.far_budget == pytest.approx(1e-4)
     a2 = build_parser().parse_args(["infer", "--checkpoint", "c", "p"])
     assert a2.far_budget is None
+
+
+def test_cli_never_enables_compile_cache_on_cpu(tmp_path):
+    """cli.main() must NOT turn on the persistent compile cache when the
+    EFFECTIVE platform is CPU — in-process callers (this suite) flip the
+    platform via jax.config without setting EPNN_PLATFORM, and a cache
+    enabled mid-suite poisons every later compile: the NEXT suite run
+    segfaults at the first AOT cache LOAD (the documented XLA:CPU
+    feature-mismatch crash; reproduced 2026-08-19 in test_train via
+    entries written by an earlier in-process test_cli run)."""
+    import jax
+
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a.xyz").write_text("1\ngdb 1 2 3\nC\t0.0\t0.0\t0.0\t-0.1\n")
+    main(["convert-qm9", str(src), str(tmp_path / "conv")])
+    assert jax.config.jax_compilation_cache_dir is None
