@@ -136,13 +136,14 @@ def stage_frontier(n=568320, with_exact=None, chunk=None, k_hint=0,
     return k
 
 
-def stage_chunksweep(n=568320):
+def stage_chunksweep(n=568320, chunks=(65536, 131072, 196608)):
     """A/B the huge-N chunk size at fixed N: bigger chunks mean fewer
     lax.map iterations (less per-chunk launch + boundary-relayout
     overhead) at more peak HBM — full-width at 142k fit, so ~131k-row
-    chunks should too."""
+    chunks should too.  Include 0 at sizes where full-width fits to
+    attribute the chunking overhead directly."""
     k = 0
-    for chunk in (65536, 131072, 196608):
+    for chunk in chunks:
         print(f"=== chunk={chunk} ===", flush=True)
         k = stage_frontier(n, with_exact=False, chunk=chunk, k_hint=k,
                            skip_consistency=True)
@@ -151,5 +152,8 @@ def stage_chunksweep(n=568320):
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "frontier"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 568320
+    kw = {}
+    if stage == "chunksweep" and len(sys.argv) > 3:
+        kw["chunks"] = tuple(int(c) for c in sys.argv[3].split(","))
     {"frontier": stage_frontier,
-     "chunksweep": stage_chunksweep}[stage](n)
+     "chunksweep": stage_chunksweep}[stage](n, **kw)
