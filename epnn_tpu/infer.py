@@ -625,8 +625,13 @@ class Predictor:
         ``near_row_chunk``): the explicit setting, or the auto policy."""
         if self.near_row_chunk >= 0:
             return self.near_row_chunk
-        return (HUGE_GRAPH_ROW_CHUNK
-                if batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS else 0)
+        if batch.padded_atoms < HUGE_GRAPH_MIN_ATOMS:
+            return 0
+        from epnn_tpu.ops.fused import balanced_row_chunk
+        # balanced: same chunk count as the fixed bound, sized to the
+        # batch width — the chunked paths pad N up to a chunk multiple
+        # and run pad-proportionally slower (r10 568k sweep)
+        return balanced_row_chunk(batch.padded_atoms, HUGE_GRAPH_ROW_CHUNK)
 
     def _neighbor_grid(self, batch: MolBatch):
         """Static (ncells_pad, cell_cap[, layout, row_chunk]) for the

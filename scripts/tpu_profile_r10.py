@@ -48,14 +48,10 @@ def _mem(tag):
         pass
 
 
-def stage_frontier(n=568320, with_exact=None, chunk=None, k_hint=0,
-                   skip_consistency=False):
-    if with_exact is None:
-        # the exact O(N²) far-field control hit a TPU device error at 568k
-        # (the packed kernel's grid is ~4.9M cells there — past whatever
-        # Mosaic tolerates); past r7e scale the accuracy control is the
-        # C=256 self-consistency diagnostic instead
-        with_exact = n <= 150000
+def _setup(n, chunk=None, k_hint=0):
+    """Shared stage setup: synth system, device arrays, neighbor tables,
+    and the jittable forward closure.  Returns (fwd, q0, ops_all, k,
+    grid, mol)."""
     params, cfg, table, fused = load_decay()
     t0 = time.time()
     mol = synth_molecule(n, np.random.default_rng(0))
@@ -107,6 +103,19 @@ def stage_frontier(n=568320, with_exact=None, chunk=None, k_hint=0,
             neighbor_grid=grid, uniform_q0=True, far_cluster=fc,
             near_row_chunk=chunk)[0]
 
+    return fwd, q0, ops_all, k, grid, mol
+
+
+def stage_frontier(n=568320, with_exact=None, chunk=None, k_hint=0,
+                   skip_consistency=False):
+    if with_exact is None:
+        # the exact O(N²) far-field control hit a TPU device error at 568k
+        # (the packed kernel's grid is ~4.9M cells there — past whatever
+        # Mosaic tolerates); past r7e scale the accuracy control is the
+        # C=256 self-consistency diagnostic instead
+        with_exact = n <= 150000
+    fwd, q0, ops_all, k, grid, mol = _setup(n, chunk=chunk, k_hint=k_hint)
+
     t0 = time.time()
     q_cl = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 32)))
     print(f"first clustered forward: {time.time()-t0:.1f}s (incl compile)",
@@ -149,6 +158,40 @@ def stage_chunksweep(n=568320, chunks=(65536, 131072, 196608)):
                            skip_consistency=True)
 
 
+def stage_verify568(n=568320):
+    """Attribute the 568k scaling anomaly (18.4× of 142k for 4× atoms ×
+    1.25 k — pad waste + intrinsic chunking measured only ~10% at 142k):
+
+      1. re-measure reuse at the BALANCED chunk (the new Predictor auto
+         policy) with iters=10 — the frontier's 3-iter scans leave the
+         executable inside the per-executable inflation window;
+      2. trace 3 iters and report the parsed device-time anatomy
+         (``python scripts/trace_parse.py /tmp/trace_r10_568k 3``).
+    """
+    from epnn_tpu.ops.fused import balanced_row_chunk
+
+    chunk = balanced_row_chunk(n, 65536)
+    print(f"balanced chunk = {chunk}", flush=True)
+    fwd, q0, ops_all, k, grid, mol = _setup(n, chunk=chunk, k_hint=40)
+
+    q_cl = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 32)))
+    cons = abs(float(q_cl.sum()) - mol.total_charge)
+    print(f"{n:,} clustered conservation |dQ| = {cons:.2e}", flush=True)
+    _mem("fc32")
+    scan_time(f"{n:,} reuse C=32 balanced i10", lambda qi, o: fwd(qi, o, 32),
+              q0, iters=10, operands=ops_all)
+
+    trace_dir = "/tmp/trace_r10_568k"
+    step = jax.jit(lambda qi, o: fwd(qi, o, 32))
+    step(q0, ops_all).block_until_ready()
+    with jax.profiler.trace(trace_dir):
+        qq = q0
+        for _ in range(3):
+            qq = step(qq, ops_all)
+        qq.block_until_ready()
+    print(f"trace written to {trace_dir} (3 iters)", flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "frontier"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 568320
@@ -156,4 +199,5 @@ if __name__ == "__main__":
     if stage == "chunksweep" and len(sys.argv) > 3:
         kw["chunks"] = tuple(int(c) for c in sys.argv[3].split(","))
     {"frontier": stage_frontier,
-     "chunksweep": stage_chunksweep}[stage](n, **kw)
+     "chunksweep": stage_chunksweep,
+     "verify568": stage_verify568}[stage](n, **kw)

@@ -1657,3 +1657,43 @@ def test_predictor_near_row_chunk(rng, monkeypatch):
                                   cell_auto.predict_batch(batch))
     with pytest.raises(ValueError, match="near_row_chunk"):
         Predictor(params=params, cfg=cfg, near_row_chunk=-2)
+
+
+def test_balanced_row_chunk():
+    """Auto chunk sizing minimizes pad waste: the chunked paths pad N up
+    to a chunk multiple and run pad-proportionally slower (r10 568k sweep:
+    15% pad -> 14% slower), so the auto policy rebalances the chunk to
+    ceil(n/chunks) instead of a fixed bound."""
+    import types
+
+    import jax
+
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+    from epnn_tpu.ops.fused import balanced_row_chunk
+
+    # 568,320 at bound 65,536: 9 chunks, 63,232 rows -> 768 pad rows
+    # (the fixed bound padded 21,504)
+    assert balanced_row_chunk(568320, 65536) == 63232
+    # exact division when it exists
+    assert balanced_row_chunk(142080, 65536) == 47360
+    # n <= bound / bound off: unchanged
+    assert balanced_row_chunk(1000, 65536) == 65536
+    assert balanced_row_chunk(1000, 0) == 0
+
+    for n in (200001, 262144, 300000, 555555, 1136640):
+        c = balanced_row_chunk(n, 65536)
+        assert 0 < c <= 65536 and c % 256 == 0
+        # same chunk count as the fixed bound; pad bounded by alignment
+        assert -(-n // c) == -(-n // 65536)
+        assert -(-n // c) * c - n < 256 * -(-n // 65536)
+
+    # the Predictor auto policy uses it (no device work: policy only)
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    pred = Predictor(params=init_params(cfg, jax.random.key(0)), cfg=cfg)
+    fake = types.SimpleNamespace(padded_atoms=568320)
+    assert pred._near_chunk(fake) == 63232
+    assert Predictor(params=pred.params, cfg=cfg,
+                     near_row_chunk=65536)._near_chunk(fake) == 65536
