@@ -48,13 +48,31 @@ def _mem(tag):
         pass
 
 
-def _setup(n, chunk=None, k_hint=0):
+def _cell_sorted(mol, cutoff):
+    """r7g's spatial ordering: stable-sort atoms by cutoff-sided cell id
+    (z-major).  Neutral at 17,760 where the gather tables fit on-chip;
+    at 568k the r10 trace shows the pj/pp row gathers pay DRAM-page
+    misses (13 ns/row vs 4.6 small-N), so locality is re-tested here."""
+    xyz = mol.xyz
+    lo = xyz.min(0)
+    cell = np.floor((xyz - lo) / cutoff).astype(np.int64)
+    nmax = int(cell.max()) + 1
+    key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+    perm = np.argsort(key, kind="stable")
+    return type(mol)(name=mol.name,
+                     symbols=[mol.symbols[i] for i in perm],
+                     xyz=xyz[perm], total_charge=mol.total_charge)
+
+
+def _setup(n, chunk=None, k_hint=0, order="random"):
     """Shared stage setup: synth system, device arrays, neighbor tables,
     and the jittable forward closure.  Returns (fwd, q0, ops_all, k,
     grid, mol)."""
     params, cfg, table, fused = load_decay()
     t0 = time.time()
     mol = synth_molecule(n, np.random.default_rng(0))
+    if order == "cell":
+        mol = _cell_sorted(mol, cfg.cutoff)
     bb = pad_molecules([mol], table, pad_to=n)
     print(f"host featurize+pad: {time.time()-t0:.1f}s", flush=True)
     c = cfg.replace(matmul_precision="default")
@@ -192,6 +210,57 @@ def stage_verify568(n=568320):
     print(f"trace written to {trace_dir} (3 iters)", flush=True)
 
 
+def stage_order568(n=568320):
+    """A/B spatial atom ordering at huge N (one process, one compile —
+    both orders share every shape).  The r10 trace attributes 2.4 s of
+    the 3.6 s 568k forward to the per-round pj/pp row gathers
+    (fusion.362/374); r7g measured ordering NEUTRAL at 17,760, but
+    there the (N, 64) gather table is ~4.5 MB (on-chip) — at 568k it is
+    145 MB and every random row is a DRAM page miss."""
+    from epnn_tpu.ops.fused import balanced_row_chunk
+
+    chunk = balanced_row_chunk(n, 65536)
+    print(f"balanced chunk = {chunk}", flush=True)
+    for order in ("random", "cell"):
+        fwd, q0, ops_all, k, grid, mol = _setup(n, chunk=chunk, k_hint=40,
+                                                order=order)
+        q_cl = np.asarray(jax.block_until_ready(fwd(q0, ops_all, 32)))
+        cons = abs(float(q_cl.sum()) - mol.total_charge)
+        scan_time(f"{n:,} reuse C=32 {order:6s} (|dQ|={cons:.1e})",
+                  lambda qi, o: fwd(qi, o, 32), q0, iters=10,
+                  operands=ops_all)
+
+
+def stage_hlo568(n=568320):
+    """Dump the optimized HLO of the exact program stage_verify568 traced
+    (same chunk/k/shapes) and report the definitions of the named hot
+    fusions from the parsed trace, so 'fusion.374' etc. become ops."""
+    from epnn_tpu.ops.fused import balanced_row_chunk
+
+    chunk = balanced_row_chunk(n, 65536)
+    print(f"balanced chunk = {chunk}", flush=True)
+    fwd, q0, ops_all, k, grid, mol = _setup(n, chunk=chunk, k_hint=40)
+
+    print("lower+compile...", flush=True)
+    t0 = time.time()
+    compiled = jax.jit(lambda qi, o: fwd(qi, o, 32)).lower(
+        q0, ops_all).compile()
+    txt = compiled.as_text()
+    path = "/tmp/r10_568k_serving.hlo"
+    with open(path, "w") as f:
+        f.write(txt)
+    print(f"optimized HLO: {len(txt)/1e6:.1f} MB -> {path} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    want = [w + " = " for w in sys.argv[3].split(",")] if len(
+        sys.argv) > 3 else ["fusion.374 = ", "fusion.362 = "]
+    for ln in txt.splitlines():
+        s = ln.strip()
+        if any(s.startswith(w) or s.split("%")[-1].startswith(w)
+               for w in want):
+            print(s[:400], flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "frontier"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 568320
@@ -200,4 +269,6 @@ if __name__ == "__main__":
         kw["chunks"] = tuple(int(c) for c in sys.argv[3].split(","))
     {"frontier": stage_frontier,
      "chunksweep": stage_chunksweep,
-     "verify568": stage_verify568}[stage](n, **kw)
+     "verify568": stage_verify568,
+     "order568": stage_order568,
+     "hlo568": stage_hlo568}[stage](n, **kw)

@@ -1,0 +1,96 @@
+"""Round-11 battery (one TPU process): the v5e gather cost model at
+huge N, and levers against it.
+
+  python scripts/tpu_profile_r11.py gatherbench
+
+Motivation (r10 trace + HLO of the 568k chunked serving forward,
+/tmp/r10_568k_serving.hlo): 2.4 s of the 3.6 s forward is TWO pure row
+gathers — pp[idx] in the pass rounds (fusion.374: (2.53M, 64) from
+(568k, 64) row-major, 13.2 ns/row) and pj[idx] in the message rounds
+(fusion.362: (2.53M, 32) from a column-major (568k, 32) table,
+9.8 ns/row).  r7g/r10 order A/Bs show spatial locality is NEUTRAL even
+at 568k (3613 vs 3624 ms), so the cost is per-row dispatch.  This
+battery pins the model: ns/row as a function of table rows, row width,
+dtype, index order, and chunking — the numbers decide between
+"halve the rows" restructurings (undirected pair lists + scatter-add)
+and "free width" ones (wider fused gathers).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from scripts.profile_util import scan_time, setup_cache  # noqa: E402
+
+setup_cache()
+
+
+def _time_gather(tag, table, idx, iters=30):
+    """ns/row for y = table[idx] with a data dependency through the chain
+    (y's first element feeds the next iteration's index offset mod 1)."""
+    m = int(np.prod(idx.shape))
+
+    def step(carry, ops):
+        tbl, ix = ops
+        # fold the carry into the index stream so iterations serialize
+        ix = jnp.clip(ix + carry.astype(jnp.int32), 0, tbl.shape[0] - 1)
+        y = tbl[ix]
+        return (y.ravel()[0] * 0).astype(jnp.float32), None
+
+    @jax.jit
+    def run(c0, ops):
+        c, _ = jax.lax.scan(lambda c, _: step(c, ops), c0, None,
+                            length=iters)
+        return c
+
+    ops = (table, idx)
+    run(jnp.zeros((), jnp.float32), ops).block_until_ready()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(jnp.zeros((), jnp.float32), ops).block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    print(f"{tag:<58s} {best*1e3:9.3f} ms  {best*1e9/m:7.2f} ns/row",
+          flush=True)
+    return best
+
+
+def stage_gatherbench():
+    rng = np.random.default_rng(0)
+    m = 2_529_280  # one 568k chunk's rows (63232 x 40)
+
+    for n in (17_760, 142_080, 568_320):
+        idx_r = jnp.asarray(rng.integers(0, n, size=m, dtype=np.int32))
+        idx_s = jnp.sort(idx_r)
+        for w in (8, 32, 64, 128):
+            tbl = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+            _time_gather(f"N={n:>7,} w={w:>3} f32 random", tbl, idx_r)
+        tbl64 = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+        _time_gather(f"N={n:>7,} w= 64 f32 sorted", tbl64, idx_s)
+        tb16 = tbl64.astype(jnp.bfloat16)
+        _time_gather(f"N={n:>7,} w= 64 bf16 random", tb16, idx_r)
+
+    # row-count scaling at fixed table (does ns/row depend on M?)
+    n = 568_320
+    tbl = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+    for mm in (316_160, 632_320, 2_529_280, 5_058_560):
+        idx = jnp.asarray(rng.integers(0, n, size=mm, dtype=np.int32))
+        _time_gather(f"N={n:>7,} w= 64 f32 M={mm:>9,}", tbl, idx)
+
+    # 2-D (rows, k) index shape as the forward uses it (vs flat)
+    idx2 = jnp.asarray(
+        rng.integers(0, n, size=(63_232, 40), dtype=np.int32))
+    _time_gather(f"N={n:>7,} w= 64 f32 idx2d (63232,40)", tbl, idx2)
+
+
+if __name__ == "__main__":
+    stage = sys.argv[1] if len(sys.argv) > 1 else "gatherbench"
+    {"gatherbench": stage_gatherbench}[stage]()
