@@ -42,7 +42,10 @@ def _time_gather(tag, table, idx, iters=30):
         # fold the carry into the index stream so iterations serialize
         ix = jnp.clip(ix + carry.astype(jnp.int32), 0, tbl.shape[0] - 1)
         y = tbl[ix]
-        return (y.ravel()[0] * 0).astype(jnp.float32), None
+        # consume EVERY gathered element (y[0,0]-style probes get the rest
+        # of the gather DCE'd to a 1-row gather) and keep the value ~0 so
+        # the index stream is unchanged while the compiler can't know it
+        return jnp.sum(y, dtype=jnp.float32) * jnp.float32(1e-38), None
 
     @jax.jit
     def run(c0, ops):
@@ -51,11 +54,13 @@ def _time_gather(tag, table, idx, iters=30):
         return c
 
     ops = (table, idx)
-    run(jnp.zeros((), jnp.float32), ops).block_until_ready()
+    # HOST READBACK, not block_until_ready — the tunnel acks early
+    # (CLAUDE.md timing rule); np.asarray forces the real round trip
+    np.asarray(run(jnp.zeros((), jnp.float32), ops))
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        run(jnp.zeros((), jnp.float32), ops).block_until_ready()
+        np.asarray(run(jnp.zeros((), jnp.float32), ops))
         dt = (time.perf_counter() - t0) / iters
         best = dt if best is None else min(best, dt)
     print(f"{tag:<58s} {best*1e3:9.3f} ms  {best*1e9/m:7.2f} ns/row",
@@ -91,6 +96,76 @@ def stage_gatherbench():
     _time_gather(f"N={n:>7,} w= 64 f32 idx2d (63232,40)", tbl, idx2)
 
 
+def stage_gathercliff():
+    """Pin the fast->slow gather boundary in table BYTES (gatherbench:
+    36 MB tables gather at 2.8 ns/row, 72 MB at 10.9 — width and row
+    count ruled out), then A/B the WINDOWED pattern: lax.map chunks that
+    dynamic-slice a contiguous sub-table under the cliff and gather with
+    window-relative indices — the exact-value fix if it hits the fast
+    rate (gather semantics unchanged, same rows, same order)."""
+    rng = np.random.default_rng(0)
+    m = 2_529_280
+    w = 64
+
+    # bytes sweep at fixed M and width: rows -> table MB
+    for n in (142_080, 196_608, 229_376, 262_144, 294_912, 393_216,
+              568_320):
+        idx = jnp.asarray(rng.integers(0, n, size=m, dtype=np.int32))
+        tbl = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+        mb = n * w * 4 / 2**20
+        _time_gather(f"bytes sweep N={n:>7,} ({mb:6.1f} MB)", tbl, idx)
+
+    # windowed gather: 9 chunks of 63232 rows; chunk c's indices fall in
+    # [start_c, start_c + win) — the cell-sorted neighbor structure
+    n = 568_320
+    tbl = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+    nch, rows, k = 9, 63_232, 40
+    for win in (98_304, 131_072):
+        starts = np.minimum(np.maximum(np.arange(nch) * rows - 17_536, 0),
+                            n - win).astype(np.int32)
+        idx_rel = rng.integers(0, win, size=(nch, rows, k),
+                               dtype=np.int32)
+        idx_abs = jnp.asarray(idx_rel + starts[:, None, None])
+        idx_rel = jnp.asarray(idx_rel)
+        starts_d = jnp.asarray(starts)
+
+        # direct: one flat gather of the same absolute indices
+        _time_gather(f"direct   568k win={win:>7,}", tbl,
+                     idx_abs.reshape(-1))
+
+        # windowed: slice + relative gather per chunk
+        def step_w(carry, ops):
+            tbl_, idxr, sts = ops
+
+            def one(ops_c):
+                idx_c, s_c = ops_c
+                window = jax.lax.dynamic_slice(
+                    tbl_, (s_c + carry.astype(jnp.int32), 0), (win, w))
+                return jnp.sum(window[idx_c], dtype=jnp.float32)
+
+            tot = jax.lax.map(one, (idxr, sts))
+            return jnp.sum(tot) * jnp.float32(1e-38), None
+
+        @jax.jit
+        def run_w(c0, ops):
+            c, _ = jax.lax.scan(lambda c, _: step_w(c, ops), c0, None,
+                                length=30)
+            return c
+
+        ops = (tbl, idx_rel, starts_d)
+        np.asarray(run_w(jnp.zeros((), jnp.float32), ops))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run_w(jnp.zeros((), jnp.float32), ops))
+            dt = (time.perf_counter() - t0) / 30
+            best = dt if best is None else min(best, dt)
+        mtot = nch * rows * k
+        print(f"{f'windowed 568k win={win:>7,}':<58s} {best*1e3:9.3f} ms"
+              f"  {best*1e9/mtot:7.2f} ns/row", flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "gatherbench"
-    {"gatherbench": stage_gatherbench}[stage]()
+    {"gatherbench": stage_gatherbench,
+     "gathercliff": stage_gathercliff}[stage]()
