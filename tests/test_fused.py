@@ -1594,6 +1594,92 @@ def test_near_row_chunk_bitwise_identical(rng, sel):
                         near_row_chunk=8)
 
 
+def test_near_window_bitwise_identical(rng):
+    """Windowed huge-N gathers (near_window: per-chunk dynamic-slice
+    windows at window-relative indices — the r11 gather-cliff fix) must be
+    BITWISE identical to the unwindowed chunked forward and the full-width
+    forward whenever the window covers every chunk's neighbor-index
+    spread.  Exercised on a spatially ORDERED geometry (atoms on a line,
+    neighbor indices local) so the window is genuinely smaller than N."""
+    from epnn_tpu.ops.fused import (build_neighbors, max_neighbor_count,
+                                    neighbor_window_width)
+
+    cfg = EPNNConfig(T=2)
+    n, n_real = 64, 58
+    params, fused, x, q0, xyz, mask, _ = build(rng, cfg, b=1, n=n,
+                                               n_real=n_real)
+    # line geometry: neighbor index spread ~ 2*cutoff/spacing + 1 << n
+    line = np.zeros((1, n, 3), np.float32)
+    line[0, :, 0] = np.arange(n) * 1.1
+    line[0, n_real:] = 0
+    xyz = line * mask[..., None]
+    k = int(max_neighbor_count(xyz[0], mask[0], cfg.cutoff)) + 2
+    idx, nbr_mask, d2 = build_neighbors(xyz[0], mask[0], cfg.cutoff, k,
+                                        with_d2=True)
+    nbrs = (idx[None], nbr_mask[None], d2[None])
+
+    chunk = 16
+    win = neighbor_window_width(nbrs[0], nbrs[1], chunk, align=8)
+    assert 0 < win < n  # the window path is actually exercised
+
+    kw = dict(cfg=cfg, block=n, neighbor_k=k, neighbors=nbrs)
+    for extra in ({}, {"far_cluster": 4}):
+        ref_full = np.asarray(forward_blocked(fused, x, q0, xyz, mask,
+                                              **kw, **extra))
+        ref_chunk = np.asarray(forward_blocked(
+            fused, x, q0, xyz, mask, near_row_chunk=chunk, **kw, **extra))
+        np.testing.assert_array_equal(ref_chunk, ref_full)
+        out = np.asarray(forward_blocked(
+            fused, x, q0, xyz, mask, near_row_chunk=chunk,
+            near_window=win, **kw, **extra))
+        np.testing.assert_array_equal(out, ref_full)
+        # window >= n is statically treated as off (same program)
+        out_big = np.asarray(forward_blocked(
+            fused, x, q0, xyz, mask, near_row_chunk=chunk,
+            near_window=n + 8, **kw, **extra))
+        np.testing.assert_array_equal(out_big, ref_full)
+
+    # a too-small window mask-drops out-of-window pairs DETERMINISTICALLY
+    # (never garbage reads): repeat calls agree, result differs from ref
+    small1 = np.asarray(forward_blocked(
+        fused, x, q0, xyz, mask, near_row_chunk=chunk, near_window=8, **kw))
+    small2 = np.asarray(forward_blocked(
+        fused, x, q0, xyz, mask, near_row_chunk=chunk, near_window=8, **kw))
+    np.testing.assert_array_equal(small1, small2)
+
+    with pytest.raises(ValueError, match="near_window requires"):
+        forward_blocked(fused, x, q0, xyz, mask, cfg=cfg, block=n,
+                        neighbor_k=k, near_window=16)
+
+
+def test_neighbor_window_width():
+    """Safe-width helper: covers the true spread, restarts chunks per
+    graph, rounds to align, returns n-capped widths for random order and
+    0 when chunking is off."""
+    from epnn_tpu.ops.fused import neighbor_window_width
+
+    n, k = 32, 4
+    idx = np.zeros((n, k), np.int32)
+    m = np.ones((n, k), np.float32)
+    # rows 0..15 point near themselves; rows 16.. point across the table
+    idx[:16] = np.arange(16)[:, None] + np.arange(k)[None, :] % 3
+    idx[16:] = 0
+    idx[16:, -1] = n - 1
+    assert neighbor_window_width(idx[:16], m[:16], 8, align=4) == 12
+    # second chunk spans the whole table -> capped at n
+    assert neighbor_window_width(idx, m, 16, align=4) == n
+    assert neighbor_window_width(idx, m, 0, align=4) == 0
+    # masked entries are ignored
+    m2 = m.copy()
+    m2[16:, -1] = 0
+    w = neighbor_window_width(idx, m2, 16, align=4)
+    assert w == 20  # chunk 2's valid indices are all 0 -> width 1; chunk 1 spans 18 -> align 20
+    # batched: chunking restarts per graph
+    idxb = np.stack([idx[:16], idx[:16]])
+    mb = np.stack([m[:16], m[:16]])
+    assert neighbor_window_width(idxb, mb, 8, align=4) == 12
+
+
 def test_predictor_near_row_chunk(rng, monkeypatch):
     """Predictor huge-N memory mode: explicit near_row_chunk chunks the
     blocked forward bitwise-identically (plain, reuse, and skin serving),
