@@ -165,7 +165,65 @@ def stage_gathercliff():
               f"  {best*1e9/mtot:7.2f} ns/row", flush=True)
 
 
+def stage_window568(n=568320):
+    """Hardware A/B of the windowed chunked forward at 568k (cell-sorted
+    atoms): exactness gate (windowed vs plain chunked on the SAME order
+    must be bitwise — same gathered values, same sum order) + reuse
+    timing.  Expected from the microbench: the 2.4 s gather bill drops
+    ~4× -> forward ~3.6 -> ~1.8-2.0 s."""
+    from scripts.tpu_profile_r10 import _setup
+    from epnn_tpu.ops.fused import (balanced_row_chunk,
+                                    neighbor_window_width)
+
+    chunk = balanced_row_chunk(n, 65536)
+    fwd, q0, ops_all, k, grid, mol = _setup(n, chunk=chunk, k_hint=40,
+                                            order="cell")
+    idx_b, mask_b = ops_all[3][0], ops_all[3][1]
+    win = neighbor_window_width(np.asarray(idx_b), np.asarray(mask_b),
+                                chunk)
+    print(f"chunk={chunk}  near_window={win} "
+          f"({win * 64 * 4 / 2**20:.1f} MB pp window)", flush=True)
+
+    from epnn_tpu.ops.fused import forward_blocked
+
+    # rebuild the closure with near_window (mirrors _setup's fwd)
+    from scripts.profile_util import load_decay
+    params, cfg, table, fused = load_decay()
+    c = cfg.replace(matmul_precision="default")
+
+    def fwd2(q0_in, ops_, fc, window=0):
+        x_, z_, m_, nbrs_ = ops_
+        return forward_blocked(
+            fused, x_[None], q0_in[None], z_[None], m_[None], c, block=256,
+            neighbor_k=k, use_pallas=True, neighbors=nbrs_,
+            neighbor_grid=grid, uniform_q0=True, far_cluster=fc,
+            near_row_chunk=chunk, near_window=window)[0]
+
+    q_plain = np.asarray(jax.block_until_ready(fwd2(q0, ops_all, 32)))
+    q_win = np.asarray(jax.block_until_ready(fwd2(q0, ops_all, 32,
+                                                  window=win)))
+    dq = float(np.abs(q_plain - q_win).max())
+    print(f"windowed vs plain max|dq| = {dq:.3e} "
+          f"({'BITWISE' if dq == 0 else 'NOT bitwise'})", flush=True)
+    cons = abs(float(q_win.sum()) - mol.total_charge)
+    print(f"windowed conservation |dQ| = {cons:.2e}", flush=True)
+
+    scan_time(f"{n:,} reuse C=32 plain    ", lambda qi, o: fwd2(qi, o, 32),
+              q0, iters=10, operands=ops_all)
+    scan_time(f"{n:,} reuse C=32 windowed ",
+              lambda qi, o: fwd2(qi, o, 32, window=win),
+              q0, iters=10, operands=ops_all)
+    # exact far field is the frontier's other mode; window the near path
+    # under it too (far_cluster=0 faults at 568k per r10 — skip; use C=256)
+    scan_time(f"{n:,} reuse C=256 windowed",
+              lambda qi, o: fwd2(qi, o, 256, window=win),
+              q0, iters=3, operands=ops_all)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "gatherbench"
+    kw = {"n": int(sys.argv[2])} if (len(sys.argv) > 2
+                                     and stage == "window568") else {}
     {"gatherbench": stage_gatherbench,
-     "gathercliff": stage_gathercliff}[stage]()
+     "gathercliff": stage_gathercliff,
+     "window568": stage_window568}[stage](**kw)
