@@ -184,6 +184,25 @@ def _make_predictor(args, **kw):
     return Predictor(params=pred.params, cfg=cfg, **kw)
 
 
+def _add_window_flags(p):
+    """Windowed huge-N gather knobs shared by infer/bench (r11: 568k
+    serving 3.61 s -> 1.07 s, bitwise-identical charges)."""
+    p.add_argument("--near-window", type=int, default=-1, metavar="W",
+                   dest="near_window",
+                   help="windowed huge-N gathers: per-chunk dynamic-slice "
+                        "windows of W rows keep the gather tables under "
+                        "the v5e ~60 MB staging cliff (bitwise-identical "
+                        "charges when W covers each chunk's neighbor-index "
+                        "spread). -1 = auto (measured from the serving "
+                        "tables when chunking is active), 0 = off")
+    p.add_argument("--spatial-sort", choices=("auto", "on", "off"),
+                   default="auto", dest="spatial_sort",
+                   help="cell-sort atoms internally so windowed gathers "
+                        "get compact windows (charges return in input "
+                        "order; fp-association-level change only). auto = "
+                        "on for huge-N serving (reuse + chunked)")
+
+
 def cmd_infer(args):
     from epnn_tpu.data import load_directory, load_molecule
     from epnn_tpu.infer import Predictor
@@ -197,6 +216,10 @@ def cmd_infer(args):
         kw["far_cluster"] = args.far_cluster
     if getattr(args, "near_row_chunk", -1) != -1:
         kw["near_row_chunk"] = args.near_row_chunk
+    if getattr(args, "near_window", -1) != -1:
+        kw["near_window"] = args.near_window
+    if getattr(args, "spatial_sort", "auto") != "auto":
+        kw["spatial_sort"] = args.spatial_sort
     shard = getattr(args, "atom_shard", 0) or getattr(args, "ring_shard", 0)
     if shard:
         from epnn_tpu.parallel import make_mesh
@@ -328,6 +351,10 @@ def cmd_bench(args):
         kw["far_cluster"] = args.far_cluster
     if getattr(args, "near_row_chunk", -1) != -1:
         kw["near_row_chunk"] = args.near_row_chunk
+    if getattr(args, "near_window", -1) != -1:
+        kw["near_window"] = args.near_window
+    if getattr(args, "spatial_sort", "auto") != "auto":
+        kw["spatial_sort"] = args.spatial_sort
     pred = _make_predictor(
         args, reuse_neighbors=getattr(args, "reuse_neighbors", False), **kw)
     mol = load_molecule(args.path)
@@ -546,6 +573,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "charges, bounded HBM — graphs past ~0.5M atoms "
                         "need it on one 16 GB chip). -1 = auto (on past "
                         "200k padded atoms), 0 = off")
+    _add_window_flags(p)
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("import-ckpt", help="TF checkpoint -> native format")
@@ -633,6 +661,7 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="near_row_chunk",
                    help="huge-N memory mode (see `infer --near-row-chunk`); "
                         "-1 = auto, 0 = off")
+    _add_window_flags(p)
     p.set_defaults(fn=cmd_bench)
 
     return ap

@@ -147,6 +147,34 @@ class Predictor:
     #: ``> 0`` = explicit chunk size.  The sharded mesh paths ignore it
     #: (each device already holds only N/D rows).
     near_row_chunk: int = -1
+    #: Windowed huge-N gathers (single-chip chunked path): the per-round
+    #: pj/pp row gathers — 72% of the 568k forward (r11 trace) — read
+    #: through per-chunk dynamic-slice windows at the sub-cliff gather
+    #: rate when every chunk's neighbor-index spread fits the window
+    #: (568k serving 3.61 s → 1.07 s, BITWISE-identical charges).
+    #: Compact windows need spatially ordered atoms — see
+    #: ``spatial_sort``.  ``-1`` (default) = auto: when the chunked mode
+    #: is active and precomputed neighbor tables exist (serving / skin
+    #: MD), measure the safe width from the tables and window if it
+    #: helps (width < padded N); ``0`` = force off; ``> 0`` = explicit
+    #: width in rows (trusted — out-of-window pairs are deterministically
+    #: mask-dropped, surfacing as a conservation error, never garbage).
+    near_window: int = -1
+    #: Spatial atom ordering for huge graphs: ``'auto'`` cell-sorts each
+    #: graph's atoms (z-major cutoff-sided cell key, the r7g ordering)
+    #: whenever the huge-N chunked mode is active, so the windowed
+    #: gathers above get compact windows; charges are returned in the
+    #: CALLER's atom order (the permutation is internal).  In skin-MD
+    #: mode the permutation follows the Verlet criterion: it is kept
+    #: while no atom drifts more than skin/2 from the sort geometry
+    #: (windows stay compact under bounded drift), so the per-step cost
+    #: is one O(N) host re-permute of the coordinates.  ``'on'`` forces
+    #: sorting for every blocked-path batch; ``'off'`` disables (windows
+    #: then depend on the caller's own ordering).  Sorting changes
+    #: per-atom charges only at fp-association level (neighbor sums are
+    #: d²-ordered; the clustered far tier's k-means fit sees permuted
+    #: rows) — conservation and the error bounds are unchanged.
+    spatial_sort: str = "auto"
 
     def __post_init__(self):
         self._model = EPNN(self.cfg)
@@ -176,6 +204,20 @@ class Predictor:
         if self.near_row_chunk < -1:
             raise ValueError("near_row_chunk must be -1 (auto), 0 (off), "
                              "or a positive chunk size")
+        if self.near_window < -1:
+            raise ValueError("near_window must be -1 (auto), 0 (off), or "
+                             "a positive width in rows")
+        if self.spatial_sort not in ("auto", "on", "off"):
+            raise ValueError("spatial_sort must be 'auto', 'on', or 'off'")
+        # spatial ordering state: batch -> [crc, perm, inv, batch2, xyz0]
+        self._sort_cache: "weakref.WeakKeyDictionary" = \
+            weakref.WeakKeyDictionary()
+        # batch -> {window key: width} (keys carry the table provenance:
+        # geometry fingerprint for plain reuse, the rebuild counter for
+        # skin mode — id()-keyed caches can serve a recycled id a stale
+        # width, which would silently mask-drop pairs)
+        self._winw_cache: "weakref.WeakKeyDictionary" = \
+            weakref.WeakKeyDictionary()
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -374,6 +416,20 @@ class Predictor:
         return q
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
+        mode = self.force_mode or (
+            "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
+        )
+        if mode == "blocked" and self.mesh is None:
+            view = self._spatial_view(batch)
+            if view is not None:
+                # run on the internal cell-sorted twin (compact windowed
+                # gathers), return charges in the caller's atom order
+                batch2, inv = view
+                q = self._predict_batch_inner(batch2)
+                return np.take_along_axis(np.asarray(q), inv, axis=1)
+        return self._predict_batch_inner(batch)
+
+    def _predict_batch_inner(self, batch: MolBatch) -> np.ndarray:
         if (self.mesh is not None and self.far_cluster > 0
                 and self.shard_mode != "ring"
                 and batch.padded_atoms <= DENSE_MAX_ATOMS):
@@ -433,6 +489,7 @@ class Predictor:
             # program — one dispatch per MD step (a separate
             # refresh_neighbor_d2 call would be a second tunnel RPC)
             idx0, mask0 = self._neighbors_skin(batch)
+            chunk = self._near_chunk(batch)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
@@ -440,19 +497,27 @@ class Predictor:
                 use_pallas=self._use_pallas(), neighbors=(idx0, mask0),
                 uniform_q0=self._uniform_q0(batch),
                 far_cluster=self.far_cluster,
-                near_row_chunk=self._near_chunk(batch),
+                near_row_chunk=chunk,
+                near_window=self._near_window_for(
+                    batch, (idx0, mask0), chunk,
+                    ("skin", self.skin_rebuilds)),
             )
         else:
             k = self._neighbor_k(batch)
+            nbrs = self._neighbors(batch, max(k, 1))
+            chunk = self._near_chunk(batch)
             q = forward_blocked(
                 self._fused, batch.x, batch.q0, batch.xyz, batch.node_mask,
                 self.cfg, block=min(self.block, batch.padded_atoms),
                 neighbor_k=max(k, 1), use_pallas=self._use_pallas(),
-                neighbors=self._neighbors(batch, max(k, 1)),
+                neighbors=nbrs,
                 neighbor_grid=self._neighbor_grid(batch),
                 uniform_q0=self._uniform_q0(batch),
                 far_cluster=self.far_cluster,
-                near_row_chunk=self._near_chunk(batch),
+                near_row_chunk=chunk,
+                near_window=self._near_window_for(
+                    batch, nbrs, chunk,
+                    ("nbr", self._geom_fingerprint(batch))),
             )
         return np.asarray(q)
 
@@ -619,6 +684,98 @@ class Predictor:
         except TypeError:
             pass
         return (idx, nbr_mask)
+
+    def _spatial_view(self, batch: MolBatch):
+        """``None`` (sorting inactive) or ``(sorted_batch, inv_perm)`` —
+        the internal cell-sorted twin of ``batch`` plus the (B, N)
+        inverse permutation mapping sorted charges back to the caller's
+        atom order.  Cached per batch object; see ``spatial_sort`` for
+        the refresh policy (CRC-keyed, Verlet-criterion in skin mode)."""
+        if self.spatial_sort == "off" or self.mesh is not None:
+            return None
+        if self.spatial_sort == "auto" and not (
+                self.reuse_neighbors
+                and batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
+                and self._near_chunk(batch)):
+            # auto-sort pays only through windowed gathers, which need
+            # precomputed tables (serving/skin) on the chunked huge-N
+            # path; everywhere else stay bitwise-stable in caller order
+            return None
+        xyz = np.asarray(batch.xyz)
+        mask = np.asarray(batch.node_mask)
+        fp = self._geom_fingerprint(batch)
+        state = self._sort_cache.get(batch)
+        if state is not None:
+            crc0, perm, inv, batch2, xyz0 = state
+            if crc0 == fp:
+                return batch2, inv
+            if xyz.shape == xyz0.shape and self.neighbor_skin > 0:
+                disp2 = float((((xyz - xyz0) ** 2).sum(-1)
+                               * (mask > 0)).max())
+                if disp2 <= (self.neighbor_skin / 2.0) ** 2:
+                    # bounded drift: keep the permutation (windows stay
+                    # compact), refresh the sorted coordinates IN PLACE so
+                    # batch2's own CRC-guarded caches see the new geometry
+                    batch2.xyz[...] = np.take_along_axis(
+                        xyz, perm[..., None], axis=1)
+                    state[0] = fp
+                    return batch2, inv
+        # (re)build the permutation: z-major cutoff-sided cell key over
+        # valid atoms, padding rows stable at the end (the r7g ordering)
+        b, n = xyz.shape[:2]
+        perm = np.empty((b, n), np.int64)
+        for bi in range(b):
+            valid = mask[bi] > 0
+            pts = xyz[bi][valid]
+            if pts.shape[0] == 0:
+                perm[bi] = np.arange(n)
+                continue
+            cell = np.floor((pts - pts.min(0)) / self.cfg.cutoff
+                            ).astype(np.int64)
+            nmax = int(cell.max()) + 1
+            key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+            full = np.full((n,), np.iinfo(np.int64).max, np.int64)
+            full[valid] = key
+            perm[bi] = np.argsort(full, kind="stable")
+        inv = np.argsort(perm, axis=1, kind="stable")
+
+        def take(a):
+            if a.ndim == 1:
+                return a
+            p = perm.reshape(perm.shape + (1,) * (a.ndim - 2))
+            return np.take_along_axis(np.asarray(a), p, axis=1)
+
+        batch2 = dataclasses.replace(
+            batch, x=take(batch.x), xyz=take(batch.xyz), q0=take(batch.q0),
+            y=take(batch.y), node_mask=take(batch.node_mask))
+        self._sort_cache[batch] = [fp, perm, inv, batch2, xyz.copy()]
+        return batch2, inv
+
+    def _near_window_for(self, batch: MolBatch, nbrs, chunk: int,
+                         key) -> int:
+        """Effective ``near_window`` for a dispatch (see the field): the
+        explicit setting, or the auto width measured from the neighbor
+        tables in hand (0 when it would not help)."""
+        if self.near_window == 0 or not chunk or nbrs is None:
+            return 0
+        if self.near_window > 0:
+            return self.near_window
+        per_batch = self._winw_cache.setdefault(batch, {})
+        full_key = key + (chunk,)
+        w = per_batch.get(full_key)
+        if w is None:
+            from epnn_tpu.ops.fused import neighbor_window_width
+
+            # alignment trades compile stability for width: 4096 rows at
+            # production sizes, proportionally finer on small graphs so
+            # the rounding can't inflate a compact window past N
+            align = max(8, min(4096, batch.padded_atoms // 8))
+            w = neighbor_window_width(nbrs[0], nbrs[1], chunk, align=align)
+            if w >= batch.padded_atoms:
+                w = 0  # statically identical to "off" — skip the arg
+            per_batch.clear()  # one live table set per batch
+            per_batch[full_key] = w
+        return w
 
     def _near_chunk(self, batch: MolBatch) -> int:
         """Effective huge-N row chunk for this batch (see

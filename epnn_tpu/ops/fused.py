@@ -476,6 +476,24 @@ def balanced_row_chunk(n: int, max_chunk: int, align: int = 256) -> int:
     return min(max_chunk, -(-(-(-n // nch)) // align) * align)
 
 
+@functools.partial(jax.jit, static_argnames=("row_chunk",))
+def _window_width_jit(idx, nbr_mask, row_chunk: int):
+    """Device twin of :func:`neighbor_window_width` (un-aligned raw
+    width): max over row chunks of (max valid idx − min valid idx + 1),
+    chunking restarting at row 0 of every leading-batch entry."""
+    n, k = idx.shape[-2], idx.shape[-1]
+    nck = -(-n // row_chunk) * row_chunk
+    idx3 = idx.reshape(-1, n, k)
+    m3 = nbr_mask.reshape(-1, n, k) > 0
+    pad = [(0, 0), (0, nck - n), (0, 0)]
+    lo = jnp.where(m3, idx3, n - 1)
+    hi = jnp.where(m3, idx3, 0)
+    lo = jnp.pad(lo, pad, constant_values=n - 1).reshape(
+        idx3.shape[0], nck // row_chunk, -1)
+    hi = jnp.pad(hi, pad).reshape(idx3.shape[0], nck // row_chunk, -1)
+    return jnp.maximum(jnp.max(hi.max(-1) - lo.min(-1)) + 1, 1)
+
+
 def neighbor_window_width(idx, nbr_mask, row_chunk: int,
                           align: int = 4096) -> int:
     """Host-side safe ``near_window`` for windowed huge-N gathers: the max
@@ -485,11 +503,17 @@ def neighbor_window_width(idx, nbr_mask, row_chunk: int,
     atom order returns ~n, which the forward treats as "window off".
     One O(N·k) pass over the selection tables — negligible next to a
     build; cache it per geometry alongside k."""
+    if row_chunk <= 0:
+        return 0
+    if isinstance(idx, jax.Array) or isinstance(nbr_mask, jax.Array):
+        # device tables (the huge-N serving caches): one reduction on
+        # device + a scalar readback beats downloading a 91 MB idx table
+        w = int(_window_width_jit(jnp.asarray(idx), jnp.asarray(nbr_mask),
+                                  row_chunk))
+        return min(-(-max(w, 1) // align) * align, int(idx.shape[-2]))
     idx = np.asarray(idx)
     m = np.asarray(nbr_mask) > 0
     n = int(idx.shape[-2])
-    if row_chunk <= 0:
-        return 0
     # chunking restarts at row 0 of every graph (the chunked path runs
     # per single graph), so scan each batch entry independently
     idx3 = idx.reshape(-1, n, idx.shape[-1])

@@ -1737,12 +1737,92 @@ def test_predictor_near_row_chunk(rng, monkeypatch):
                                   cell_full.predict_batch(batch))
     # reuse-path one-time build goes through the chunked cell builder at
     # huge N (the O(N^2) top_k build would OOM there)
+    # spatial_sort='off' pins caller order: this asserts BITWISE equality
+    # against the unsorted cold predictor (auto-sort at huge N changes
+    # fp association only — tested separately in test_predictor_spatial_sort)
     cell_reuse = Predictor(params=params, cfg=cfg, force_mode="blocked",
-                           reuse_neighbors=True)
+                           reuse_neighbors=True, spatial_sort="off")
     np.testing.assert_array_equal(cell_reuse.predict_batch(batch),
                                   cell_auto.predict_batch(batch))
     with pytest.raises(ValueError, match="near_row_chunk"):
         Predictor(params=params, cfg=cfg, near_row_chunk=-2)
+
+
+def test_predictor_spatial_sort(rng, monkeypatch):
+    """Predictor huge-N serving surface for windowed gathers: auto
+    spatial sort (cell-sorted internal twin, caller-order charges) +
+    auto near_window measured from the serving tables.  Charges match
+    the unsorted predictor to fp association noise, conservation holds,
+    the window cache is populated with a genuinely windowed width, and
+    skin-MD drift keeps the permutation (Verlet criterion)."""
+    import jax
+
+    from epnn_tpu import infer as infer_mod
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(7)
+    n = 64
+    # line geometry shuffled into RANDOM caller order: sorting must make
+    # the windows compact, output must come back in caller order
+    line = np.zeros((n, 3), np.float32)
+    line[:, 0] = np.arange(n) * 1.1
+    shuf = g.permutation(n)
+    mol = Molecule(name="m", symbols=["C"] * n, xyz=line[shuf],
+                   total_charge=0.0)
+    table = table_for_n_elems(9)
+    batch = pad_molecules([mol], table)
+
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_MIN_ATOMS", 16)
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_ROW_CHUNK", 16)
+    monkeypatch.setattr(infer_mod, "CELL_GRID_MIN_ATOMS", 16)
+
+    def mk(**kw):
+        return Predictor(params=params, cfg=cfg, force_mode="blocked",
+                         reuse_neighbors=True, **kw)
+
+    ref = mk(spatial_sort="off").predict_batch(batch)
+    sorted_pred = mk()  # spatial_sort/near_window auto
+    q = sorted_pred.predict_batch(batch)
+    # caller order preserved; values equal up to fp association
+    np.testing.assert_allclose(q, ref, atol=5e-6)
+    assert abs(float(q.sum())) < 1e-4
+    # the auto window actually engaged (0 < width < padded N)
+    widths = [w for d in sorted_pred._winw_cache.values()
+              for w in d.values()]
+    assert widths and all(0 < w < batch.padded_atoms for w in widths)
+    # repeat call hits the sort cache and stays identical
+    np.testing.assert_array_equal(sorted_pred.predict_batch(batch), q)
+
+    # explicit near_window=0 disables windowing but keeps the sort
+    q_now = mk(near_window=0).predict_batch(batch)
+    np.testing.assert_allclose(q_now, ref, atol=5e-6)
+
+    # skin MD: small drift keeps the permutation (same batch2 object),
+    # charges track the no-sort skin predictor
+    skin_ref = mk(spatial_sort="off", neighbor_skin=0.6)
+    skin_sorted = mk(neighbor_skin=0.6)
+    q0s = skin_sorted.predict_batch(batch)
+    np.testing.assert_allclose(q0s, skin_ref.predict_batch(batch),
+                               atol=5e-6)
+    state0 = skin_sorted._sort_cache[batch]
+    batch.xyz[0, :, 1] += 0.05  # drift << skin/2
+    q1s = skin_sorted.predict_batch(batch)
+    np.testing.assert_allclose(q1s, skin_ref.predict_batch(batch),
+                               atol=5e-6)
+    assert skin_sorted._sort_cache[batch][3] is state0[3]  # perm kept
+
+    with pytest.raises(ValueError, match="spatial_sort"):
+        Predictor(params=params, cfg=cfg, spatial_sort="maybe")
+    with pytest.raises(ValueError, match="near_window"):
+        Predictor(params=params, cfg=cfg, near_window=-3)
 
 
 def test_balanced_row_chunk():
