@@ -408,11 +408,19 @@ class Predictor:
         """(B, N) per-atom charges for a padded batch."""
         q = self._predict_batch_raw(batch)
         if self.renormalize:
-            mask = np.asarray(batch.node_mask)
+            # redistribute in FLOAT64: at huge N the per-atom correction
+            # (residue/n ≈ 5e-9 e at 568k) sits below the f32 ulp of q, so
+            # an f32 subtraction silently drops most of it (measured: raw
+            # 3.0e-3 e "renormalized" to only 1.4e-3).  f64 math + one
+            # final cast leaves only unbiased per-atom cast rounding
+            # (Σ error ~ √n·ulp ≈ 5e-6 e at 568k).
+            mask = np.asarray(batch.node_mask, np.float64)
+            q64 = q.astype(np.float64)
             n_real = np.maximum(mask.sum(axis=1), 1.0)
-            residue = (q * mask).sum(axis=1) - (
-                np.asarray(batch.q0) * mask).sum(axis=1)
-            q = (q - (residue / n_real)[:, None]) * mask
+            residue = (q64 * mask).sum(axis=1) - (
+                np.asarray(batch.q0, np.float64) * mask).sum(axis=1)
+            q = (((q64 - (residue / n_real)[:, None]) * mask)
+                 .astype(np.float32))
         return q
 
     def _predict_batch_raw(self, batch: MolBatch) -> np.ndarray:
@@ -890,6 +898,13 @@ class Predictor:
         mode = self.force_mode or (
             "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
         )
+        # measure the SHIPPED serving program: the spatial-sorted twin
+        # (windowed gathers) when predict_batch would use it — latency is
+        # order-independent, so no unpermute is needed in a timing loop
+        if mode == "blocked":
+            view = self._spatial_view(batch)
+            if view is not None:
+                batch = view[0]
         x, q0, xyz, mask = (
             jax.device_put(np.asarray(a))
             for a in (batch.x, batch.q0, batch.xyz, batch.node_mask)
@@ -912,6 +927,8 @@ class Predictor:
             uq0 = self._uniform_q0(batch)
             k_skin = int(idx0.shape[-1])
             chunk = self._near_chunk(batch)
+            win = self._near_window_for(batch, (idx0, mask0), chunk,
+                                        ("skin", self.skin_rebuilds))
             ops = (x, xyz, mask, (idx0, mask0))
 
             def fn(q0_in, ops_):
@@ -922,6 +939,7 @@ class Predictor:
                     use_pallas=self._use_pallas(),
                     neighbors=nbrs_, uniform_q0=uq0,
                     far_cluster=self.far_cluster, near_row_chunk=chunk,
+                    near_window=win,
                 )
         else:
             k = max(self._neighbor_k(batch), 1)
@@ -931,6 +949,8 @@ class Predictor:
 
             uq0 = self._uniform_q0(batch)
             chunk = self._near_chunk(batch)
+            win = self._near_window_for(batch, nbrs, chunk,
+                                        ("nbr", self._geom_fingerprint(batch)))
             ops = (x, xyz, mask, nbrs)
 
             def fn(q0_in, ops_):
@@ -941,6 +961,7 @@ class Predictor:
                     use_pallas=self._use_pallas(),
                     neighbors=nbrs_, neighbor_grid=grid, uniform_q0=uq0,
                     far_cluster=self.far_cluster, near_row_chunk=chunk,
+                    near_window=win,
                 )
 
         return benchmark_chained(fn, q0, iters=iters,

@@ -220,10 +220,48 @@ def stage_window568(n=568320):
               q0, iters=3, operands=ops_all)
 
 
+def stage_predictor(n=568320):
+    """End-to-end SHIPPED serving surface at huge N: Predictor with all
+    knobs on auto (balanced chunk, cell sort, measured window, clustered
+    far tier) fed a RANDOM-order synthetic system — cold call incl. every
+    one-off (k, tables, sort, window, compiles), then the steady-state
+    chained benchmark.  Validates that the auto policies reproduce the
+    hand-tuned window568 numbers through the public API."""
+    from scripts.profile_util import load_decay, synth_molecule
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+
+    params, cfg, table, fused = load_decay()
+    mol = synth_molecule(n, np.random.default_rng(0))
+    batch = pad_molecules([mol], table, pad_to=n)
+    pred = Predictor(params=params,
+                     cfg=cfg.replace(matmul_precision="default"),
+                     reuse_neighbors=True, far_cluster=32,
+                     renormalize=True)
+    t0 = time.time()
+    q = pred.predict_batch(batch)
+    print(f"{n:,} cold predict_batch (ALL one-offs): {time.time()-t0:.1f}s",
+          flush=True)
+    print(f"conservation |dQ| = {abs(float(q.sum())):.2e} (renormalized)",
+          flush=True)
+    wins = [w for d in pred._winw_cache.values() for w in d.values()]
+    print(f"auto window widths: {wins}  (chunk "
+          f"{pred._near_chunk(batch)})", flush=True)
+    t0 = time.time()
+    q2 = pred.predict_batch(batch)
+    print(f"warm predict_batch (per-call, incl host I/O): "
+          f"{time.time()-t0:.2f}s", flush=True)
+    stats = pred.benchmark_batch(batch, iters=10)
+    print(f"{n:,} steady-state chained: {stats['mean_s']*1e3:.1f} ms "
+          f"({stats})", flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "gatherbench"
-    kw = {"n": int(sys.argv[2])} if (len(sys.argv) > 2
-                                     and stage == "window568") else {}
+    kw = {"n": int(sys.argv[2])} if (len(sys.argv) > 2 and stage in
+                                     ("window568", "predictor")) else {}
     {"gatherbench": stage_gatherbench,
      "gathercliff": stage_gathercliff,
-     "window568": stage_window568}[stage](**kw)
+     "window568": stage_window568,
+     "predictor": stage_predictor}[stage](**kw)
