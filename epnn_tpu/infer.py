@@ -218,6 +218,10 @@ class Predictor:
         # width, which would silently mask-drop pairs)
         self._winw_cache: "weakref.WeakKeyDictionary" = \
             weakref.WeakKeyDictionary()
+        # sorted-batch -> per-graph (sorted cell keys, adjacency span):
+        # the cold-path window source (no neighbor tables on host there)
+        self._geom_keys: "weakref.WeakKeyDictionary" = \
+            weakref.WeakKeyDictionary()
 
     @staticmethod
     def _geom_fingerprint(batch: MolBatch):
@@ -702,12 +706,12 @@ class Predictor:
         if self.spatial_sort == "off" or self.mesh is not None:
             return None
         if self.spatial_sort == "auto" and not (
-                self.reuse_neighbors
-                and batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
+                batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
                 and self._near_chunk(batch)):
-            # auto-sort pays only through windowed gathers, which need
-            # precomputed tables (serving/skin) on the chunked huge-N
-            # path; everywhere else stay bitwise-stable in caller order
+            # auto-sort pays only through windowed gathers on the chunked
+            # huge-N path (serving widths come from the tables, cold
+            # widths from the sorted cell keys); everywhere else stay
+            # bitwise-stable in caller order
             return None
         xyz = np.asarray(batch.xyz)
         mask = np.asarray(batch.node_mask)
@@ -732,11 +736,13 @@ class Predictor:
         # valid atoms, padding rows stable at the end (the r7g ordering)
         b, n = xyz.shape[:2]
         perm = np.empty((b, n), np.int64)
+        winfo = []  # per graph: (sorted valid keys, key adjacency span)
         for bi in range(b):
             valid = mask[bi] > 0
             pts = xyz[bi][valid]
             if pts.shape[0] == 0:
                 perm[bi] = np.arange(n)
+                winfo.append((np.zeros((0,), np.int64), 1))
                 continue
             cell = np.floor((pts - pts.min(0)) / self.cfg.cutoff
                             ).astype(np.int64)
@@ -745,6 +751,11 @@ class Predictor:
             full = np.full((n,), np.iinfo(np.int64).max, np.int64)
             full[valid] = key
             perm[bi] = np.argsort(full, kind="stable")
+            # a near pair's cells differ by <=1 per axis -> its z-major
+            # keys by <= nmax^2 + nmax + 1: with sorted keys this bounds
+            # every chunk's neighbor-INDEX window without any tables
+            # (the cold-path window source)
+            winfo.append((np.sort(key), nmax * nmax + nmax + 1))
         inv = np.argsort(perm, axis=1, kind="stable")
 
         def take(a):
@@ -757,6 +768,10 @@ class Predictor:
             batch, x=take(batch.x), xyz=take(batch.xyz), q0=take(batch.q0),
             y=take(batch.y), node_mask=take(batch.node_mask))
         self._sort_cache[batch] = [fp, perm, inv, batch2, xyz.copy()]
+        try:
+            self._geom_keys[batch2] = winfo
+        except TypeError:
+            pass
         return batch2, inv
 
     def _near_window_for(self, batch: MolBatch, nbrs, chunk: int,
@@ -764,22 +779,40 @@ class Predictor:
         """Effective ``near_window`` for a dispatch (see the field): the
         explicit setting, or the auto width measured from the neighbor
         tables in hand (0 when it would not help)."""
-        if self.near_window == 0 or not chunk or nbrs is None:
+        if self.near_window == 0 or not chunk:
             return 0
         if self.near_window > 0:
             return self.near_window
+        if nbrs is None and self._geom_keys.get(batch) is None:
+            return 0  # cold path on an unsorted batch: no width source
         per_batch = self._winw_cache.setdefault(batch, {})
         full_key = key + (chunk,)
         w = per_batch.get(full_key)
         if w is None:
-            from epnn_tpu.ops.fused import neighbor_window_width
-
             # alignment trades compile stability for width: 4096 rows at
             # production sizes, proportionally finer on small graphs so
             # the rounding can't inflate a compact window past N
-            align = max(8, min(4096, batch.padded_atoms // 8))
-            w = neighbor_window_width(nbrs[0], nbrs[1], chunk, align=align)
-            if w >= batch.padded_atoms:
+            n = batch.padded_atoms
+            align = max(8, min(4096, n // 8))
+            if nbrs is not None:
+                from epnn_tpu.ops.fused import neighbor_window_width
+
+                w = neighbor_window_width(nbrs[0], nbrs[1], chunk,
+                                          align=align)
+            else:
+                # cold path: bound every chunk's neighbor-index window
+                # from the sorted cell keys (valid rows first, so padded
+                # row chunks beyond n_valid have no valid neighbors)
+                w = 1
+                for keys, span in self._geom_keys[batch]:
+                    nv = keys.shape[0]
+                    for s in range(0, nv, chunk):
+                        e = min(s + chunk, nv) - 1
+                        lo = np.searchsorted(keys, keys[s] - span, "left")
+                        hi = np.searchsorted(keys, keys[e] + span, "right")
+                        w = max(w, int(hi - lo))
+                w = min(-(-w // align) * align, n)
+            if w >= n:
                 w = 0  # statically identical to "off" — skip the arg
             per_batch.clear()  # one live table set per batch
             per_batch[full_key] = w

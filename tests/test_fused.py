@@ -1728,9 +1728,13 @@ def test_predictor_near_row_chunk(rng, monkeypatch):
     monkeypatch.setattr(infer_mod, "HUGE_GRAPH_MIN_ATOMS", 16)
     monkeypatch.setattr(infer_mod, "HUGE_GRAPH_ROW_CHUNK", 16)
     monkeypatch.setattr(infer_mod, "CELL_GRID_MIN_ATOMS", 16)
+    # spatial_sort='off' pins caller order for the bitwise chunk-plumbing
+    # comparisons below (auto-sort at huge N is fp-association-level and
+    # tested in test_predictor_spatial_sort)
     cell_full = Predictor(params=params, cfg=cfg, force_mode="blocked",
                           near_row_chunk=0)
-    cell_auto = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    cell_auto = Predictor(params=params, cfg=cfg, force_mode="blocked",
+                          spatial_sort="off")
     grid = cell_auto._neighbor_grid(batch)
     assert len(grid) == 4 and grid[3] == 16
     np.testing.assert_array_equal(cell_auto.predict_batch(batch),
@@ -1804,6 +1808,14 @@ def test_predictor_spatial_sort(rng, monkeypatch):
     # explicit near_window=0 disables windowing but keeps the sort
     q_now = mk(near_window=0).predict_batch(batch)
     np.testing.assert_allclose(q_now, ref, atol=5e-6)
+
+    # COLD path (no reuse tables): the window bound comes from the sorted
+    # cell keys — it must engage and stay correct
+    cold = Predictor(params=params, cfg=cfg, force_mode="blocked")
+    q_cold = cold.predict_batch(batch)
+    np.testing.assert_allclose(q_cold, ref, atol=5e-6)
+    cold_w = [w for d in cold._winw_cache.values() for w in d.values()]
+    assert cold_w and all(0 < w < batch.padded_atoms for w in cold_w)
 
     # skin MD: small drift keeps the permutation (same batch2 object),
     # charges track the no-sort skin predictor
