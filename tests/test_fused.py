@@ -537,6 +537,50 @@ def test_predictor_renormalize_exact_conservation(rng):
     assert (renorm[0, 30:] == 0).all()
 
 
+def test_renormalize_refinement_below_ulp(rng, monkeypatch):
+    """Huge-N renormalize: when the uniform correction residue/n falls
+    below the f32 ulp of the charges, the cast drops it (measured
+    2.6e-3 e surviving at 1.14M atoms) — the iterative refinement must
+    spread it over a representable subset and land Σq within ~32 ulp."""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    n = 4096
+    g = np.random.default_rng(3)
+    mol = Molecule(name="m", symbols=["H"] * n,
+                   xyz=g.uniform(0, 35, (n, 3)).astype(np.float32),
+                   total_charge=0.0)
+    batch = pad_molecules([mol], table_for_n_elems(9))
+
+    # alternating ±0.25 (exactly representable, Σ = 0 = Σq0) + a 5e-5
+    # residue on atom 0: the uniform correction residue/n = 1.2e-8 sits
+    # below ulp(0.25)/2 = 1.5e-8, so an f32 cast rounds it to NOTHING on
+    # every atom — only the refinement pass can remove it
+    q_fake = np.where(np.arange(batch.padded_atoms) % 2 == 0, 0.25, -0.25
+                      ).astype(np.float32)[None]
+    q_fake = q_fake * np.asarray(batch.node_mask, np.float32)
+    q_fake[0, 0] += np.float32(5e-5)
+    pred = Predictor(params=params, cfg=cfg, renormalize=True)
+    monkeypatch.setattr(pred, "_predict_batch_raw", lambda b: q_fake.copy())
+    out = pred.predict_batch(batch)
+    assert abs(float(out.astype(np.float64).sum())) <= 1e-6
+    # and without refinement the residue would survive: uniform-only f64
+    # correction + cast leaves ~the full 5e-5 (sanity of the scenario)
+    q64 = q_fake.astype(np.float64)
+    uni = (q64 - q64.sum() / n) * np.asarray(batch.node_mask, np.float64)
+    assert abs(float(uni.astype(np.float32).astype(np.float64).sum())) \
+        > 1e-5
+
+
 def test_predictor_reuse_neighbors_staleness_guard(rng):
     """reuse_neighbors caches are guarded by a coordinate fingerprint:
     mutating batch.xyz IN PLACE must rebuild the neighbor lists (and match
