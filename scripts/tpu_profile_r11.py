@@ -243,8 +243,10 @@ def stage_predictor(n=568320):
     q = pred.predict_batch(batch)
     print(f"{n:,} cold predict_batch (ALL one-offs): {time.time()-t0:.1f}s",
           flush=True)
-    print(f"conservation |dQ| = {abs(float(q.sum())):.2e} (renormalized)",
-          flush=True)
+    print(f"conservation |dQ| = "
+          f"{abs(float(q.astype(np.float64).sum())):.2e} (renormalized, "
+          f"f64-summed — an f32 np.sum at 1M+ entries adds ~1e-4 of its "
+          f"own pairwise noise)", flush=True)
     wins = [w for d in pred._winw_cache.values() for w in d.values()]
     print(f"auto window widths: {wins}  (chunk "
           f"{pred._near_chunk(batch)})", flush=True)
@@ -257,11 +259,38 @@ def stage_predictor(n=568320):
           f"({stats})", flush=True)
 
 
+def stage_bf16(n=568320):
+    """bf16 compute_dtype A/B at huge N: neutral at 17,760 (r2 — the
+    tunnel-dispatch floor hid it), but the windowed 568k forward is
+    gather/bandwidth-bound, where halving the pj/pp bytes could matter.
+    Conservation stays f32-grade by design (pass rounds stay f32)."""
+    from scripts.profile_util import load_decay, scan_time, synth_molecule
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+
+    params, cfg, table, fused = load_decay()
+    mol = synth_molecule(n, np.random.default_rng(0))
+    batch = pad_molecules([mol], table, pad_to=n)
+    for tag, c in (("f32 ", cfg.replace(matmul_precision="default")),
+                   ("bf16", cfg.replace(matmul_precision="default",
+                                        compute_dtype="bfloat16"))):
+        pred = Predictor(params=params, cfg=c, reuse_neighbors=True,
+                         far_cluster=32, renormalize=True)
+        q = pred.predict_batch(batch)
+        stats = pred.benchmark_batch(batch, iters=10)
+        print(f"{n:,} {tag} steady {stats['mean_s']*1e3:8.1f} ms  "
+              f"|dQ|={abs(float(q.astype(np.float64).sum())):.1e}",
+              flush=True)
+
+
 if __name__ == "__main__":
     stage = sys.argv[1] if len(sys.argv) > 1 else "gatherbench"
     kw = {"n": int(sys.argv[2])} if (len(sys.argv) > 2 and stage in
-                                     ("window568", "predictor")) else {}
+                                     ("window568", "predictor", "bf16")) \
+        else {}
     {"gatherbench": stage_gatherbench,
      "gathercliff": stage_gathercliff,
      "window568": stage_window568,
-     "predictor": stage_predictor}[stage](**kw)
+     "predictor": stage_predictor,
+     "bf16": stage_bf16}[stage](**kw)
