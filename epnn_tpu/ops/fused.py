@@ -955,10 +955,22 @@ def _forward_single_nbr(
         idx_ck = _crs(idx)
         mask_ck = _crs(nbr_mask)
         # aux carries the chunk's distance source: the d² plane when the
-        # selection provided one, else the chunk's own coordinates (the
-        # neighbor coordinates gather from the full xyz inside the chunk)
+        # selection provided one.  Without one (the skin-MD 2-tuple), the
+        # plane is computed from the CURRENT coordinates here, ONCE per
+        # step — letting the rounds recompute it per chunk would pay the
+        # xyz gather + d² arithmetic 2·T times (r12 battery at 568k:
+        # 2,546 ms/step vs ~1.1 s fixed-geometry).  The xyz table is tiny
+        # (N·3·4 B — always sub-cliff), so a plain gather is right, and
+        # the expression matches _rbf_gathered's d² bitwise.
         d2_from_sel = d2_nbr is not None
-        aux_ck = _crs(d2_nbr) if d2_from_sel else _crs(xyz)
+        if d2_from_sel:
+            aux_ck = _crs(d2_nbr)
+        else:
+            aux_ck = jax.lax.map(
+                lambda oc: jnp.sum(
+                    (oc[0][:, None, :] - xyz[oc[1]]) ** 2, axis=-1),
+                (_crs(xyz), idx_ck))
+            d2_from_sel = True
         rbf_nbr = gate_nbr = None
 
         def _chunk_rbf(aux_c, idx_c, mask_c):
@@ -1248,8 +1260,17 @@ def _forward_single_nbr(
                 return jnp.sum((hid_full - hid_nofeat) * mask_c[:, :, None],
                                axis=1)
 
+            # under remat, checkpoint the chunk BODY too: lax.map's scan
+            # linearization otherwise keeps every chunk's (chunk, k, H1)
+            # residuals alive at once during the (already-checkpointed)
+            # round backward — the full-width residual footprint the
+            # chunking exists to avoid.  With the inner checkpoint the
+            # backward recomputes chunk-by-chunk: peak = ONE chunk's
+            # residuals (this is what makes 568k-atom training fit)
+            _near_body = jax.checkpoint(_near_chunk) if remat \
+                else _near_chunk
             near_corr = jax.lax.map(
-                _near_chunk, (_crs(pi), idx_ck, mask_ck, aux_ck, win_starts)
+                _near_body, (_crs(pi), idx_ck, mask_ck, aux_ck, win_starts)
             ).reshape(nck, -1)[:n]
         elif near_kernel and len(w.mids) == 1:
             (w2m, b2m), = w.mids
@@ -1338,8 +1359,11 @@ def _forward_single_nbr(
                 gate32 = gate_c.astype(jnp.float32)
                 return jnp.sum(0.5 * gate32[:, :, None] * diff, axis=1)
 
+            # inner checkpoint under remat — see the message round's note
+            _pass_body = jax.checkpoint(_pass_chunk) if remat \
+                else _pass_chunk
             dsum = jax.lax.map(
-                _pass_chunk,
+                _pass_body,
                 (_crs(pi), _crs(pj), idx_ck, mask_ck, aux_ck, win_starts)
             ).reshape(nck, -1)[:n]
             dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),

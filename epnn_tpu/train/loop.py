@@ -154,6 +154,25 @@ class TrainConfig:
     #: fp order).  False: r7f behavior — fit fully stop-gradient, the
     #: j-side far-field gradient dropped (far field frozen per step).
     far_cluster_grad: bool = True
+    #: huge-N memory mode for the fused training path — the training twin
+    #: of ``forward_blocked(near_row_chunk=...)``: each round's (N, k, ·)
+    #: near-field activations run in ``lax.map`` chunks of this many rows,
+    #: and under ``remat`` the chunk BODY is checkpointed too, so the
+    #: backward recomputes chunk-by-chunk (peak residual = one chunk).
+    #: Requires ``remat=True`` (enforced) — without it the lax.map scan
+    #: keeps every chunk's residuals alive and the chunking saves nothing.
+    #: 0 = full-width (default; right for every bucket that fits).
+    near_row_chunk: int = 0
+    #: windowed huge-N near gathers for the chunked training path (the
+    #: training twin of ``forward_blocked(near_window=W)``): per-chunk
+    #: dynamic-slice windows keep the gathered tables under the v5e
+    #: table-bytes cliff (benchmarks/RESULTS.md round 11).  Requires
+    #: ``near_row_chunk`` and SPATIALLY SORTED atoms wide enough that
+    #: ``ops.fused.neighbor_window_width`` ≤ this value — out-of-window
+    #: pairs are mask-dropped (a deterministic conservation error, never
+    #: garbage), so sort + size the width before turning this on.
+    #: 0 = plain gathers (default).
+    near_window: int = 0
 
 
 class TrainState(struct.PyTreeNode):
@@ -259,7 +278,8 @@ def eval_step(params, model: EPNN, loss_name: str,
 def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                    x, q0, xyz, node_mask, y, weight, uniform_q0=False,
                    far_cluster=0, far_cluster_grad=False, remat=True,
-                   neighbors=None, nbr_tables=None, nbr_rows=None):
+                   neighbors=None, nbr_tables=None, nbr_rows=None,
+                   near_row_chunk=0, near_window=0):
     """Loss through the blockwise fused forward (epnn_tpu.ops.fused): no
     dense pair tensors, remat bounds activation memory at round boundaries.
     fuse_params is a pure (differentiable) restructuring, so gradients flow
@@ -282,7 +302,9 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
                            use_pallas=use_pallas, uniform_q0=uniform_q0,
                            far_cluster=far_cluster,
                            far_cluster_grad=far_cluster_grad,
-                           neighbors=neighbors)
+                           neighbors=neighbors,
+                           near_row_chunk=near_row_chunk,
+                           near_window=near_window)
     loss = M.LOSSES[loss_name](pred, y, node_mask, weight)
     return loss, pred
 
@@ -290,7 +312,8 @@ def _loss_fn_fused(params, cfg, loss_name, block, neighbor_k, use_pallas,
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "opt", "block",
                               "neighbor_k", "use_pallas", "uniform_q0",
-                              "far_cluster", "far_cluster_grad", "remat")
+                              "far_cluster", "far_cluster_grad", "remat",
+                              "near_row_chunk", "near_window")
 )
 def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      opt: optax.GradientTransformation, block: int,
@@ -298,11 +321,13 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
                      use_pallas: bool = False, uniform_q0: bool = False,
                      far_cluster: int = 0, far_cluster_grad: bool = False,
                      remat: bool = True, neighbors=None,
-                     nbr_tables=None, nbr_rows=None):
+                     nbr_tables=None, nbr_rows=None,
+                     near_row_chunk: int = 0, near_window: int = 0):
     (loss, pred), grads = jax.value_and_grad(_loss_fn_fused, has_aux=True)(
         state.params, cfg, loss_name, block, neighbor_k, use_pallas,
         x, q0, xyz, node_mask, y, weight, uniform_q0, far_cluster,
-        far_cluster_grad, remat, neighbors, nbr_tables, nbr_rows
+        far_cluster_grad, remat, neighbors, nbr_tables, nbr_rows,
+        near_row_chunk, near_window
     )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -314,16 +339,20 @@ def train_step_fused(state: TrainState, cfg: EPNNConfig, loss_name: str,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "loss_name", "block", "neighbor_k",
-                              "use_pallas", "uniform_q0")
+                              "use_pallas", "uniform_q0", "near_row_chunk",
+                              "near_window")
 )
 def eval_step_fused(params, cfg: EPNNConfig, loss_name: str, block: int,
                     neighbor_k: int, x, q0, xyz, node_mask, y, weight,
                     use_pallas: bool = False, uniform_q0: bool = False,
-                    neighbors=None, nbr_tables=None, nbr_rows=None):
+                    neighbors=None, nbr_tables=None, nbr_rows=None,
+                    near_row_chunk: int = 0, near_window: int = 0):
     loss, pred = _loss_fn_fused(params, cfg, loss_name, block, neighbor_k,
                                 use_pallas, x, q0, xyz, node_mask, y, weight,
                                 uniform_q0, neighbors=neighbors,
-                                nbr_tables=nbr_tables, nbr_rows=nbr_rows)
+                                nbr_tables=nbr_tables, nbr_rows=nbr_rows,
+                                near_row_chunk=near_row_chunk,
+                                near_window=near_window)
     mets = M.mae_sums(pred, y, node_mask, weight)
     return loss, pred, mets
 
@@ -441,6 +470,15 @@ def train(
     split with ``tc.split_seed`` is used (reference behavior)."""
     if tc.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if tc.near_window and not tc.near_row_chunk:
+        raise ValueError("TrainConfig.near_window requires near_row_chunk "
+                         "(windowed gathers exist on the chunked path)")
+    if tc.near_row_chunk and not tc.remat:
+        raise ValueError(
+            "TrainConfig.near_row_chunk requires remat=True: without the "
+            "round + chunk-body checkpoints the lax.map backward keeps "
+            "every chunk's residuals alive at once, so the chunking saves "
+            "no memory (pass --remat)")
 
     if val_mols is None:
         if tc.val_fraction <= 0.0:
@@ -711,7 +749,9 @@ def train(
                         far_cluster_grad=tc.far_cluster_grad,
                         remat=tc.remat, nbr_tables=tabs,
                         nbr_rows=(jnp.asarray(rows, jnp.int32)
-                                  if tabs is not None else None)
+                                  if tabs is not None else None),
+                        near_row_chunk=tc.near_row_chunk,
+                        near_window=tc.near_window
                     )
                 acc.update(loss, mets)
                 if ema_params is not None:
@@ -743,7 +783,9 @@ def train(
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket), nbr_tables=tabs,
                         nbr_rows=(jnp.asarray(rows, jnp.int32)
-                                  if tabs is not None else None)
+                                  if tabs is not None else None),
+                        near_row_chunk=tc.near_row_chunk,
+                        near_window=tc.near_window
                     )
                 vacc.update(loss, mets)
 

@@ -14,7 +14,15 @@ Stages (run on the axon tunnel, ONE process at a time):
              estimate was ~0.6 s gathers + ~0.45 s compute from end-to-end
              arithmetic, never from a trace).
 
-Usage: python scripts/tpu_profile_r12.py [skin568] [trace568] [n]
+  train568 — TRAINING at 568,320 atoms on one chip: remat + chunked near
+             path with the chunk body checkpointed (TrainConfig.
+             near_row_chunk) + windowed gathers on cell-sorted atoms
+             (TrainConfig.near_window) + fc32 exact-VJP clustered far
+             tier + precomputed cell-built tables.  Extends the r9
+             142k-train frontier (1,226 ms/step) 4×; A/Bs windowed vs
+             plain chunked gathers in the backward.
+
+Usage: python scripts/tpu_profile_r12.py [skin568] [trace568] [train568] [n]
 """
 
 import sys
@@ -99,6 +107,94 @@ def stage_trace568(n=568320, iters=4):
           flush=True)
 
 
+def stage_train568(n=568320, iters=4):
+    """One fused train step at 568k atoms: remat + chunk-body checkpoint
+    (backward recomputes chunk-by-chunk — one chunk's residuals peak
+    instead of ~140 GB full-width) + windowed gathers (the r11 serving
+    lever, now in the backward too) on cell-sorted atoms."""
+    from epnn_tpu.data.dataset import pad_molecules, round_up
+    from epnn_tpu.ops.fused import (balanced_row_chunk, build_neighbors_cell,
+                                    cell_grid_params, max_neighbor_count,
+                                    neighbor_window_width)
+    from epnn_tpu.train.loop import (TrainConfig, create_state,
+                                     make_optimizer, train_step_fused)
+
+    params, cfg, table, fused = load_decay()
+    c = cfg.replace(matmul_precision="default")
+    rng = np.random.default_rng(0)
+    mol = synth_molecule(n, rng)
+    # cell-sort the atoms on the host (z-major cutoff-sided key — the
+    # Predictor's serving ordering) so neighbor indices are local and the
+    # window width comes out compact
+    cell = np.floor((mol.xyz - mol.xyz.min(0)) / c.cutoff).astype(np.int64)
+    nmax = int(cell.max()) + 1
+    key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    mol.xyz[:] = mol.xyz[order]
+    labels = rng.normal(0, 0.05, size=n).astype(np.float32)
+    labels -= labels.mean()
+    bb = pad_molecules([mol], table, pad_to=n)
+
+    t0 = time.time()
+    k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
+                                        c.cutoff) + 4, 8))
+    print(f"host cell-binned safe k = {k} ({time.time()-t0:.1f}s)",
+          flush=True)
+    ncb, capb = cell_grid_params(bb.xyz[0], bb.node_mask[0], c.cutoff)
+    grid = (int(round_up(ncb, 512)), int(round_up(capb, 4)))
+    put = jax.device_put
+    z, m = put(np.asarray(bb.xyz[0])), put(np.asarray(bb.node_mask[0]))
+    t0 = time.time()
+    nbrs = jax.block_until_ready(build_neighbors_cell(
+        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True))
+    print(f"neighbor build: {time.time()-t0:.1f}s (incl compile)",
+          flush=True)
+    tabs = tuple(a[None] for a in nbrs)
+    chunk = balanced_row_chunk(n, 65536)
+    win = neighbor_window_width(nbrs[0], nbrs[1], chunk)
+    print(f"chunk {chunk}, window {win} ({win/n:.2f} of n)", flush=True)
+
+    x, q0 = put(np.asarray(bb.x)), put(np.asarray(bb.q0))
+    xyzb, maskb = z[None], m[None]
+    y = put(labels[None])
+    wt = put(np.ones(1, np.float32))
+
+    tc = TrainConfig(batch_size=1, far_cluster=32, loss="masked_mse",
+                     remat=True, near_row_chunk=chunk, near_window=win)
+    opt = make_optimizer(tc)
+    state = create_state(cfg, tc, jax.random.key(0))
+    state = state.replace(params=params)
+
+    for label, w_ in (("windowed", win), ("plain-gather", 0)):
+        def call(st, w_=w_):
+            return train_step_fused(
+                st, c, tc.loss, opt, 256, k, x, q0, xyzb, maskb, y, wt,
+                use_pallas=True, uniform_q0=True, far_cluster=32,
+                far_cluster_grad=True, remat=True, neighbors=tabs,
+                near_row_chunk=chunk, near_window=w_)
+
+        st = state
+        t0 = time.time()
+        st, loss, _, mets = call(st)
+        print(f"{label}: first step (incl compile): {time.time()-t0:.1f}s, "
+              f"loss {float(loss):.4f}", flush=True)
+        losses = [float(loss)]
+        for _ in range(3):  # inflation discard
+            st, loss, _, _ = call(st)
+        losses.append(float(loss))
+        for rep in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, loss, _, _ = call(st)
+            float(loss)
+            print(f"{n:,}-atom train step fc32+remat+chunk {label} "
+                  f"rep{rep}: {(time.perf_counter()-t0)/iters*1e3:.1f} "
+                  f"ms/step", flush=True)
+        assert losses[-1] < losses[0], losses
+        print(f"{label}: loss {losses[0]:.4f} -> {losses[-1]:.4f} over 4 "
+              f"steps", flush=True)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.isdigit()] or ["skin568",
                                                             "trace568"]
@@ -106,4 +202,5 @@ if __name__ == "__main__":
     n = nums[0] if nums else 568320
     for s in args:
         {"skin568": stage_skin568,
-         "trace568": stage_trace568}[s](n)
+         "trace568": stage_trace568,
+         "train568": stage_train568}[s](n)

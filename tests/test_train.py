@@ -780,3 +780,66 @@ def test_grad_accum_resume_mismatch_fails_loudly(toy_train_mols, tmp_path):
                      checkpoint_dir=ckpt, resume=True)
     res = train(toy_train_mols, SMALL, ok, progress=False)
     assert res.history[0]["epoch"] == 2
+
+
+def test_train_step_fused_near_row_chunk(toy_train_mols):
+    """Huge-N training memory mode (TrainConfig.near_row_chunk /
+    near_window): the chunked training step — lax.map near chunks with the
+    chunk BODY checkpointed under remat — must track the full-width remat
+    step's loss trajectory to fp order, with and without windowed gathers,
+    and predictions must stay conserving.  (The forward chunking is
+    bitwise — tests/test_fused.py — so any drift here would be an adjoint
+    bug.)"""
+    import jax
+
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.ops.fused import (build_neighbors_batch,
+                                    neighbor_window_width)
+    from epnn_tpu.train import create_state, make_optimizer, train_step_fused
+
+    cfg = SMALL
+    tc = TrainConfig(learning_rate=3e-3)
+    opt = make_optimizer(tc)
+    table = table_for_n_elems(cfg.n_elems)
+    batch = pad_molecules(toy_train_mols[:6], table, pad_to=16)
+    w = np.ones((6,), np.float32)
+    args = (batch.x, batch.q0, batch.xyz, batch.node_mask, batch.y, w)
+
+    idx, nmask, _ = build_neighbors_batch(
+        np.asarray(batch.xyz), np.asarray(batch.node_mask), cfg.cutoff, 12)
+    win = neighbor_window_width(np.asarray(idx), np.asarray(nmask), 8,
+                                align=2)
+    assert 0 < win < 16  # per-molecule padding keeps indices local
+
+    losses = {}
+    for label, kw in (
+        ("full", {}),
+        ("chunk", dict(near_row_chunk=8)),
+        ("chunk+win", dict(near_row_chunk=8, near_window=win)),
+    ):
+        state = create_state(cfg, tc, jax.random.key(0))
+        ls = []
+        for _ in range(4):
+            state, loss, pred, _ = train_step_fused(
+                state, cfg, tc.loss, opt, 8, 12, *args, remat=True, **kw)
+            ls.append(float(loss))
+        cons = np.asarray(pred).sum(1) - np.asarray(
+            batch.q0 * batch.node_mask).sum(1)
+        assert np.abs(cons).max() < 1e-4, label
+        losses[label] = ls
+    assert losses["full"][-1] < losses["full"][0]
+    np.testing.assert_allclose(losses["chunk"], losses["full"], rtol=2e-4)
+    np.testing.assert_allclose(losses["chunk+win"], losses["full"],
+                               rtol=2e-4)
+
+
+def test_train_near_chunk_config_validation(toy_train_mols):
+    """near_window without near_row_chunk, and near_row_chunk without
+    remat, both fail loudly (the latter silently saves no memory)."""
+    with pytest.raises(ValueError, match="near_window requires"):
+        train(toy_train_mols, SMALL,
+              TrainConfig(epochs=1, near_window=8), progress=False)
+    with pytest.raises(ValueError, match="requires remat"):
+        train(toy_train_mols, SMALL,
+              TrainConfig(epochs=1, near_row_chunk=8), progress=False)
