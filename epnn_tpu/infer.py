@@ -398,11 +398,23 @@ class Predictor:
                     for a in nbrs)
             k = int(nbrs[0].shape[-1]) if nbrs is not None \
                 else self._neighbor_k(batch)
+            # huge-N levers on the mesh path: chunk each device's R rows
+            # (near activations stay O(chunk·k·H) per device) and window
+            # the global-table gathers in serving mode (the r11 gather
+            # cliff is set by the GLOBAL (N, ·) projection tables, which
+            # every device gathers from regardless of D)
+            r_dev = np_ // n_at
+            chunk = self._near_chunk_sharded(r_dev, np_)
+            win = 0
+            if chunk and nbrs is not None:
+                win = self._near_window_sharded(batch, nbrs, chunk,
+                                                r_dev, np_)
             q = np.asarray(forward_atom_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k=max(k, 1), use_pallas=self._use_pallas(),
                 uniform_q0=self._uniform_q0(batch), neighbors=nbrs,
-                far_cluster=self.far_cluster))
+                far_cluster=self.far_cluster,
+                near_row_chunk=chunk, near_window=win))
             return q[:b, :n]
         from epnn_tpu.parallel.atom_shard import forward_atom_sharded_batch
 
@@ -452,7 +464,10 @@ class Predictor:
         mode = self.force_mode or (
             "dense" if batch.padded_atoms <= DENSE_MAX_ATOMS else "blocked"
         )
-        if mode == "blocked" and self.mesh is None:
+        if mode == "blocked":
+            # single-chip blocked path, or the big-graph atom-sharded mesh
+            # path (the view's own gates keep ring/dense meshes in caller
+            # order)
             view = self._spatial_view(batch)
             if view is not None:
                 # run on the internal cell-sorted twin (compact windowed
@@ -475,13 +490,15 @@ class Predictor:
                 stacklevel=2,
             )
         if self.mesh is not None:
-            if self.near_row_chunk > 0:
+            if self.near_row_chunk > 0 and (
+                    self.shard_mode == "ring"
+                    or batch.padded_atoms <= DENSE_MAX_ATOMS):
                 import warnings
 
                 warnings.warn(
                     "near_row_chunk applies to the single-chip blocked "
-                    "path only — the sharded mesh paths already hold only "
-                    "N/D rows per device and run full-width",
+                    "path and the big-graph atom-sharded path — the ring "
+                    "and dense mesh paths run full-width",
                     stacklevel=2,
                 )
             if self.reuse_neighbors and (
@@ -724,11 +741,17 @@ class Predictor:
         inverse permutation mapping sorted charges back to the caller's
         atom order.  Cached per batch object; see ``spatial_sort`` for
         the refresh policy (CRC-keyed, Verlet-criterion in skin mode)."""
-        if self.spatial_sort == "off" or self.mesh is not None:
+        if self.spatial_sort == "off":
+            return None
+        if self.mesh is not None and (
+                self.shard_mode == "ring"
+                or batch.padded_atoms <= DENSE_MAX_ATOMS):
+            # only the big-graph atom-sharded path windows its gathers;
+            # ring / dense mesh paths stay bitwise-stable in caller order
             return None
         if self.spatial_sort == "auto" and not (
                 batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
-                and self._near_chunk(batch)):
+                and self._effective_chunk(batch)):
             # auto-sort pays only through windowed gathers on the chunked
             # huge-N path (serving widths come from the tables, cold
             # widths from the sorted cell keys); everywhere else stay
@@ -839,6 +862,17 @@ class Predictor:
             per_batch[full_key] = w
         return w
 
+    def _effective_chunk(self, batch: MolBatch) -> int:
+        """The row chunk the dispatch for ``batch`` will actually use —
+        single-chip policy, or the mesh policy on the big-graph path."""
+        if self.mesh is None or self.shard_mode == "ring":
+            return self._near_chunk(batch)
+        from epnn_tpu.parallel.sharding import ATOM_AXIS
+
+        n_at = self.mesh.shape[ATOM_AXIS]
+        n_pad = -(-batch.padded_atoms // n_at) * n_at
+        return self._near_chunk_sharded(n_pad // n_at, n_pad)
+
     def _near_chunk(self, batch: MolBatch) -> int:
         """Effective huge-N row chunk for this batch (see
         ``near_row_chunk``): the explicit setting, or the auto policy."""
@@ -851,6 +885,50 @@ class Predictor:
         # batch width — the chunked paths pad N up to a chunk multiple
         # and run pad-proportionally slower (r10 568k sweep)
         return balanced_row_chunk(batch.padded_atoms, HUGE_GRAPH_ROW_CHUNK)
+
+    def _near_chunk_sharded(self, r_dev: int, n_pad: int) -> int:
+        """Huge-N row chunk for the big-graph MESH path: the explicit
+        setting, or the auto policy keyed on the GLOBAL padded width (the
+        gather cliff the chunk+window pair exists to dodge is set by the
+        global projection tables) and sized to the PER-DEVICE rows R."""
+        if self.near_row_chunk >= 0:
+            return self.near_row_chunk if self.near_row_chunk < r_dev else 0
+        if n_pad < HUGE_GRAPH_MIN_ATOMS:
+            return 0
+        from epnn_tpu.ops.fused import balanced_row_chunk
+        return balanced_row_chunk(r_dev, HUGE_GRAPH_ROW_CHUNK)
+
+    def _near_window_sharded(self, batch: MolBatch, nbrs, chunk: int,
+                             r_dev: int, n_pad: int) -> int:
+        """Auto ``near_window`` for the big-graph mesh path: width measured
+        from the (padded, global-index) serving tables against the SHARDED
+        chunk boundaries — each device chunks its own R rows independently,
+        so the width is the max over per-device row slices.  Compact only
+        under ``spatial_sort`` (a random order returns ~N → off)."""
+        if self.near_window == 0 or not chunk:
+            return 0
+        if self.near_window > 0:
+            return self.near_window
+        per_batch = self._winw_cache.setdefault(batch, {})
+        full_key = ("mesh", chunk, r_dev,
+                    self.skin_rebuilds if self.neighbor_skin > 0
+                    else self._geom_fingerprint(batch))
+        w = per_batch.get(full_key)
+        if w is None:
+            from epnn_tpu.ops.fused import neighbor_window_width
+
+            align = max(8, min(4096, n_pad // 8))
+            idxt, mskt = np.asarray(nbrs[0]), np.asarray(nbrs[1])
+            w = 1
+            for d0 in range(0, n_pad, r_dev):
+                w = max(w, int(neighbor_window_width(
+                    idxt[:, d0:d0 + r_dev], mskt[:, d0:d0 + r_dev],
+                    chunk, align=align)))
+            if w >= n_pad:
+                w = 0  # statically identical to "off" — skip the arg
+            per_batch.clear()
+            per_batch[full_key] = w
+        return w
 
     def _neighbor_grid(self, batch: MolBatch):
         """Static (ncells_pad, cell_cap[, layout, row_chunk]) for the

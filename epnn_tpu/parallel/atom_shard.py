@@ -198,9 +198,30 @@ def forward_atom_sharded_nbr_batch(
     neighbors: "Optional[tuple]" = None,
     far_cluster: int = 0,
     far_cluster_grad: bool = False,
+    near_row_chunk: int = 0,
+    near_window: int = 0,
 ) -> jax.Array:
     """Neighbor-split atom-sharded forward: the multi-chip twin of
     :func:`epnn_tpu.ops.fused._forward_single_nbr`.
+
+    ``near_row_chunk`` (static) — huge-N memory/gather mode, the sharded
+    twin of ``forward_blocked(near_row_chunk=...)``: each device runs its
+    R = N/D rows' (R, k, ·) near-field activations in ``lax.map`` chunks
+    of this many rows, recomputing RBF/gate per chunk, so only the (R, k)
+    selection tables stay resident per device.  Chunk boundaries fall at
+    multiples of the chunk WITHIN each device's row block, so a safe
+    ``near_window`` is the max over per-device row slices of
+    :func:`epnn_tpu.ops.fused.neighbor_window_width` at this
+    ``row_chunk`` (what ``Predictor._near_window_sharded`` computes).
+
+    ``near_window`` (static, requires ``near_row_chunk``) — windowed
+    gathers (the r11 568k lever, per device): each chunk's j-side rows
+    are gathered through a ``(near_window, width)`` dynamic-slice window
+    of the GLOBAL (N, ·) projection table, keeping every gathered table
+    under the v5e ~56 MB staging cliff.  Requires spatially sorted atoms
+    (cell-key order); out-of-window pairs are mask-dropped
+    deterministically, so an undersized window shows up as a
+    conservation error, never as garbage.
 
     ``neighbors`` — optional precomputed ``(idx, nbr_mask, d2)`` batch
     tables, each (B, N, k) with global column indices (the
@@ -262,6 +283,9 @@ def forward_atom_sharded_nbr_batch(
     if b % n_dp:
         raise ValueError(f"B={b} not divisible by data axis {n_dp}")
     r = n // n_at
+    if near_window and not near_row_chunk:
+        raise ValueError("near_window requires near_row_chunk (windowed "
+                         "gathers ride the chunked near path)")
     if cfg.compute_dtype == "bfloat16":
         # Same dtype policy as forward_blocked's bfloat16 branch
         # (ops/fused.py): message/update pipeline in bf16, electron-passing
@@ -285,6 +309,7 @@ def forward_atom_sharded_nbr_batch(
             mesh, k=k, use_pallas=False, remat=remat, uniform_q0=uniform_q0,
             neighbors=neighbors, far_cluster=far_cluster,
             far_cluster_grad=far_cluster_grad,
+            near_row_chunk=near_row_chunk, near_window=near_window,
         )
         return out.astype(jnp.float32) * node_mask
 
@@ -295,7 +320,7 @@ def forward_atom_sharded_nbr_batch(
         cfg, mesh, k, use_pallas, remat, uniform_q0, far_cluster, b, n,
         0 if neighbors is None else len(neighbors),
         int(os.environ.get("EPNN_FAR_CLUSTER_ITERS", "8")),
-        far_cluster_grad)
+        far_cluster_grad, near_row_chunk, near_window)
     args = (fused, x, q0, xyz, node_mask)
     if neighbors is not None:
         args = args + tuple(neighbors)
@@ -306,7 +331,8 @@ def forward_atom_sharded_nbr_batch(
 def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
                        use_pallas: bool, remat: bool, uniform_q0: bool,
                        far_cluster: int, b: int, n: int, n_nbr: int,
-                       far_iters: int, far_cluster_grad: bool = False):
+                       far_iters: int, far_cluster_grad: bool = False,
+                       near_row_chunk: int = 0, near_window: int = 0):
     """Build + jit the :func:`forward_atom_sharded_nbr_batch` program for
     one static configuration (cfg/mesh/shapes/flags are all hashable).
     Without this memo every call re-traced the shard_map and recompiled —
@@ -366,9 +392,53 @@ def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
             d2_nbr = jnp.sum(
                 (xyz_rows[:, None, :] - xyz_f[idx]) ** 2, axis=-1)
         nbr_mask = nbr_mask.astype(x_f.dtype)
-        rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
-                                         dtype=x_f.dtype)
-        gate_nbr = gate_nbr * nbr_mask
+        if near_row_chunk:
+            # huge-N chunked near path (the sharded twin of
+            # ops/fused.py's near_row_chunk): only the (R, k) selection
+            # tables stay resident; RBF/gate and the gathered MLP chains
+            # run per chunk inside the rounds.  Chunk operands built once.
+            rck = -(-r // near_row_chunk) * near_row_chunk
+            _nch = rck // near_row_chunk
+
+            def _crs(a, fill=0):
+                ap = jnp.pad(
+                    a, [(0, rck - r)] + [(0, 0)] * (a.ndim - 1),
+                    constant_values=fill)
+                return ap.reshape(_nch, near_row_chunk, *a.shape[1:])
+
+            idx_ck = _crs(idx)
+            mask_ck = _crs(nbr_mask)
+            aux_ck = _crs(d2_nbr)  # d² plane exists in every branch above
+            rbf_nbr = gate_nbr = None
+
+            # windowed-gather metadata: per-chunk window start = min VALID
+            # neighbor index (global), clipped so the static-width slice
+            # of the global (N, ·) tables stays in bounds
+            nwin = near_window if 0 < near_window < n else 0
+            if nwin:
+                idx_valid = jnp.where(mask_ck > 0, idx_ck, jnp.int32(n - 1))
+                win_starts = jnp.clip(
+                    jnp.min(idx_valid.reshape(_nch, -1), axis=1),
+                    0, n - nwin).astype(jnp.int32)
+            else:
+                win_starts = jnp.zeros((_nch,), jnp.int32)
+
+            def _wgather(tbl, idx_c, mask_c, start_c):
+                """tbl[idx_c] through a (nwin, width) dynamic-slice window
+                of the GLOBAL table — bitwise-identical values at the
+                sub-cliff gather rate; out-of-window rows mask-dropped."""
+                if not nwin:
+                    return tbl[idx_c], mask_c
+                win = jax.lax.dynamic_slice(
+                    tbl, (start_c, jnp.int32(0)), (nwin, tbl.shape[1]))
+                rel = idx_c - start_c
+                ok = (rel >= 0) & (rel < nwin)
+                rel = jnp.clip(rel, 0, nwin - 1)
+                return win[rel], mask_c * ok.astype(mask_c.dtype)
+        else:
+            rbf_nbr, gate_nbr = rbf_and_gate(d2_nbr, nbr_mask, cfg,
+                                             dtype=x_f.dtype)
+            gate_nbr = gate_nbr * nbr_mask
 
         if cfg.mask_messages:
             msg_count = mask_rows * jnp.sum(mask_f)
@@ -505,18 +575,46 @@ def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
                 dense_sum = dense_clustered(pi_rows, pj_f, w)
             else:
                 dense_sum = dense_nofeat(pi_rows, pj_f, w)
-            pj_nbr = pj_f[idx]
-            epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
-            base = pi_rows[:, None, :] + pj_nbr
-            hid_full = jax.nn.relu(base + epart)
-            hid_nofeat = jax.nn.relu(base)
-            for wm, bm in w.mids:
-                hid_full = jax.nn.relu(
-                    jnp.dot(hid_full, wm, precision=prec) + bm)
-                hid_nofeat = jax.nn.relu(
-                    jnp.dot(hid_nofeat, wm, precision=prec) + bm)
-            near = jnp.sum((hid_full - hid_nofeat) * nbr_mask[:, :, None],
-                           axis=1)
+            if near_row_chunk:
+                def _near_chunk(ops_c):
+                    pi_c, idx_c, mask_c, aux_c, start_c = ops_c
+                    rbf_c, _ = rbf_and_gate(aux_c, mask_c, cfg,
+                                            dtype=x_f.dtype)
+                    pj_nbr, mask_c = _wgather(pj_f, idx_c, mask_c, start_c)
+                    epart = jnp.dot(rbf_c, w.w1_e, precision=prec)
+                    base = pi_c[:, None, :] + pj_nbr
+                    hid_full = jax.nn.relu(base + epart)
+                    hid_nofeat = jax.nn.relu(base)
+                    for wm, bm in w.mids:
+                        hid_full = jax.nn.relu(
+                            jnp.dot(hid_full, wm, precision=prec) + bm)
+                        hid_nofeat = jax.nn.relu(
+                            jnp.dot(hid_nofeat, wm, precision=prec) + bm)
+                    return jnp.sum(
+                        (hid_full - hid_nofeat) * mask_c[:, :, None], axis=1)
+
+                # under remat, checkpoint the chunk BODY (lax.map's scan
+                # linearization otherwise keeps every chunk's residuals
+                # alive at once — see ops/fused.py's note)
+                _near_body = jax.checkpoint(_near_chunk) if remat \
+                    else _near_chunk
+                near = jax.lax.map(
+                    _near_body,
+                    (_crs(pi_rows), idx_ck, mask_ck, aux_ck, win_starts)
+                ).reshape(rck, -1)[:r]
+            else:
+                pj_nbr = pj_f[idx]
+                epart = jnp.dot(rbf_nbr, w.w1_e, precision=prec)
+                base = pi_rows[:, None, :] + pj_nbr
+                hid_full = jax.nn.relu(base + epart)
+                hid_nofeat = jax.nn.relu(base)
+                for wm, bm in w.mids:
+                    hid_full = jax.nn.relu(
+                        jnp.dot(hid_full, wm, precision=prec) + bm)
+                    hid_nofeat = jax.nn.relu(
+                        jnp.dot(hid_nofeat, wm, precision=prec) + bm)
+                near = jnp.sum(
+                    (hid_full - hid_nofeat) * nbr_mask[:, :, None], axis=1)
             messages = (jnp.dot(dense_sum + near, w.w_out, precision=prec)
                         + msg_count[:, None] * w.b_out)
             h_rows = jax.lax.dynamic_slice_in_dim(h_f, r0, r, 0)
@@ -548,19 +646,54 @@ def _nbr_batch_program(cfg: EPNNConfig, mesh: Mesh, k: int,
             pj_f = jnp.dot(a, w.w1_j, precision=prec)
             pi_rows = jax.lax.dynamic_slice_in_dim(pi_f, r0, r, 0)
             pj_rows = jax.lax.dynamic_slice_in_dim(pj_f, r0, r, 0)
-            pp_nbr = jnp.concatenate([pi_f, pj_f], -1)[idx]  # one gather
             h1 = pi_f.shape[-1]
-            pi_nbr, pj_nbr = pp_nbr[..., :h1], pp_nbr[..., h1:]
-            epart = jnp.dot(rbf_nbr.astype(w.w1_e.dtype), w.w1_e,
-                            precision=prec)
-            hid_n = jax.nn.relu((pi_rows[:, None, :] + pj_nbr) + epart)
-            hid_t = jax.nn.relu((pi_nbr + pj_rows[:, None, :]) + epart)
-            for wm, bm in w.mids:
-                hid_n = jax.nn.relu(jnp.dot(hid_n, wm, precision=prec) + bm)
-                hid_t = jax.nn.relu(jnp.dot(hid_t, wm, precision=prec) + bm)
-            diff = (hid_n - hid_t).astype(jnp.float32)
-            dsum = jnp.sum(
-                0.5 * gate_nbr.astype(jnp.float32)[:, :, None] * diff, 1)
+            if near_row_chunk:
+                pp = jnp.concatenate([pi_f, pj_f], -1)
+
+                def _pass_chunk(ops_c):
+                    pi_c, pj_c, idx_c, mask_c, aux_c, start_c = ops_c
+                    rbf_c, gate_c = rbf_and_gate(aux_c, mask_c, cfg,
+                                                 dtype=x_f.dtype)
+                    pp_c, mask_c = _wgather(pp, idx_c, mask_c, start_c)
+                    gate_c = gate_c * mask_c
+                    pi_nbr, pj_nbr = pp_c[..., :h1], pp_c[..., h1:]
+                    epart = jnp.dot(rbf_c.astype(w.w1_e.dtype), w.w1_e,
+                                    precision=prec)
+                    hid_n = jax.nn.relu((pi_c[:, None, :] + pj_nbr) + epart)
+                    hid_t = jax.nn.relu((pi_nbr + pj_c[:, None, :]) + epart)
+                    for wm, bm in w.mids:
+                        hid_n = jax.nn.relu(
+                            jnp.dot(hid_n, wm, precision=prec) + bm)
+                        hid_t = jax.nn.relu(
+                            jnp.dot(hid_t, wm, precision=prec) + bm)
+                    # both orderings read the same full-width pp rows, so
+                    # pairwise antisymmetry stays bitwise under chunking
+                    diff = (hid_n - hid_t).astype(jnp.float32)
+                    gate32 = gate_c.astype(jnp.float32)
+                    return jnp.sum(0.5 * gate32[:, :, None] * diff, axis=1)
+
+                _pass_body = jax.checkpoint(_pass_chunk) if remat \
+                    else _pass_chunk
+                dsum = jax.lax.map(
+                    _pass_body,
+                    (_crs(pi_rows), _crs(pj_rows), idx_ck, mask_ck,
+                     aux_ck, win_starts)
+                ).reshape(rck, -1)[:r]
+            else:
+                pp_nbr = jnp.concatenate([pi_f, pj_f], -1)[idx]  # one gather
+                pi_nbr, pj_nbr = pp_nbr[..., :h1], pp_nbr[..., h1:]
+                epart = jnp.dot(rbf_nbr.astype(w.w1_e.dtype), w.w1_e,
+                                precision=prec)
+                hid_n = jax.nn.relu((pi_rows[:, None, :] + pj_nbr) + epart)
+                hid_t = jax.nn.relu((pi_nbr + pj_rows[:, None, :]) + epart)
+                for wm, bm in w.mids:
+                    hid_n = jax.nn.relu(
+                        jnp.dot(hid_n, wm, precision=prec) + bm)
+                    hid_t = jax.nn.relu(
+                        jnp.dot(hid_t, wm, precision=prec) + bm)
+                diff = (hid_n - hid_t).astype(jnp.float32)
+                dsum = jnp.sum(
+                    0.5 * gate_nbr.astype(jnp.float32)[:, :, None] * diff, 1)
             dq = jnp.dot(dsum, w.w_out.astype(jnp.float32),
                          precision=prec)[:, 0]
             q_rows = jax.lax.dynamic_slice_in_dim(q_f, r0, r, 0) + dq

@@ -105,6 +105,67 @@ class TestAtomSharding:
         want = (q0 * mask).sum(1)
         np.testing.assert_allclose(out.sum(1), want, atol=5e-5)
 
+    def test_nbr_sharded_chunked_windowed(self, rng):
+        """Huge-N chunked + windowed near path on the atom-sharded forward
+        (the multi-chip twin of forward_blocked's near_row_chunk /
+        near_window): chunking must be BITWISE identical to the full-width
+        sharded forward, and a window >= the per-device safe width must be
+        bitwise identical too.  Line geometry so the window is genuinely
+        smaller than N (sharded row gathers read the GLOBAL tables — the
+        r11 gather cliff applies at any device count)."""
+        from epnn_tpu.ops.fused import (build_neighbors,
+                                        max_neighbor_count,
+                                        neighbor_window_width)
+        from epnn_tpu.parallel.atom_shard import forward_atom_sharded_nbr_batch
+
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        fused = fuse_params(params, cfg)
+        b, n = 2, 64
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = np.zeros((b, n, 3), np.float32)
+        xyz[:, :, 0] = np.arange(n) * 1.1
+        xyz[:, :, 1] = rng.uniform(0, 0.5, size=(b, n))
+        mask = np.ones((b, n), np.float32)
+        mask[:, -5:] = 0.0
+        xyz *= mask[..., None]
+        q0 = np.full((b, n), 1.0 / n, np.float32)
+        k = int(max(max_neighbor_count(xyz[i], mask[i], cfg.cutoff)
+                    for i in range(b))) + 2
+        tabs = [np.stack(a) for a in zip(*(
+            build_neighbors(xyz[i], mask[i], cfg.cutoff, k, with_d2=True)
+            for i in range(b)))]
+        nbrs = tuple(np.asarray(a) for a in tabs)
+
+        mesh = make_mesh(n_data=2, n_atoms=4)
+        r = n // 4
+        args = (fused, x, q0, xyz, mask, cfg, mesh)
+        base = np.asarray(forward_atom_sharded_nbr_batch(
+            *args, k=k, neighbors=nbrs))
+        for chunk in (8, 6):  # 8 divides R=16; 6 exercises chunk padding
+            out_c = np.asarray(forward_atom_sharded_nbr_batch(
+                *args, k=k, neighbors=nbrs, near_row_chunk=chunk))
+            np.testing.assert_array_equal(out_c, base)
+        # safe window: max over per-device row slices (the Predictor's
+        # _near_window_sharded computation)
+        chunk = 8
+        win = max(int(neighbor_window_width(
+            nbrs[0][:, d0:d0 + r], nbrs[1][:, d0:d0 + r], chunk, align=8))
+            for d0 in range(0, n, r))
+        assert 0 < win < n
+        out_w = np.asarray(forward_atom_sharded_nbr_batch(
+            *args, k=k, neighbors=nbrs, near_row_chunk=chunk,
+            near_window=win))
+        np.testing.assert_array_equal(out_w, base)
+        # conservation through the chunked+windowed sharded program
+        want = (q0 * mask).sum(1)
+        np.testing.assert_allclose(out_w.sum(1), want, atol=2e-5)
+        with pytest.raises(ValueError, match="near_window requires"):
+            forward_atom_sharded_nbr_batch(*args, k=k, neighbors=nbrs,
+                                           near_window=16)
+
     def test_conservation_sharded(self, rng):
         cfg = SMALL
         fused = fuse_params(init_params(cfg, jax.random.key(1)), cfg)
