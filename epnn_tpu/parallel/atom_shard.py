@@ -769,7 +769,9 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                             uniform_q0: bool = False,
                             far_cluster: int = 0,
                             far_cluster_grad: bool = False,
-                            remat: bool = True):
+                            remat: bool = True,
+                            near_row_chunk: int = 0,
+                            near_window: int = 0):
     """A jitted training step whose forward/backward runs atom-sharded:
     trains on graphs whose pair grid does not fit one device.  Params stay
     replicated (≤75K, SURVEY §2.5); gradients psum over the mesh via the
@@ -805,6 +807,16 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
     historical behavior; ``TrainConfig.remat`` defaults False after the
     r9 measurement: no-remat is faster at every size tried because the
     far-field kernel's custom VJP already recomputes in-tile).
+
+    ``near_row_chunk`` / ``near_window`` (atom mode, requires
+    ``neighbor_k``) — huge-N training on the mesh: each device's near
+    activations run in chunk-body-checkpointed ``lax.map`` chunks (peak
+    backward residual = one chunk per device) with optionally windowed
+    global-table gathers; the sharded twin of
+    ``TrainConfig.near_row_chunk`` / ``near_window``.  Chunking requires
+    ``remat=True`` (without it lax.map's scan linearization keeps every
+    chunk's residuals alive — the footprint the chunking exists to
+    avoid).
     """
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
@@ -815,6 +827,18 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
         raise ValueError("shard_mode='ring' requires neighbor_k")
     if far_cluster and neighbor_k is None:
         raise ValueError("far_cluster requires neighbor_k")
+    if near_row_chunk and neighbor_k is None:
+        raise ValueError("near_row_chunk requires neighbor_k")
+    if near_row_chunk and shard_mode == "ring":
+        raise ValueError("near_row_chunk applies to the atom-sharded "
+                         "neighbor-split step only (ring circulates "
+                         "blocks already)")
+    if near_row_chunk and not remat:
+        raise ValueError("near_row_chunk training requires remat=True "
+                         "(the chunk body is checkpointed so the backward "
+                         "recomputes chunk-by-chunk)")
+    if near_window and not near_row_chunk:
+        raise ValueError("near_window requires near_row_chunk")
 
     def loss_fn(params, x, q0, xyz, node_mask, y, weight, neighbors=None):
         fused = fuse_params(params, cfg)
@@ -832,7 +856,8 @@ def make_sharded_train_step(cfg: EPNNConfig, opt, mesh: Mesh,
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas, remat=remat, uniform_q0=uniform_q0,
                 neighbors=neighbors,
-                far_cluster=far_cluster, far_cluster_grad=far_cluster_grad)
+                far_cluster=far_cluster, far_cluster_grad=far_cluster_grad,
+                near_row_chunk=near_row_chunk, near_window=near_window)
         else:
             if neighbors is not None:
                 raise ValueError("precomputed neighbors require neighbor_k")
@@ -859,13 +884,20 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
                            neighbor_k: Optional[int] = None,
                            use_pallas: bool = False,
                            shard_mode: str = "atom",
-                           uniform_q0: bool = False):
-    """Atom-sharded eval twin of :func:`make_sharded_train_step`."""
+                           uniform_q0: bool = False,
+                           near_row_chunk: int = 0,
+                           near_window: int = 0):
+    """Atom-sharded eval twin of :func:`make_sharded_train_step` (the
+    chunk/window levers need no remat here — no backward)."""
     from epnn_tpu.ops import fuse_params
     from epnn_tpu.train import metrics as M
 
     if shard_mode == "ring" and neighbor_k is None:
         raise ValueError("shard_mode='ring' requires neighbor_k")
+    if near_row_chunk and neighbor_k is None:
+        raise ValueError("near_row_chunk requires neighbor_k")
+    if near_window and not near_row_chunk:
+        raise ValueError("near_window requires near_row_chunk")
 
     @jax.jit
     def step(params, x, q0, xyz, node_mask, y, weight, neighbors=None):
@@ -882,7 +914,8 @@ def make_sharded_eval_step(cfg: EPNNConfig, mesh: Mesh,
             pred = forward_atom_sharded_nbr_batch(
                 fused, x, q0, xyz, node_mask, cfg, mesh, k=neighbor_k,
                 use_pallas=use_pallas, uniform_q0=uniform_q0,
-                neighbors=neighbors)
+                neighbors=neighbors,
+                near_row_chunk=near_row_chunk, near_window=near_window)
         else:
             if neighbors is not None:
                 raise ValueError("precomputed neighbors require neighbor_k")

@@ -602,6 +602,11 @@ def train(
         def _sharded_steps(k: Optional[int], uq0: bool = False):
             uq0 = bool(uq0) and k is not None
             if (k, uq0) not in _sh_cache:
+                # huge-N chunk/window (TrainConfig.near_row_chunk /
+                # near_window) thread into the neighbor-split atom-sharded
+                # step (train()'s mesh path is always atom mode; ring
+                # training goes through make_sharded_train_step directly)
+                nch = tc.near_row_chunk if k else 0
                 _sh_cache[(k, uq0)] = (
                     make_sharded_train_step(
                         cfg, opt, mesh, tc.loss, neighbor_k=k,
@@ -609,11 +614,15 @@ def train(
                         uniform_q0=uq0,
                         far_cluster=tc.far_cluster if k else 0,
                         far_cluster_grad=tc.far_cluster_grad,
-                        remat=tc.remat),
+                        remat=tc.remat,
+                        near_row_chunk=nch,
+                        near_window=tc.near_window if nch else 0),
                     make_sharded_eval_step(
                         cfg, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
-                        uniform_q0=uq0),
+                        uniform_q0=uq0,
+                        near_row_chunk=nch,
+                        near_window=tc.near_window if nch else 0),
                 )
             return _sh_cache[(k, uq0)]
 

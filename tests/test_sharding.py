@@ -282,6 +282,68 @@ class Test2DMesh:
             state, cfg, tc.loss, opt, 8, k, x, q0, xyz, mask, y, w)
         np.testing.assert_allclose(losses[0], float(loss1), rtol=1e-4)
 
+    def test_sharded_training_chunked_windowed(self, rng):
+        """Huge-N TRAINING on the mesh (make_sharded_train_step
+        near_row_chunk/near_window): the chunk-body-checkpointed backward
+        must train — loss decreasing — and the first-step loss must match
+        the full-width sharded step to fp association noise (the values
+        are the same math chunk-sliced; XLA may re-block the GEMMs)."""
+        import optax
+
+        from epnn_tpu.ops.fused import (build_neighbors,
+                                        max_neighbor_count,
+                                        neighbor_window_width)
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.train import TrainConfig, create_state
+
+        cfg = SMALL
+        tc = TrainConfig(learning_rate=3e-3)
+        state = create_state(cfg, tc, jax.random.key(0))
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        opt = optax.adam(3e-3)
+        state = state.replace(opt_state=opt.init(state.params))
+
+        b, n = 1, 64
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = np.zeros((b, n, 3), np.float32)  # line: windows << n
+        xyz[:, :, 0] = np.arange(n) * 1.1
+        xyz[:, :, 1] = rng.uniform(0, 0.5, size=(b, n))
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(0, 0.3, size=(b, n)).astype(np.float32)
+        w = np.ones((b,), np.float32)
+        k = int(max_neighbor_count(xyz[0], mask[0], cfg.cutoff)) + 2
+        nbrs = tuple(a[None] for a in build_neighbors(
+            xyz[0], mask[0], cfg.cutoff, k, with_d2=True))
+        nbrs = tuple(np.asarray(a) for a in nbrs)
+        r, chunk = n // 8, 4
+        win = max(int(neighbor_window_width(
+            nbrs[0][:, d0:d0 + r], nbrs[1][:, d0:d0 + r], chunk, align=8))
+            for d0 in range(0, n, r))
+        assert 0 < win < n
+
+        step_full = make_sharded_train_step(cfg, opt, mesh, neighbor_k=k)
+        _, loss_full, _, _ = step_full(state, x, q0, xyz, mask, y, w,
+                                       neighbors=nbrs)
+        step_ck = make_sharded_train_step(
+            cfg, opt, mesh, neighbor_k=k, near_row_chunk=chunk,
+            near_window=win)
+        st, losses = state, []
+        for _ in range(5):
+            st, loss, _, _ = step_ck(st, x, q0, xyz, mask, y, w,
+                                     neighbors=nbrs)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        np.testing.assert_allclose(losses[0], float(loss_full), rtol=1e-5)
+
+        # validation: chunking needs remat (chunk-body checkpoint) and k
+        with pytest.raises(ValueError, match="remat"):
+            make_sharded_train_step(cfg, opt, mesh, neighbor_k=k,
+                                    near_row_chunk=chunk, remat=False)
+        with pytest.raises(ValueError, match="near_row_chunk"):
+            make_sharded_train_step(cfg, opt, mesh, near_row_chunk=chunk)
+
     def test_sharded_training_far_cluster(self, rng):
         """make_sharded_train_step(far_cluster=C): the approximate clustered
         far-field TRAINING tier on the atom-sharded mesh — loss decreases,

@@ -7,6 +7,22 @@ from epnn_tpu.models import EPNNConfig
 from epnn_tpu.train import TrainConfig, train
 
 
+@pytest.fixture(autouse=True)
+def _clear_jit_caches():
+    """Drop compiled executables between tests: by the time this module
+    runs, the full suite has stacked hundreds of distinct XLA:CPU
+    executables in one process, and fresh train() loops here crossed a
+    process-level crash threshold twice (SIGABRT at
+    test_precomputed_neighbor_training_matches_in_forward, then SIGSEGV
+    at test_early_stopping — both pass solo; the round-8 signature).
+    Each train() retraces anyway (fresh model/bucket shapes), so the
+    caches hold nothing these tests want to reuse."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def toy_train_mols():
     from epnn_tpu.data.xyz import Molecule
