@@ -146,8 +146,9 @@ class Predictor:
     #: auto: chunk at :data:`HUGE_GRAPH_ROW_CHUNK` rows from
     #: :data:`HUGE_GRAPH_MIN_ATOMS` padded atoms up, full-width (the
     #: measured-fastest mode at benchmark sizes) below; ``0`` = force off;
-    #: ``> 0`` = explicit chunk size.  The sharded mesh paths ignore it
-    #: (each device already holds only N/D rows).
+    #: ``> 0`` = explicit chunk size.  Applies to the single-chip blocked
+    #: path AND the big-graph atom-sharded mesh path (each device chunks
+    #: its own R = N/D rows); ring/dense mesh paths run full-width.
     near_row_chunk: int = -1
     #: Windowed huge-N gathers (single-chip chunked path): the per-round
     #: pj/pp row gathers — 72% of the 568k forward (r11 trace) — read
@@ -405,10 +406,11 @@ class Predictor:
             # every device gathers from regardless of D)
             r_dev = np_ // n_at
             chunk = self._near_chunk_sharded(r_dev, np_)
-            win = 0
-            if chunk and nbrs is not None:
-                win = self._near_window_sharded(batch, nbrs, chunk,
-                                                r_dev, np_)
+            # serving width from the tables; cold width from the sorted
+            # cell keys (populated by _spatial_view) — either way the
+            # auto-sort's cost is repaid through windowed gathers
+            win = self._near_window_sharded(batch, nbrs, chunk,
+                                            r_dev, np_) if chunk else 0
             q = np.asarray(forward_atom_sharded_nbr_batch(
                 self._fused, x, q0, xyz, mask, self.cfg, self.mesh,
                 k=max(k, 1), use_pallas=self._use_pallas(),
@@ -903,27 +905,51 @@ class Predictor:
         """Auto ``near_window`` for the big-graph mesh path: width measured
         from the (padded, global-index) serving tables against the SHARDED
         chunk boundaries — each device chunks its own R rows independently,
-        so the width is the max over per-device row slices.  Compact only
-        under ``spatial_sort`` (a random order returns ~N → off)."""
+        so the width is the max over per-device row slices, clamped at the
+        GLOBAL table height (indices are global: a slice-height clamp
+        would silently undersize the window on ≥2-device meshes and
+        mask-drop real pairs).  Cold calls (``nbrs is None``) bound the
+        width from the sorted cell keys instead (the single-chip cold
+        source, with chunking restarting at each device's row origin).
+        Compact only under ``spatial_sort`` (a random order → ≥N → off)."""
         if self.near_window == 0 or not chunk:
             return 0
         if self.near_window > 0:
             return self.near_window
+        if nbrs is None and self._geom_keys.get(batch) is None:
+            return 0  # cold path on an unsorted batch: no width source
         per_batch = self._winw_cache.setdefault(batch, {})
-        full_key = ("mesh", chunk, r_dev,
+        full_key = ("mesh", chunk, r_dev, nbrs is None,
                     self.skin_rebuilds if self.neighbor_skin > 0
                     else self._geom_fingerprint(batch))
         w = per_batch.get(full_key)
         if w is None:
-            from epnn_tpu.ops.fused import neighbor_window_width
-
             align = max(8, min(4096, n_pad // 8))
-            idxt, mskt = np.asarray(nbrs[0]), np.asarray(nbrs[1])
-            w = 1
-            for d0 in range(0, n_pad, r_dev):
-                w = max(w, int(neighbor_window_width(
-                    idxt[:, d0:d0 + r_dev], mskt[:, d0:d0 + r_dev],
-                    chunk, align=align)))
+            if nbrs is not None:
+                from epnn_tpu.ops.fused import neighbor_window_width
+
+                idxt, mskt = np.asarray(nbrs[0]), np.asarray(nbrs[1])
+                w = 1
+                for d0 in range(0, n_pad, r_dev):
+                    w = max(w, int(neighbor_window_width(
+                        idxt[:, d0:d0 + r_dev], mskt[:, d0:d0 + r_dev],
+                        chunk, align=align, table_rows=n_pad)))
+            else:
+                # cold mesh path: the sorted z-major cell keys bound every
+                # chunk's neighbor-index window (|Δkey| ≤ nmax²+nmax+1 for
+                # a near pair); chunk starts restart at each device slice
+                w = 1
+                for keys, span in self._geom_keys[batch]:
+                    nv = keys.shape[0]
+                    for d0 in range(0, n_pad, r_dev):
+                        for s in range(d0, min(d0 + r_dev, nv), chunk):
+                            e = min(s + chunk, d0 + r_dev, nv) - 1
+                            lo = np.searchsorted(keys, keys[s] - span,
+                                                 "left")
+                            hi = np.searchsorted(keys, keys[e] + span,
+                                                 "right")
+                            w = max(w, int(hi - lo))
+                w = min(-(-w // align) * align, n_pad)
             if w >= n_pad:
                 w = 0  # statically identical to "off" — skip the arg
             per_batch.clear()

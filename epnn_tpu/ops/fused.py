@@ -495,22 +495,33 @@ def _window_width_jit(idx, nbr_mask, row_chunk: int):
 
 
 def neighbor_window_width(idx, nbr_mask, row_chunk: int,
-                          align: int = 4096) -> int:
+                          align: int = 4096,
+                          table_rows: int | None = None) -> int:
     """Host-side safe ``near_window`` for windowed huge-N gathers: the max
     over row chunks of (max valid neighbor index − min valid + 1), rounded
     up to ``align`` rows (stable static shapes across similar geometries).
     Compact only when atoms are spatially ordered (cell-sorted); a random
     atom order returns ~n, which the forward treats as "window off".
     One O(N·k) pass over the selection tables — negligible next to a
-    build; cache it per geometry alongside k."""
+    build; cache it per geometry alongside k.
+
+    ``table_rows`` — height of the GLOBAL table the window will slide
+    over, when ``idx`` is only a row SLICE of it (the sharded mesh path
+    measures per-device slices whose neighbor indices stay global).  The
+    result is clamped at the table height, never the slice height: a
+    clamp at the slice height would silently undersize the window and
+    mask-drop real pairs on any ≥2-device atom mesh."""
     if row_chunk <= 0:
         return 0
+    n_tbl = int(table_rows) if table_rows is not None \
+        else int(np.asarray(idx).shape[-2]) if not isinstance(idx, jax.Array) \
+        else int(idx.shape[-2])
     if isinstance(idx, jax.Array) or isinstance(nbr_mask, jax.Array):
         # device tables (the huge-N serving caches): one reduction on
         # device + a scalar readback beats downloading a 91 MB idx table
         w = int(_window_width_jit(jnp.asarray(idx), jnp.asarray(nbr_mask),
                                   row_chunk))
-        return min(-(-max(w, 1) // align) * align, int(idx.shape[-2]))
+        return min(-(-max(w, 1) // align) * align, n_tbl)
     idx = np.asarray(idx)
     m = np.asarray(nbr_mask) > 0
     n = int(idx.shape[-2])
@@ -526,7 +537,7 @@ def neighbor_window_width(idx, nbr_mask, row_chunk: int,
                 continue
             ic = idx3[b, s:s + row_chunk][mc]
             width = max(width, int(ic.max()) - int(ic.min()) + 1)
-    return min(-(-width // align) * align, n)
+    return min(-(-width // align) * align, n_tbl)
 
 
 @functools.partial(jax.jit,

@@ -1722,6 +1722,18 @@ def test_neighbor_window_width():
     idxb = np.stack([idx[:16], idx[:16]])
     mb = np.stack([m[:16], m[:16]])
     assert neighbor_window_width(idxb, mb, 8, align=4) == 12
+    # table_rows: a row SLICE of a global table clamps at the TABLE
+    # height, not the slice height — a slice-height clamp would
+    # undersize the window (the r4-advisor sharded-mesh bug)
+    idxs = np.zeros((4, k), np.int32)
+    idxs[:, -1] = n - 1  # spans the whole 32-row global table
+    ms = np.ones((4, k), np.float32)
+    assert neighbor_window_width(idxs, ms, 4, align=4,
+                                 table_rows=n) == n
+    # device-array path honors table_rows the same way
+    import jax.numpy as jnp
+    assert neighbor_window_width(jnp.asarray(idxs), jnp.asarray(ms), 4,
+                                 align=4, table_rows=n) == n
 
 
 def test_predictor_near_row_chunk(rng, monkeypatch):

@@ -1336,6 +1336,87 @@ class TestShardedNeighborReuse:
         q1_ref = Predictor(params=params, cfg=cfg, mesh=mesh).predict_batch(b)
         assert np.abs(q1 - q1_ref).max() < 1e-5 * scale
 
+    def test_predictor_mesh_auto_window_unsorted_goes_off(self, rng,
+                                                          monkeypatch):
+        """r4-advisor HIGH fix: on a ≥2-atom-device mesh the auto
+        ``near_window`` width is measured on per-device row slices whose
+        neighbor indices are GLOBAL — the clamp must be at the global
+        table height (window off for an unsorted 3-D geometry), never at
+        the slice height R, which would silently mask-drop real pairs.
+        Charges through the chunked mesh path must stay bitwise equal to
+        the unchunked reuse path."""
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)  # force the nbr path
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(3))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        g = np.random.default_rng(11)
+        natoms = 40
+        # dense 3-D blob in caller-random order: every device slice's
+        # neighbor-index spread is ~N >> R
+        mol = Molecule(name="m",
+                       symbols=list(g.choice(["H", "C", "N", "O"], natoms)),
+                       xyz=g.uniform(0, 5, (natoms, 3)).astype(np.float32),
+                       total_charge=1.0)
+        b = pad_molecules([mol], table_for_n_elems(cfg.n_elems), pad_to=40)
+        mesh = make_mesh(n_data=1, n_atoms=4)
+
+        base = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         reuse_neighbors=True).predict_batch(b)
+        pred = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         reuse_neighbors=True, near_row_chunk=8,
+                         spatial_sort="off")
+        out = pred.predict_batch(b)
+        np.testing.assert_array_equal(out, base)
+        # the cached auto width must be 0 (off), not clamped at R=10
+        widths = [w for d in pred._winw_cache.values() for w in d.values()]
+        assert widths == [0], widths
+
+    def test_predictor_mesh_cold_sorted_window(self, rng, monkeypatch):
+        """r4-advisor fix: COLD mesh big-graph calls (no reuse tables)
+        get their window width from the sorted cell keys — the auto
+        spatial sort's cost is repaid through windowed gathers instead of
+        being paid for nothing.  Line geometry → a genuinely compact
+        window; charges must match the unsorted/unwindowed mesh forward
+        to fp noise (the sort permutes reduction order)."""
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)
+        monkeypatch.setattr(I, "HUGE_GRAPH_MIN_ATOMS", 32)
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(4))
+        g = np.random.default_rng(13)
+        natoms = 64
+        xyz = np.zeros((natoms, 3), np.float32)
+        xyz[:, 0] = g.permutation(natoms) * 1.1  # scrambled line
+        xyz[:, 1] = g.uniform(0, 0.5, natoms)
+        mol = Molecule(name="m",
+                       symbols=list(g.choice(["H", "C", "N", "O"], natoms)),
+                       xyz=xyz, total_charge=0.0)
+        b = pad_molecules([mol], table_for_n_elems(cfg.n_elems), pad_to=64)
+        mesh = make_mesh(n_data=1, n_atoms=4)
+
+        base = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         spatial_sort="off").predict_batch(b)
+        pred = Predictor(params=params, cfg=cfg, mesh=mesh,
+                         near_row_chunk=8, spatial_sort="auto")
+        out = pred.predict_batch(b)
+        scale = np.abs(base).max() + 1.0
+        assert np.abs(out - base).max() < 1e-5 * scale
+        # the sort must have produced a real (compact, on) cold window
+        widths = [w for d in pred._winw_cache.values() for w in d.values()]
+        assert widths and all(0 < w < 64 for w in widths), widths
+
 
 @pytest.mark.heavy  # ring-train covered by loss_decreases + dryrun; uq0 tracks
 def test_ring_training_uniform_q0_tracks():
