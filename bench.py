@@ -289,10 +289,18 @@ def main():
             symbols = list(rng.choice(
                 ["H", "C", "N", "O", "S"], size=nbig,
                 p=[0.5, 0.3, 0.1, 0.09, 0.01]))
-            big = Molecule(name="synth17760", symbols=symbols,
-                           xyz=rng.uniform(0, side, (nbig, 3)).astype(
-                               np.float32),
-                           total_charge=0.0)
+            xyz_big = rng.uniform(0, side, (nbig, 3)).astype(np.float32)
+            # the shipped Predictor cell-sorts graphs >= CELL_SORT_MIN_ATOMS
+            # (16,384) by default for the r7g conservation win; measure the
+            # same ordering here (timing is ordering-neutral, r7g)
+            cell = np.floor((xyz_big - xyz_big.min(0)) / cfg.cutoff
+                            ).astype(np.int64)
+            nmax = int(cell.max()) + 1
+            key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+            order = np.argsort(key, kind="stable")
+            big = Molecule(name="synth17760",
+                           symbols=[symbols[i] for i in order],
+                           xyz=xyz_big[order], total_charge=0.0)
             bb = pad_molecules([big], table, pad_to=nbig)
             kb = round_up(max_neighbor_count(
                 bb.xyz[0], bb.node_mask[0], cfg.cutoff) + 4, 8)

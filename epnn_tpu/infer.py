@@ -50,6 +50,16 @@ CELL_GRID_MIN_ATOMS = 1024
 HUGE_GRAPH_MIN_ATOMS = 200_000
 HUGE_GRAPH_ROW_CHUNK = 65_536
 
+#: From this padded width up, ``spatial_sort='auto'`` cell-sorts atoms even
+#: when the chunked/windowed huge-N mode is off: cell-ordered accumulation
+#: keeps spatially-near (similar-magnitude, anticorrelated) contributions
+#: adjacent in the f32 reduction trees, measured 10× better raw Σq
+#: conservation at 17,760 atoms (7.9e-5 → 7.6e-6 e, r7g battery) at
+#: latency-neutral cost (24.67 vs 24.68 ms clustered / 86.6 vs 86.7 exact —
+#: v5e gather cost is per-row dispatch, not locality).  Charges still
+#: return in the caller's order.
+CELL_SORT_MIN_ATOMS = 16_384
+
 
 @dataclasses.dataclass
 class Predictor:
@@ -165,8 +175,11 @@ class Predictor:
     near_window: int = -1
     #: Spatial atom ordering for huge graphs: ``'auto'`` cell-sorts each
     #: graph's atoms (z-major cutoff-sided cell key, the r7g ordering)
-    #: whenever the huge-N chunked mode is active, so the windowed
-    #: gathers above get compact windows; charges are returned in the
+    #: whenever the huge-N chunked mode is active — so the windowed
+    #: gathers above get compact windows — and from
+    #: :data:`CELL_SORT_MIN_ATOMS` (16,384) padded atoms up regardless,
+    #: for the measured 10× raw-conservation win of cell-ordered
+    #: accumulation (latency-neutral, r7g); charges are returned in the
     #: CALLER's atom order (the permutation is internal).  In skin-MD
     #: mode the permutation follows the Verlet criterion: it is kept
     #: while no atom drifts more than skin/2 from the sort geometry
@@ -752,12 +765,15 @@ class Predictor:
             # ring / dense mesh paths stay bitwise-stable in caller order
             return None
         if self.spatial_sort == "auto" and not (
-                batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
-                and self._effective_chunk(batch)):
-            # auto-sort pays only through windowed gathers on the chunked
+                (batch.padded_atoms >= HUGE_GRAPH_MIN_ATOMS
+                 and self._effective_chunk(batch))
+                or batch.padded_atoms >= CELL_SORT_MIN_ATOMS):
+            # auto-sort pays through windowed gathers on the chunked
             # huge-N path (serving widths come from the tables, cold
-            # widths from the sorted cell keys); everywhere else stay
-            # bitwise-stable in caller order
+            # widths from the sorted cell keys) and, from
+            # CELL_SORT_MIN_ATOMS up, through 10× better raw Σq
+            # conservation at measured-neutral latency (r7g); on small
+            # graphs stay bitwise-stable in caller order
             return None
         xyz = np.asarray(batch.xyz)
         mask = np.asarray(batch.node_mask)

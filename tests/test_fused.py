@@ -1893,6 +1893,57 @@ def test_predictor_spatial_sort(rng, monkeypatch):
         Predictor(params=params, cfg=cfg, near_window=-3)
 
 
+def test_predictor_cell_sort_conservation_gate(rng, monkeypatch):
+    """r4-verdict item 4: ``spatial_sort='auto'`` engages from
+    ``CELL_SORT_MIN_ATOMS`` padded atoms up even with the huge-N chunked
+    mode OFF (cell-ordered accumulation is the measured 10× raw-Σq
+    conservation win, r7g).  Below the threshold auto stays off
+    (bitwise caller-order); above it the sorted twin is used, charges
+    return in caller order and match to fp association noise."""
+    import jax
+
+    from epnn_tpu import infer as infer_mod
+    from epnn_tpu.data.dataset import pad_molecules
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.infer import Predictor
+    from epnn_tpu.models import init_params
+    from epnn_tpu.models.config import EPNNConfig
+
+    cfg = EPNNConfig(n_elems=9, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(9)
+    n = 64
+    mol = Molecule(name="m",
+                   symbols=list(g.choice(["H", "C", "O"], n)),
+                   xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
+                   total_charge=0.0)
+    batch = pad_molecules([mol], table_for_n_elems(9))
+
+    def mk(**kw):
+        return Predictor(params=params, cfg=cfg, force_mode="blocked",
+                         **kw)
+
+    ref = mk(spatial_sort="off").predict_batch(batch)
+
+    # below the threshold: auto == off, sort cache untouched
+    below = mk()
+    np.testing.assert_array_equal(below.predict_batch(batch), ref)
+    assert batch not in below._sort_cache
+
+    # above the threshold (chunk mode still off — HUGE_GRAPH_MIN_ATOMS
+    # stays at 200k): auto sorts, caller order preserved, fp-noise equal
+    monkeypatch.setattr(infer_mod, "CELL_SORT_MIN_ATOMS", 48)
+    above = mk()
+    q = above.predict_batch(batch)
+    assert above._effective_chunk(batch) == 0  # sort engaged WITHOUT chunk
+    assert batch in above._sort_cache
+    scale = float(np.abs(ref).max()) + 1.0
+    np.testing.assert_allclose(q, ref, atol=5e-6 * scale)
+    assert abs(float(q.sum())) < 1e-4 * scale
+
+
 def test_balanced_row_chunk():
     """Auto chunk sizing minimizes pad waste: the chunked paths pad N up
     to a chunk multiple and run pad-proportionally slower (r10 568k sweep:
