@@ -494,6 +494,33 @@ def main():
         except Exception as e:
             extra["val_masked_mae_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # full-871 golden mixed-val sweep (r4 verdict item 5): every bench run
+    # re-asserts the ENTIRE test_pred_charges.npy artifact at parity
+    # precision, not a 64-row subset — the strongest shipped regression
+    # oracle (reference: models/model_systems artifacts, SURVEY §2.7)
+    ms_dir = os.path.join(models_dir, "model_systems")
+    if (os.path.isdir(ms_dir) and os.path.isdir(mixed_dir)
+            and real_data):
+        try:
+            from epnn_tpu.data.xyz import load_molecule
+
+            vnames = np.load(os.path.join(ms_dir, "val_names.npy"),
+                             allow_pickle=True)
+            gval = np.load(os.path.join(ms_dir, "test_pred_charges.npy"))
+            vm = [load_molecule(os.path.join(mixed_dir, str(n) + ".xyz"))
+                  for n in vnames]
+            vb = pad_molecules(vm, table, pad_to=41)
+            cp = cfg.replace(matmul_precision="highest",
+                             dense_matmul_precision="default")
+            qv = np.asarray(forward_blocked(
+                fused, *(jax.device_put(a) for a in
+                         (vb.x, vb.q0, vb.xyz, vb.node_mask)),
+                cp, block=41, use_pallas=on_tpu))
+            extra["mixed_val_parity_max_e"] = float(np.abs(qv - gval).max())
+            extra["mixed_val_parity_rows"] = int(len(vm))
+        except Exception as e:
+            extra["mixed_val_parity_error"] = f"{type(e).__name__}: {e}"[:200]
+
     if golden is not None:
         extra["fast_vs_reference_preds"] = float(np.abs(q_fast - golden).max())
         extra["parity_vs_reference_preds"] = float(
