@@ -1049,7 +1049,8 @@ class Predictor:
     def benchmark_batch(self, batch: MolBatch, iters: int = 20,
                         warmup_loops: int = 2,
                         profile_dir: Optional[str] = None,
-                        per_call: bool = False) -> dict:
+                        per_call: bool = False,
+                        cost_analysis: bool = False) -> dict:
         """Steady-state latency for ``predict_batch(batch)``.
 
         Default methodology is the serialized dependency chain with one
@@ -1140,7 +1141,8 @@ class Predictor:
 
         return benchmark_chained(fn, q0, iters=iters,
                                  warmup_loops=warmup_loops,
-                                 profile_dir=profile_dir, operands=ops)
+                                 profile_dir=profile_dir, operands=ops,
+                                 cost_analysis=cost_analysis)
 
     def _use_pallas(self) -> bool:
         """Enable the packed Pallas far-field kernel where profiling shows

@@ -38,6 +38,7 @@ def benchmark_chained(
     warmup_loops: int = 2,
     profile_dir: Optional[str] = None,
     operands=None,
+    cost_analysis: bool = False,
 ):
     """Serialized-chain latency: the honest per-graph number on tunneled
     backends (benchmarks/RESULTS.md "round-3 measurement pitfall").
@@ -99,12 +100,29 @@ def benchmark_chained(
         t0 = time.perf_counter()
         loop()
         dt = time.perf_counter() - t0
-    return {
+    out = {
         "mean_s": dt / iters,
         "iters": iters,
         "method": "chained",
         "warmup_loops": warmup_loops,
     }
+    if cost_analysis:
+        # XLA's own post-fusion flop count for the measured program —
+        # achieved FLOP/s = flops / mean_s (the lowering/compile hits the
+        # already-populated compile caches; done AFTER timing regardless)
+        try:
+            prev0 = call(q0)
+            lowered = (fn_chained.lower(q0, prev0, operands)
+                       if operands is not None
+                       else fn_chained.lower(q0, prev0))
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            fl = float(ca.get("flops", 0.0))
+            if fl > 0:
+                out["flops"] = fl
+        except Exception:
+            pass
+    return out
 
 
 def benchmark_fn(

@@ -247,8 +247,10 @@ print("TWOPROC_OK", flush=True)
 """
 
 
-@pytest.mark.heavy  # 2 concurrent gloo processes; single-process twin is default
-def test_two_process_runtime_end_to_end():
+def test_two_process_runtime_end_to_end():  # default-suite (r4 verdict 6):
+    # the REAL cross-process coverage must run every time (~42 s; its two
+    # gloo workers are subprocess-isolated, so it is immune to the
+    # XLA:CPU in-process collective-executable SIGABRT)
     """REAL multi-process coverage (not the degenerate num_processes=1
     handshake): two OS processes, 4 virtual CPU devices each, join one
     distributed runtime; the atom-sharded forward and the sharded
