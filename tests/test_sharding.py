@@ -476,60 +476,36 @@ class TestDataParallel:
 class TestPredictorMesh:
     """User-facing multi-chip inference: Predictor(mesh=...) and the CLI."""
 
+    @pytest.mark.isolate  # 2 distinct sharded programs + a plain one: sat
+    # past the XLA:CPU collective-program count threshold in the full
+    # suite (CLAUDE.md round-8); the conftest isolate mechanism runs it
+    # in a fresh pytest child
     def test_predictor_matches_unsharded(self):
         """Predictor(mesh=...) atom AND ring modes match the unsharded
-        forward on a batch whose width is NOT divisible by the mesh.
+        forward on a batch whose width is NOT divisible by the mesh."""
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+        from epnn_tpu.models import EPNNConfig
 
-        Subprocess-isolated (both modes in ONE child): in the full suite
-        this test sat past the XLA:CPU distinct-collective-program count
-        threshold (CLAUDE.md round-8) — the ring predict readback
-        SIGABRTed after ~200 prior tests while the same test passed
-        file-solo.  Same medicine as test_predictor_dispatch_and_warnings."""
-        import os
-        import subprocess
-        import sys
-
-        code = """
-import os
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np
-from epnn_tpu.data.dataset import pad_molecules
-from epnn_tpu.data.xyz import Molecule
-from epnn_tpu.elements import table_for_n_elems
-from epnn_tpu.infer import Predictor
-from epnn_tpu.models import EPNNConfig, init_params
-from epnn_tpu.parallel import make_mesh
-
-cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
-                 mlp_hidden=(8, 8), T=2)
-params = init_params(cfg, jax.random.key(0))
-g = np.random.default_rng(4)
-n = 21  # deliberately NOT divisible by the mesh - Predictor pads
-mol = Molecule(name="m", symbols=["C"] * n,
-               xyz=g.uniform(-4, 4, (n, 3)).astype(np.float32),
-               total_charge=1.0)
-batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
-q_plain = Predictor(params=params, cfg=cfg).predict_batch(batch)
-scale = np.abs(q_plain).max() + 1.0
-mesh = make_mesh(n_data=1, n_atoms=8)
-for shard_mode in ("atom", "ring"):
-    sharded = Predictor(params=params, cfg=cfg, mesh=mesh,
-                        shard_mode=shard_mode)
-    q_shard = sharded.predict_batch(batch)
-    assert np.abs(q_shard - q_plain).max() < 1e-5 * scale, shard_mode
-print("PREDICTOR_MESH_OK")
-"""
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
-                              env=env, capture_output=True, text=True,
-                              timeout=900)
-        assert proc.returncode == 0, proc.stdout + proc.stderr
-        assert "PREDICTOR_MESH_OK" in proc.stdout, proc.stdout
+        cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                         mlp_hidden=(8, 8), T=2)
+        params = init_params(cfg, jax.random.key(0))
+        g = np.random.default_rng(4)
+        n = 21  # deliberately NOT divisible by the mesh - Predictor pads
+        mol = Molecule(name="m", symbols=["C"] * n,
+                       xyz=g.uniform(-4, 4, (n, 3)).astype(np.float32),
+                       total_charge=1.0)
+        batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
+        q_plain = Predictor(params=params, cfg=cfg).predict_batch(batch)
+        scale = np.abs(q_plain).max() + 1.0
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        for shard_mode in ("atom", "ring"):
+            sharded = Predictor(params=params, cfg=cfg, mesh=mesh,
+                                shard_mode=shard_mode)
+            q_shard = sharded.predict_batch(batch)
+            assert np.abs(q_shard - q_plain).max() < 1e-5 * scale, shard_mode
 
     def test_predictor_big_graph_nbr_sharded_dispatch(self, rng, monkeypatch):
         """Graphs padded wider than DENSE_MAX_ATOMS dispatch to the
@@ -722,62 +698,41 @@ class TestRingNbrSharding:
         scale = np.abs(atom).max() + 1.0
         assert np.abs(ring - atom).max() < 1e-4 * scale
 
+    @pytest.mark.isolate  # XLA:CPU aborts (SIGABRT, no message) when a
+    # ring-training executable runs after other sharded-training programs
+    # in one process (reproducible with the preceding 2DMesh/DP tests;
+    # jax.clear_caches() does not dodge it) — backend artifact, not ring
+    # code, which passes in any fresh process (conftest isolate child)
     def test_ring_training_loss_decreases(self):
-        """Ring-sharded training works (loss decreases through the ppermute
-        scans).  Runs in a SUBPROCESS: XLA:CPU's virtual-device collectives
-        abort (SIGABRT, no message) when a ring-training executable runs
-        after other sharded-training programs in one process (reproducible
-        with the preceding 2DMesh/DP train-step tests; jax.clear_caches()
-        does not dodge it) — an artifact of the 8-virtual-device CPU
-        backend, not of the ring code, which passes in any fresh process."""
-        import os
-        import subprocess
-        import sys
+        """Ring-sharded training works (loss decreases through the
+        ppermute scans)."""
+        import optax
 
-        code = f"""
-import os
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np
-import optax
-from epnn_tpu.models import EPNNConfig, init_params
-from epnn_tpu.parallel import make_mesh
-from epnn_tpu.parallel.atom_shard import make_sharded_train_step
-from epnn_tpu.train.loop import TrainState
+        from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+        from epnn_tpu.train.loop import TrainState
 
-cfg = {SMALL!r}  # the module's shared SMALL config, interpolated
-params = init_params(cfg, jax.random.key(3))
-rng = np.random.default_rng(0)
-b, n = 1, 48
-x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
-xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
-mask = np.ones((b, n), np.float32)
-q0 = np.zeros((b, n), np.float32)
-y = rng.normal(size=(b, n)).astype(np.float32) * 0.1
-w = np.ones((b,), np.float32)
-mesh = make_mesh(n_data=1, n_atoms=8)
-opt = optax.adam(1e-2)
-state = TrainState(params=params, opt_state=opt.init(params), step=0)
-step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=6,
-                               shard_mode="ring")
-losses = []
-for _ in range(5):
-    state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
-    losses.append(float(loss))
-assert losses[-1] < losses[0], losses
-assert np.isfinite(losses).all()
-print("RING_TRAIN_OK", losses[0], losses[-1])
-"""
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
-                              env=env, capture_output=True, text=True,
-                              timeout=900)
-        assert proc.returncode == 0, proc.stdout + proc.stderr
-        assert "RING_TRAIN_OK" in proc.stdout, proc.stdout
+        cfg = SMALL
+        params = init_params(cfg, jax.random.key(3))
+        rng = np.random.default_rng(0)
+        b, n = 1, 48
+        x = rng.normal(size=(b, n, cfg.n_elems)).astype(np.float32)
+        xyz = rng.uniform(0, 8, size=(b, n, 3)).astype(np.float32)
+        mask = np.ones((b, n), np.float32)
+        q0 = np.zeros((b, n), np.float32)
+        y = rng.normal(size=(b, n)).astype(np.float32) * 0.1
+        w = np.ones((b,), np.float32)
+        mesh = make_mesh(n_data=1, n_atoms=8)
+        opt = optax.adam(1e-2)
+        state = TrainState(params=params, opt_state=opt.init(params),
+                           step=0)
+        step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=6,
+                                       shard_mode="ring")
+        losses = []
+        for _ in range(5):
+            state, loss, _, _ = step(state, x, q0, xyz, mask, y, w)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert np.isfinite(losses).all()
 
     def test_predictor_ring_mode_batched(self, rng):
         """Predictor(shard_mode='ring') runs the whole batch in one sharded
@@ -1093,81 +1048,57 @@ class TestShardedFarCluster:
         np.testing.assert_allclose((q_sh * b.node_mask).sum(1), want,
                                    atol=2e-5)
 
-    def test_predictor_dispatch_and_warnings(self):
+    @pytest.mark.isolate  # THREE distinct sharded predictor programs in
+    # one test (atom clustered, ring clustered, atom exact) — crossed the
+    # XLA:CPU collectives SIGABRT count threshold on top of prior sharded
+    # tests (reproduced 2026-08-19; neither jax.clear_caches nor
+    # clear_backends dodges it); conftest isolate child
+    def test_predictor_dispatch_and_warnings(self, monkeypatch):
         """Big graphs on an atom mesh AND the ring path run the clustered
-        tier silently; dense small graphs warn and run exact.
+        tier silently; dense small graphs warn and run exact."""
+        import warnings
 
-        Subprocess-isolated: this test alone runs THREE distinct sharded
-        predictor programs (atom clustered, ring clustered, atom exact);
-        on top of prior sharded tests' programs that crosses the XLA:CPU
-        virtual-device collectives SIGABRT threshold (silent abort at a
-        predict readback — reproduced 2026-08-19 both file-solo and with
-        just two specific prior tests; standalone it passes, and neither
-        jax.clear_caches nor a full jax.extend.backend.clear_backends
-        between tests dodges it)."""
-        import os
-        import subprocess
-        import sys
+        import epnn_tpu.infer as I
+        from epnn_tpu.data.dataset import pad_molecules
+        from epnn_tpu.data.xyz import Molecule
+        from epnn_tpu.elements import table_for_n_elems
+        from epnn_tpu.infer import Predictor
+        from epnn_tpu.models import EPNNConfig
 
-        code = """
-import os
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-import jax
-jax.config.update("jax_platforms", "cpu")
-import warnings
-import numpy as np
-import epnn_tpu.infer as I
-from epnn_tpu.data.dataset import pad_molecules
-from epnn_tpu.data.xyz import Molecule
-from epnn_tpu.elements import table_for_n_elems
-from epnn_tpu.infer import Predictor
-from epnn_tpu.models import EPNNConfig, init_params
-from epnn_tpu.parallel import make_mesh
+        cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8),
+                         T=2)
+        params = init_params(cfg, jax.random.key(0))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.2 if a.ndim == 1 else a, params)
+        g = np.random.default_rng(7)
+        n = 40
+        mol = Molecule(name="m", symbols=["C"] * n,
+                       xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
+                       total_charge=1.0)
+        batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
+        mesh = make_mesh(n_data=1, n_atoms=8)
 
-cfg = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
-params = init_params(cfg, jax.random.key(0))
-params = jax.tree_util.tree_map(
-    lambda a: a + 0.2 if a.ndim == 1 else a, params)
-g = np.random.default_rng(7)
-n = 40
-mol = Molecule(name="m", symbols=["C"] * n,
-               xyz=g.uniform(0, 8, (n, 3)).astype(np.float32),
-               total_charge=1.0)
-batch = pad_molecules([mol], table_for_n_elems(cfg.n_elems))
-mesh = make_mesh(n_data=1, n_atoms=8)
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 16)
+        big = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            q = big.predict_batch(batch)
+        np.testing.assert_allclose(q.sum(), 1.0, atol=1e-4)
 
-I.DENSE_MAX_ATOMS = 16
-big = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
-with warnings.catch_warnings():
-    warnings.simplefilter("error")
-    q = big.predict_batch(batch)
-np.testing.assert_allclose(q.sum(), 1.0, atol=1e-4)
+        ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
+                         shard_mode="ring")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            q_ring = ring.predict_batch(batch)
+        np.testing.assert_allclose(q_ring.sum(), 1.0, atol=1e-4)
 
-ring = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8,
-                 shard_mode="ring")
-with warnings.catch_warnings():
-    warnings.simplefilter("error")
-    q_ring = ring.predict_batch(batch)
-np.testing.assert_allclose(q_ring.sum(), 1.0, atol=1e-4)
-
-I.DENSE_MAX_ATOMS = 4096
-dense = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
-with warnings.catch_warnings(record=True) as rec:
-    warnings.simplefilter("always")
-    dense.predict_batch(batch)
-assert any("exact far field" in str(w.message) for w in rec), \\
-    [str(w.message) for w in rec]
-print("DISPATCH_OK")
-"""
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        proc = subprocess.run([sys.executable, "-c", code], cwd=root,
-                              env=env, capture_output=True, text=True,
-                              timeout=900)
-        assert proc.returncode == 0, proc.stdout + proc.stderr
-        assert "DISPATCH_OK" in proc.stdout, proc.stdout
+        monkeypatch.setattr(I, "DENSE_MAX_ATOMS", 4096)
+        dense = Predictor(params=params, cfg=cfg, mesh=mesh, far_cluster=8)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            dense.predict_batch(batch)
+        assert any("exact far field" in str(w.message) for w in rec), \
+            [str(w.message) for w in rec]
 
 
 @needs_devices
@@ -1419,64 +1350,44 @@ class TestShardedNeighborReuse:
 
 
 @pytest.mark.heavy  # ring-train covered by loss_decreases + dryrun; uq0 tracks
+@pytest.mark.isolate  # two DISTINCT ring-training executables in one test
+# (XLA:CPU virtual-device collective SIGABRT artifact; conftest child)
 def test_ring_training_uniform_q0_tracks():
     """Ring-sharded training with the round-1 collapse (uniform_q0=True —
-    pmax/psum grid assembly under remat+grad) tracks the uncollapsed step's
-    losses.  Subprocess-isolated like test_ring_training_loss_decreases
-    (XLA:CPU virtual-device collective SIGABRT artifact)."""
-    import os
-    import subprocess
-    import sys
+    pmax/psum grid assembly under remat+grad) tracks the uncollapsed
+    step's losses."""
+    import optax
 
-    code = """
-import os
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np
-import optax
-from epnn_tpu.models import EPNNConfig, init_params
-from epnn_tpu.parallel import make_mesh
-from epnn_tpu.parallel.atom_shard import make_sharded_train_step
-from epnn_tpu.train.loop import TrainState
-from epnn_tpu.data.dataset import pad_molecules, uniform_q0_contract
-from epnn_tpu.data.xyz import Molecule
-from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.data.dataset import pad_molecules, uniform_q0_contract
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.elements import table_for_n_elems
+    from epnn_tpu.models import EPNNConfig
+    from epnn_tpu.parallel.atom_shard import make_sharded_train_step
+    from epnn_tpu.train.loop import TrainState
 
-cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
-                 mlp_hidden=(8, 8), T=2)
-params = init_params(cfg, jax.random.key(0))
-g = np.random.default_rng(0)
-mols = [Molecule(name=f"m{i}",
-                 symbols=list(g.choice(["H", "C", "N", "O"], 40)),
-                 xyz=g.uniform(0, 7, (40, 3)).astype(np.float32),
-                 total_charge=0.0) for i in range(2)]
-b = pad_molecules(mols, table_for_n_elems(10), pad_to=48)
-assert uniform_q0_contract(b.x, b.q0, b.node_mask)
-y = g.normal(size=b.q0.shape).astype(np.float32) * 0.1
-w = np.ones((2,), np.float32)
-mesh = make_mesh(n_data=2, n_atoms=4)
-opt = optax.adam(3e-3)
-losses = {}
-for uq0 in (False, True):
-    step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=12,
-                                   shard_mode="ring", uniform_q0=uq0)
-    st = TrainState(params=params, opt_state=opt.init(params), step=0)
-    ls = []
-    for _ in range(3):
-        st, loss, _, _ = step(st, b.x, b.q0, b.xyz, b.node_mask, y, w)
-        ls.append(float(loss))
-    losses[uq0] = ls
-assert losses[True][-1] < losses[True][0], losses
-assert np.allclose(losses[True], losses[False], rtol=1e-4), losses
-print("RING_UQ0_OK", losses[True])
-"""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    proc = subprocess.run([sys.executable, "-c", code], cwd=root,
-                          env=env, capture_output=True, text=True,
-                          timeout=900)
-    assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "RING_UQ0_OK" in proc.stdout, proc.stdout
+    cfg = EPNNConfig(n_elems=10, h_dim=16, e_dim=16, msg_dim=8,
+                     mlp_hidden=(8, 8), T=2)
+    params = init_params(cfg, jax.random.key(0))
+    g = np.random.default_rng(0)
+    mols = [Molecule(name=f"m{i}",
+                     symbols=list(g.choice(["H", "C", "N", "O"], 40)),
+                     xyz=g.uniform(0, 7, (40, 3)).astype(np.float32),
+                     total_charge=0.0) for i in range(2)]
+    b = pad_molecules(mols, table_for_n_elems(10), pad_to=48)
+    assert uniform_q0_contract(b.x, b.q0, b.node_mask)
+    y = g.normal(size=b.q0.shape).astype(np.float32) * 0.1
+    w = np.ones((2,), np.float32)
+    mesh = make_mesh(n_data=2, n_atoms=4)
+    opt = optax.adam(3e-3)
+    losses = {}
+    for uq0 in (False, True):
+        step = make_sharded_train_step(cfg, opt, mesh, neighbor_k=12,
+                                       shard_mode="ring", uniform_q0=uq0)
+        st = TrainState(params=params, opt_state=opt.init(params), step=0)
+        ls = []
+        for _ in range(3):
+            st, loss, _, _ = step(st, b.x, b.q0, b.xyz, b.node_mask, y, w)
+            ls.append(float(loss))
+        losses[uq0] = ls
+    assert losses[True][-1] < losses[True][0], losses
+    assert np.allclose(losses[True], losses[False], rtol=1e-4), losses

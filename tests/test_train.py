@@ -496,62 +496,45 @@ def test_public_train_far_cluster(toy_train_mols):
     assert np.isfinite(res.best_val_masked_mae)
 
 
+@pytest.mark.isolate  # two full train() loops stack many distinct
+# executables — crossed the XLA:CPU virtual-device abort threshold late
+# in the full suite while passing solo (CLAUDE.md rounds 8/12); the
+# conftest isolate mechanism runs it in a fresh pytest child
 def test_precomputed_neighbor_training_matches_in_forward():
     """TrainConfig.precompute_neighbors (default): per-bucket neighbor
     tables make the fused training run step-for-step identical to
     in-forward selection (same idx/mask/d² planes, the selection merely
     hoisted out of the step) — the r9 trace showed per-step top_k was
-    40% of the big-graph step's device time.
+    40% of the big-graph step's device time."""
+    from epnn_tpu.data.xyz import Molecule
+    from epnn_tpu.models import EPNNConfig
+    from epnn_tpu.train import TrainConfig, train
 
-    Runs in a SUBPROCESS: its two full train() loops stack many distinct
-    executables, which crossed the XLA:CPU virtual-device abort threshold
-    (silent SIGABRT, same signature as the r8 collectives bug) when run
-    late in the full suite; solo it always passes.  Isolating the
-    offender is the documented medicine (CLAUDE.md round-8)."""
-    import os
-    import subprocess
-    import sys
+    small = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8),
+                       T=2)
+    g = np.random.default_rng(11)
+    mols = []
+    for i in range(6):
+        n = int(g.integers(20, 28))  # pads above dense_max_atoms=16
+        symbols = list(g.choice(["H", "C", "N", "O"], size=n))
+        xyz = g.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        labels = g.normal(0, 0.2, size=n).astype(np.float32)
+        labels -= labels.sum() / n
+        mols.append(Molecule(name=f"pb{i}", symbols=symbols, xyz=xyz,
+                             total_charge=0.0, labels=labels))
 
-    code = """
-import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np
-from epnn_tpu.data.xyz import Molecule
-from epnn_tpu.models import EPNNConfig
-from epnn_tpu.train import TrainConfig, train
-
-SMALL = EPNNConfig(h_dim=16, e_dim=16, msg_dim=8, mlp_hidden=(8, 8), T=2)
-g = np.random.default_rng(11)
-mols = []
-for i in range(6):
-    n = int(g.integers(20, 28))  # pads above dense_max_atoms=16
-    symbols = list(g.choice(["H", "C", "N", "O"], size=n))
-    xyz = g.uniform(-5, 5, size=(n, 3)).astype(np.float32)
-    labels = g.normal(0, 0.2, size=n).astype(np.float32)
-    labels -= labels.sum() / n
-    mols.append(Molecule(name=f"pb{i}", symbols=symbols, xyz=xyz,
-                         total_charge=0.0, labels=labels))
-
-losses = {}
-for pre in (True, False):
-    tc = TrainConfig(epochs=4, batch_size=4, seed=1, dense_max_atoms=16,
-                     precompute_neighbors=pre)
-    res = train(mols, SMALL, tc, progress=False)
-    losses[pre] = [(h["train_loss"], h["val_loss"]) for h in res.history]
-# same shuffles (same seed), same math -> the histories must agree to
-# fp re-association noise at most
-for (t1, v1), (t0, v0) in zip(losses[True], losses[False]):
-    np.testing.assert_allclose(t1, t0, rtol=1e-6)
-    np.testing.assert_allclose(v1, v0, rtol=1e-6)
-print("PRECOMPUTE-MATCH OK")
-"""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
-    proc = subprocess.run([sys.executable, "-c", code], cwd=root, env=env,
-                          capture_output=True, text=True, timeout=600)
-    assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "PRECOMPUTE-MATCH OK" in proc.stdout, proc.stdout
+    losses = {}
+    for pre in (True, False):
+        tc = TrainConfig(epochs=4, batch_size=4, seed=1,
+                         dense_max_atoms=16, precompute_neighbors=pre)
+        res = train(mols, small, tc, progress=False)
+        losses[pre] = [(h["train_loss"], h["val_loss"])
+                       for h in res.history]
+    # same shuffles (same seed), same math -> the histories must agree to
+    # fp re-association noise at most
+    for (t1, v1), (t0, v0) in zip(losses[True], losses[False]):
+        np.testing.assert_allclose(t1, t0, rtol=1e-6)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6)
 
 
 def test_precompute_neighbors_cell_branch():
