@@ -135,6 +135,7 @@ def stage_train568(n=568320, iters=4):
     labels -= labels.mean()
     bb = pad_molecules([mol], table, pad_to=n)
 
+    chunk = balanced_row_chunk(n, 65536)
     t0 = time.time()
     k = int(round_up(max_neighbor_count(bb.xyz[0], bb.node_mask[0],
                                         c.cutoff) + 4, 8))
@@ -145,12 +146,15 @@ def stage_train568(n=568320, iters=4):
     put = jax.device_put
     z, m = put(np.asarray(bb.xyz[0])), put(np.asarray(bb.node_mask[0]))
     t0 = time.time()
+    # row_chunk: the builder's full-width (N, 27, 5*cap+d2) candidate
+    # gather is 8.7 GB padded at 568k — OOMs without chunking (the
+    # shipped Predictor always chunks the builder at huge N)
     nbrs = jax.block_until_ready(build_neighbors_cell(
-        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True))
+        z, m, c.cutoff, k, grid[0], grid[1], with_d2=True,
+        row_chunk=chunk))
     print(f"neighbor build: {time.time()-t0:.1f}s (incl compile)",
           flush=True)
     tabs = tuple(a[None] for a in nbrs)
-    chunk = balanced_row_chunk(n, 65536)
     win = neighbor_window_width(nbrs[0], nbrs[1], chunk)
     print(f"chunk {chunk}, window {win} ({win/n:.2f} of n)", flush=True)
 
