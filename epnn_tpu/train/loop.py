@@ -650,6 +650,23 @@ def train(
               "~2x slower and the packed far-field kernel is disabled; "
               "pass cfg.replace(matmul_precision='default') or CLI "
               "--precision fast unless you need parity-grade training")
+    from epnn_tpu import infer as _infer_mod
+
+    if tc.near_row_chunk == 0 and any(
+            pad >= _infer_mod.HUGE_GRAPH_MIN_ATOMS for pad in train_buckets):
+        import warnings
+
+        # the r12 568k battery: full-width near activations flirt with
+        # HBM at this scale and PLAIN gathers measured 5.8x slower than
+        # windowed (39.6 vs 6.8 s/step) — benchmarks/RESULTS.md round 13
+        warnings.warn(
+            "huge-N training bucket (>=200k padded atoms) without "
+            "TrainConfig.near_row_chunk: the full-width near activations "
+            "can OOM one chip and un-windowed gathers measured 5.8x "
+            "slower at 568k atoms.  Set near_row_chunk (requires "
+            "remat=True) and, with spatially sorted atoms, near_window "
+            "(safe width from ops.fused.neighbor_window_width)",
+            stacklevel=2)
 
     # round-1 far-field collapse (bitwise-identical on TPU, ~19% off the
     # protein-scale train step — scripts/tpu_profile_r6.py): bucket rows

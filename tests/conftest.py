@@ -64,61 +64,55 @@ def pytest_configure(config):
         "subprocess harness.")
 
 
+def _isolated_runner(nodeid):
+    """Body for an ``isolate``-marked test in the parent process: run the
+    real test in a fresh ``pytest <nodeid>`` child and relay its outcome.
+    Only the CALL phase is replaced — the parent's setup/teardown/fixture
+    protocol runs normally, so pytest's lazy collector teardown chain
+    stays consistent (a runtest_protocol-level bypass broke the NEXT
+    test's setup with 'previous item was not torn down properly')."""
+
+    def run(*_args, **_kwargs):
+        import re
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["EPNN_ISOLATE_CHILD"] = "1"
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q",
+                 "-p", "no:cacheprovider", nodeid],
+                cwd=root, env=env, capture_output=True, text=True,
+                timeout=1800)
+        except subprocess.TimeoutExpired as e:
+            pytest.fail(f"isolated child timed out after {e.timeout}s",
+                        pytrace=False)
+        out = proc.stdout + proc.stderr
+        counts = {k: int(v) for v, k in
+                  re.findall(r"(\d+) (passed|failed|error|skipped)", out)}
+        if proc.returncode == 0 and counts.get("passed"):
+            return
+        if proc.returncode == 0 and counts.get("skipped"):
+            pytest.skip("skipped in isolated child")
+        pytest.fail("isolated child failed:\n" + out, pytrace=False)
+
+    return run
+
+
 def pytest_collection_modifyitems(config, items):
+    if not os.environ.get("EPNN_ISOLATE_CHILD"):
+        for item in items:
+            if "isolate" in item.keywords and isinstance(
+                    item, pytest.Function):
+                item.obj = _isolated_runner(item.nodeid)
     if os.environ.get("EPNN_CI"):
         return
     skip = pytest.mark.skip(reason="heavy (set EPNN_CI=1 to run)")
     for item in items:
         if "heavy" in item.keywords:
             item.add_marker(skip)
-
-
-def pytest_runtest_protocol(item, nextitem):
-    """Run ``isolate``-marked tests in a fresh interpreter (see the marker
-    description).  The child is a normal ``pytest <nodeid>`` run — markers,
-    fixtures and skip conditions all apply there; the parent replays the
-    child's outcome as this item's report."""
-    if ("isolate" not in item.keywords
-            or os.environ.get("EPNN_ISOLATE_CHILD")
-            or item.get_closest_marker("skip") is not None):
-        return None  # normal in-process protocol (incl. heavy-skips)
-    import re
-    import subprocess
-    import sys
-    import time
-
-    hook = item.ihook
-    hook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
-    env = dict(os.environ)
-    env["EPNN_ISOLATE_CHILD"] = "1"
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    t0 = time.time()
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
-             item.nodeid],
-            cwd=root, env=env, capture_output=True, text=True, timeout=1800)
-        out = proc.stdout + proc.stderr
-        counts = {k: int(v) for v, k in
-                  re.findall(r"(\d+) (passed|failed|error|skipped)", out)}
-        if proc.returncode == 0 and "passed" in counts:
-            outcome, longrepr = "passed", None
-        elif proc.returncode == 0 and "skipped" in counts:
-            outcome = "skipped"
-            longrepr = (str(item.fspath), item.location[1] or 0,
-                        "skipped in isolated child")
-        else:
-            outcome, longrepr = "failed", out
-    except subprocess.TimeoutExpired as e:
-        outcome = "failed"
-        longrepr = f"isolated child timed out after {e.timeout}s"
-    rep = pytest.TestReport(
-        nodeid=item.nodeid, location=item.location,
-        keywords=dict(item.keywords), outcome=outcome, longrepr=longrepr,
-        when="call", sections=[], duration=time.time() - t0)
-    hook.pytest_runtest_logreport(report=rep)
-    hook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
-    return True
 
 
 REFERENCE_DIR = os.environ.get("EPNN_REFERENCE_DIR", "/root/reference")

@@ -537,6 +537,32 @@ def test_precomputed_neighbor_training_matches_in_forward():
         np.testing.assert_allclose(v1, v0, rtol=1e-6)
 
 
+def test_huge_bucket_chunk_warning(toy_molecules, monkeypatch):
+    """train() warns when a bucket at/above the huge-N threshold runs
+    without TrainConfig.near_row_chunk (full-width near activations can
+    OOM; plain gathers measured 5.8x slower at 568k — r12 battery), and
+    stays silent once near_row_chunk (+remat) is set."""
+    import warnings
+
+    from epnn_tpu import infer as infer_mod
+
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_MIN_ATOMS", 16)
+    tc = TrainConfig(epochs=1, batch_size=2, dense_max_atoms=4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train(toy_molecules, SMALL, tc, progress=False)
+    assert any("near_row_chunk" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    tc2 = TrainConfig(epochs=1, batch_size=2, dense_max_atoms=4,
+                      near_row_chunk=8, remat=True)
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        train(toy_molecules, SMALL, tc2, progress=False)
+    assert not any("near_row_chunk" in str(w.message) for w in rec2), \
+        [str(w.message) for w in rec2]
+
+
 def test_precompute_neighbors_cell_branch():
     """Buckets >= CELL_GRID_MIN_ATOMS precompute their tables through the
     cell-list builder (with_d2=True — the r9 e2e battery caught this
