@@ -118,7 +118,7 @@ def cmd_train(args):
         far_cluster_grad=getattr(args, "far_cluster_grad",
                                  "exact") != "stop",
         remat=getattr(args, "remat", False),
-        near_row_chunk=getattr(args, "near_row_chunk", 0),
+        near_row_chunk=getattr(args, "near_row_chunk", -1),
         near_window=getattr(args, "near_window", 0),
         eval_every=getattr(args, "eval_every", 1),
         early_stop_patience=getattr(args, "early_stop_patience", None),
@@ -459,14 +459,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "at O(round state); default OFF — measured faster "
                         "without at every size tried, the far-field "
                         "kernel's VJP already recomputes in-tile)")
-    p.add_argument("--near-row-chunk", type=int, default=0,
+    p.add_argument("--near-row-chunk", type=int, default=-1,
                    dest="near_row_chunk", metavar="ROWS",
                    help="huge-N training memory mode: run each round's "
                         "(N, k, ·) near-field activations in lax.map "
                         "chunks of ROWS rows (training twin of the "
-                        "Predictor's near_row_chunk; requires --remat, "
-                        "which also checkpoints the chunk body so the "
-                        "backward recomputes chunk-by-chunk)")
+                        "Predictor's near_row_chunk).  -1 (default) = "
+                        "auto: buckets >= 200k padded atoms chunk with "
+                        "the balanced policy and force remat for "
+                        "themselves; 0 = off; explicit ROWS requires "
+                        "--remat (which also checkpoints the chunk body "
+                        "so the backward recomputes chunk-by-chunk)")
     p.add_argument("--near-window", type=int, default=0,
                    dest="near_window", metavar="W",
                    help="windowed huge-N near gathers for the chunked "

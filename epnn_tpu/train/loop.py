@@ -159,10 +159,15 @@ class TrainConfig:
     #: near-field activations run in ``lax.map`` chunks of this many rows,
     #: and under ``remat`` the chunk BODY is checkpointed too, so the
     #: backward recomputes chunk-by-chunk (peak residual = one chunk).
-    #: Requires ``remat=True`` (enforced) — without it the lax.map scan
-    #: keeps every chunk's residuals alive and the chunking saves nothing.
-    #: 0 = full-width (default; right for every bucket that fits).
-    near_row_chunk: int = 0
+    #: ``-1`` (default) = auto: buckets at/above
+    #: ``infer.HUGE_GRAPH_MIN_ATOMS`` (200k) padded atoms chunk with the
+    #: Predictor's balanced policy and FORCE remat for themselves (the
+    #: full-width near activations OOM one chip at that scale — r12
+    #: battery); smaller buckets run full-width.  ``0`` = off everywhere.
+    #: ``> 0`` = explicit chunk size; requires ``remat=True`` (enforced) —
+    #: without it the lax.map scan keeps every chunk's residuals alive
+    #: and the chunking saves nothing.
+    near_row_chunk: int = -1
     #: windowed huge-N near gathers for the chunked training path (the
     #: training twin of ``forward_blocked(near_window=W)``): per-chunk
     #: dynamic-slice windows keep the gathered tables under the v5e
@@ -470,15 +475,16 @@ def train(
     split with ``tc.split_seed`` is used (reference behavior)."""
     if tc.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if tc.near_window and not tc.near_row_chunk:
+    if tc.near_window and tc.near_row_chunk == 0:
         raise ValueError("TrainConfig.near_window requires near_row_chunk "
                          "(windowed gathers exist on the chunked path)")
-    if tc.near_row_chunk and not tc.remat:
+    if tc.near_row_chunk > 0 and not tc.remat:
         raise ValueError(
             "TrainConfig.near_row_chunk requires remat=True: without the "
             "round + chunk-body checkpoints the lax.map backward keeps "
             "every chunk's residuals alive at once, so the chunking saves "
-            "no memory (pass --remat)")
+            "no memory (pass --remat; the -1 auto policy forces remat for "
+            "the huge buckets it chunks)")
 
     if val_mols is None:
         if tc.val_fraction <= 0.0:
@@ -599,22 +605,26 @@ def train(
         # is the round-1 far-field collapse — honored by the nbr forms only.
         _sh_cache: Dict[tuple, tuple] = {}
 
-        def _sharded_steps(k: Optional[int], uq0: bool = False):
+        def _sharded_steps(k: Optional[int], uq0: bool = False,
+                           nch: int = 0):
             uq0 = bool(uq0) and k is not None
-            if (k, uq0) not in _sh_cache:
+            nch = nch if k else 0
+            if (k, uq0, nch) not in _sh_cache:
                 # huge-N chunk/window (TrainConfig.near_row_chunk /
-                # near_window) thread into the neighbor-split atom-sharded
-                # step (train()'s mesh path is always atom mode; ring
-                # training goes through make_sharded_train_step directly)
-                nch = tc.near_row_chunk if k else 0
-                _sh_cache[(k, uq0)] = (
+                # near_window, per-bucket auto via bucket_chunk_sharded)
+                # thread into the neighbor-split atom-sharded step
+                # (train()'s mesh path is always atom mode; ring training
+                # goes through make_sharded_train_step directly).  A
+                # chunked bucket forces remat for itself (chunking without
+                # the chunk-body checkpoint saves no memory).
+                _sh_cache[(k, uq0, nch)] = (
                     make_sharded_train_step(
                         cfg, opt, mesh, tc.loss, neighbor_k=k,
                         use_pallas=fused_pallas if k else False,
                         uniform_q0=uq0,
                         far_cluster=tc.far_cluster if k else 0,
                         far_cluster_grad=tc.far_cluster_grad,
-                        remat=tc.remat,
+                        remat=tc.remat or nch > 0,
                         near_row_chunk=nch,
                         near_window=tc.near_window if nch else 0),
                     make_sharded_eval_step(
@@ -624,10 +634,12 @@ def train(
                         near_row_chunk=nch,
                         near_window=tc.near_window if nch else 0),
                 )
-            return _sh_cache[(k, uq0)]
+            return _sh_cache[(k, uq0, nch)]
 
-        sharded_train = lambda k, uq0=False: _sharded_steps(k, uq0)[0]
-        sharded_eval = lambda k, uq0=False: _sharded_steps(k, uq0)[1]
+        sharded_train = lambda k, uq0=False, nch=0: _sharded_steps(
+            k, uq0, nch)[0]
+        sharded_eval = lambda k, uq0=False, nch=0: _sharded_steps(
+            k, uq0, nch)[1]
     fused_k: Dict[int, int] = {}
     # the packed far-field kernel (now differentiable via its custom VJP)
     # wins on TPU when the far field runs at default precision
@@ -660,13 +672,42 @@ def train(
         # HBM at this scale and PLAIN gathers measured 5.8x slower than
         # windowed (39.6 vs 6.8 s/step) — benchmarks/RESULTS.md round 13
         warnings.warn(
-            "huge-N training bucket (>=200k padded atoms) without "
-            "TrainConfig.near_row_chunk: the full-width near activations "
-            "can OOM one chip and un-windowed gathers measured 5.8x "
-            "slower at 568k atoms.  Set near_row_chunk (requires "
-            "remat=True) and, with spatially sorted atoms, near_window "
-            "(safe width from ops.fused.neighbor_window_width)",
+            "huge-N training bucket (>=200k padded atoms) with "
+            "TrainConfig.near_row_chunk=0 (explicitly off): the full-width "
+            "near activations can OOM one chip and un-windowed gathers "
+            "measured 5.8x slower at 568k atoms.  Use -1 (auto) or an "
+            "explicit chunk (requires remat=True) and, with spatially "
+            "sorted atoms, near_window (safe width from "
+            "ops.fused.neighbor_window_width)",
             stacklevel=2)
+
+    def bucket_chunk(pad: int) -> int:
+        """Effective huge-N row chunk for a single-chip fused bucket
+        (``TrainConfig.near_row_chunk``; -1 = the Predictor's balanced
+        auto policy, off below the huge-N threshold or when the balanced
+        chunk would not split the width)."""
+        if tc.near_row_chunk >= 0:
+            return tc.near_row_chunk
+        if pad < _infer_mod.HUGE_GRAPH_MIN_ATOMS:
+            return 0
+        from epnn_tpu.ops.fused import balanced_row_chunk
+
+        ch = balanced_row_chunk(pad, _infer_mod.HUGE_GRAPH_ROW_CHUNK)
+        return ch if 0 < ch < pad else 0
+
+    def bucket_chunk_sharded(pad: int) -> int:
+        """Mesh twin: keyed on the GLOBAL padded width (the gather cliff
+        is set by the global tables), sized to the per-device rows R —
+        the Predictor's ``_near_chunk_sharded`` policy."""
+        r_dev = max(pad // n_atoms_axis, 1)
+        if tc.near_row_chunk >= 0:
+            return tc.near_row_chunk if tc.near_row_chunk < r_dev else 0
+        if pad < _infer_mod.HUGE_GRAPH_MIN_ATOMS:
+            return 0
+        from epnn_tpu.ops.fused import balanced_row_chunk
+
+        ch = balanced_row_chunk(r_dev, _infer_mod.HUGE_GRAPH_ROW_CHUNK)
+        return ch if 0 < ch < r_dev else 0
 
     # round-1 far-field collapse (bitwise-identical on TPU, ~19% off the
     # protein-scale train step — scripts/tpu_profile_r6.py): bucket rows
@@ -733,9 +774,13 @@ def train(
                         float(cfg.cutoff))
                     nc, cap = max(nc, c_), max(cap, p_)
                 nc, cap = round_up(nc, 512), round_up(cap, 4)
+                # row_chunk: the builder's full-width candidate gather is
+                # 8.67 GB padded at 568k — compile-time HBM OOM without
+                # chunking (r12 battery)
                 outs = [build_neighbors_cell(
                     bucket.xyz[bi], bucket.node_mask[bi],
-                    float(cfg.cutoff), int(k), nc, cap, with_d2=True)
+                    float(cfg.cutoff), int(k), nc, cap, with_d2=True,
+                    row_chunk=bucket_chunk(bucket.padded_atoms))
                     for bi in range(bucket.batch_size)]
                 tabs = tuple(jnp.stack([o[j] for o in outs])
                              for j in range(3))
@@ -760,24 +805,26 @@ def train(
                     )
                 elif sharded_train is not None and pad % n_atoms_axis == 0:
                     tabs = bucket_neighbors(bucket, k)
-                    state, loss, _, mets = sharded_train(k, bucket_uq0(bucket))(
+                    state, loss, _, mets = sharded_train(
+                        k, bucket_uq0(bucket), bucket_chunk_sharded(pad))(
                         state, *_batch_args(mb, n_real),
                         neighbors=(tuple(t[np.asarray(rows)] for t in tabs)
                                    if tabs is not None else None)
                     )
                 else:
                     tabs = bucket_neighbors(bucket, k)
+                    nch = bucket_chunk(pad)
                     state, loss, _, mets = train_step_fused(
                         state, cfg, tc.loss, opt, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket),
                         far_cluster=tc.far_cluster,
                         far_cluster_grad=tc.far_cluster_grad,
-                        remat=tc.remat, nbr_tables=tabs,
+                        remat=tc.remat or nch > 0, nbr_tables=tabs,
                         nbr_rows=(jnp.asarray(rows, jnp.int32)
                                   if tabs is not None else None),
-                        near_row_chunk=tc.near_row_chunk,
-                        near_window=tc.near_window
+                        near_row_chunk=nch,
+                        near_window=tc.near_window if nch else 0
                     )
                 acc.update(loss, mets)
                 if ema_params is not None:
@@ -797,21 +844,23 @@ def train(
                     )
                 elif sharded_eval is not None and pad % n_atoms_axis == 0:
                     tabs = bucket_neighbors(bucket, k)
-                    loss, _, mets = sharded_eval(k, bucket_uq0(bucket))(
+                    loss, _, mets = sharded_eval(
+                        k, bucket_uq0(bucket), bucket_chunk_sharded(pad))(
                         eval_params, *_batch_args(mb, n_real),
                         neighbors=(tuple(t[np.asarray(rows)] for t in tabs)
                                    if tabs is not None else None)
                     )
                 else:
                     tabs = bucket_neighbors(bucket, k)
+                    nch = bucket_chunk(pad)
                     loss, _, mets = eval_step_fused(
                         eval_params, cfg, tc.loss, min(fused_block, pad), k,
                         *put(mb, n_real), use_pallas=fused_pallas,
                         uniform_q0=bucket_uq0(bucket), nbr_tables=tabs,
                         nbr_rows=(jnp.asarray(rows, jnp.int32)
                                   if tabs is not None else None),
-                        near_row_chunk=tc.near_row_chunk,
-                        near_window=tc.near_window
+                        near_row_chunk=nch,
+                        near_window=tc.near_window if nch else 0
                     )
                 vacc.update(loss, mets)
 

@@ -537,30 +537,49 @@ def test_precomputed_neighbor_training_matches_in_forward():
         np.testing.assert_allclose(v1, v0, rtol=1e-6)
 
 
-def test_huge_bucket_chunk_warning(toy_molecules, monkeypatch):
-    """train() warns when a bucket at/above the huge-N threshold runs
-    without TrainConfig.near_row_chunk (full-width near activations can
-    OOM; plain gathers measured 5.8x slower at 568k — r12 battery), and
-    stays silent once near_row_chunk (+remat) is set."""
+def test_huge_bucket_auto_chunk_and_warning(toy_molecules, monkeypatch):
+    """TrainConfig.near_row_chunk=-1 (default) AUTO-chunks buckets at/
+    above the huge-N threshold (forcing remat for them) so huge-N
+    training works out of the box — the full-width near activations OOM
+    one chip at 568k and plain gathers measured 5.8x slower (r12
+    battery).  Explicitly chunk=0 at a huge bucket warns instead; the
+    auto-chunked history matches the unchunked default to fp noise."""
     import warnings
 
     from epnn_tpu import infer as infer_mod
 
+    base = dict(epochs=2, batch_size=2, dense_max_atoms=4, seed=3)
+    ref = train(toy_molecules, SMALL, TrainConfig(**base), progress=False)
+
+    # shrink the huge-N policy into test range: every fused bucket
+    # (padded >= 16) now auto-chunks at 8 rows
     monkeypatch.setattr(infer_mod, "HUGE_GRAPH_MIN_ATOMS", 16)
-    tc = TrainConfig(epochs=1, batch_size=2, dense_max_atoms=4)
+    monkeypatch.setattr(infer_mod, "HUGE_GRAPH_ROW_CHUNK", 8)
+
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        train(toy_molecules, SMALL, tc, progress=False)
-    assert any("near_row_chunk" in str(w.message) for w in rec), \
+        auto = train(toy_molecules, SMALL, TrainConfig(**base),
+                     progress=False)
+    assert not any("near_row_chunk" in str(w.message) for w in rec), \
         [str(w.message) for w in rec]
+    for ha, hr in zip(auto.history, ref.history):
+        np.testing.assert_allclose(ha["train_loss"], hr["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(ha["val_loss"], hr["val_loss"],
+                                   rtol=1e-4)
 
-    tc2 = TrainConfig(epochs=1, batch_size=2, dense_max_atoms=4,
-                      near_row_chunk=8, remat=True)
-    with warnings.catch_warnings(record=True) as rec2:
+    # explicit off at a huge bucket: loud warning, still runs
+    tc0 = TrainConfig(**base, near_row_chunk=0)
+    with warnings.catch_warnings(record=True) as rec0:
         warnings.simplefilter("always")
-        train(toy_molecules, SMALL, tc2, progress=False)
-    assert not any("near_row_chunk" in str(w.message) for w in rec2), \
-        [str(w.message) for w in rec2]
+        train(toy_molecules, SMALL, tc0, progress=False)
+    assert any("near_row_chunk" in str(w.message) for w in rec0), \
+        [str(w.message) for w in rec0]
+
+    # explicit chunk without remat is rejected (auto forces it instead)
+    with pytest.raises(ValueError, match="remat"):
+        train(toy_molecules, SMALL,
+              TrainConfig(**base, near_row_chunk=8), progress=False)
 
 
 def test_precompute_neighbors_cell_branch():
@@ -886,11 +905,14 @@ def test_train_step_fused_near_row_chunk(toy_train_mols):
 
 
 def test_train_near_chunk_config_validation(toy_train_mols):
-    """near_window without near_row_chunk, and near_row_chunk without
-    remat, both fail loudly (the latter silently saves no memory)."""
+    """near_window with chunking explicitly OFF, and near_row_chunk
+    without remat, both fail loudly (the latter silently saves no
+    memory).  near_window with the -1 auto-chunk default is legal: the
+    window applies to whichever buckets auto-chunk."""
     with pytest.raises(ValueError, match="near_window requires"):
         train(toy_train_mols, SMALL,
-              TrainConfig(epochs=1, near_window=8), progress=False)
+              TrainConfig(epochs=1, near_window=8, near_row_chunk=0),
+              progress=False)
     with pytest.raises(ValueError, match="requires remat"):
         train(toy_train_mols, SMALL,
               TrainConfig(epochs=1, near_row_chunk=8), progress=False)
