@@ -438,8 +438,10 @@ class Predictor:
         return q[:b, :n]
 
     def predict_batch(self, batch: MolBatch) -> np.ndarray:
-        """(B, N) per-atom charges for a padded batch."""
-        q = self._predict_batch_raw(batch)
+        """(B, N) per-atom float32 charges for a padded batch (bfloat16
+        ``compute_dtype`` affects the forward only, not the output
+        contract)."""
+        q = np.asarray(self._predict_batch_raw(batch), np.float32)
         if self.renormalize:
             # redistribute in FLOAT64: at huge N the per-atom correction
             # (residue/n ≈ 5e-9 e at 568k) sits below the f32 ulp of q, so
