@@ -278,7 +278,7 @@ def main():
         nbrs = jax.block_until_ready(
             build_neighbors_batch(xyz_d, mask_d, c.cutoff, int(k)))
         measure(c, neighbors=nbrs)       # discard post-compile measurement
-        md_ms, q_md, fn_md = measure(c, neighbors=nbrs)
+        md_ms, q_md, _ = measure(c, neighbors=nbrs)
         extra["md_mode_ms"] = round(md_ms, 3)
         extra["md_mode_matches_fast"] = float(np.abs(q_md - q_fast).max())
 
@@ -332,11 +332,11 @@ def main():
             xyz_big = rng.uniform(0, side, (nbig, 3)).astype(np.float32)
             # the shipped Predictor cell-sorts graphs >= CELL_SORT_MIN_ATOMS
             # (16,384) by default for the r7g conservation win; measure the
-            # same ordering here (timing is ordering-neutral, r7g)
-            cell = np.floor((xyz_big - xyz_big.min(0)) / cfg.cutoff
-                            ).astype(np.int64)
-            nmax = int(cell.max()) + 1
-            key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+            # same ordering here (timing is ordering-neutral, r7g) via the
+            # SAME key helper _spatial_view uses
+            from epnn_tpu.ops.fused import cell_sort_key
+
+            key, _span = cell_sort_key(xyz_big, cfg.cutoff)
             order = np.argsort(key, kind="stable")
             big = Molecule(name="synth17760",
                            symbols=[symbols[i] for i in order],
@@ -527,9 +527,18 @@ def main():
                     abs(qh.sum()))
                 # MFU only for un-chunked programs: lax.map chunk bodies
                 # are counted once by XLA cost analysis (see MFU notes)
+                # cost_analysis counts are COMPLETE for the clustered
+                # tier (verified 2026-08-20: c32 17,760 flops 1.473e10
+                # with use_pallas vs 1.461e10 without — the clustered
+                # grid does not hide flops in a Mosaic call the way the
+                # exact far-field kernel does), so no no-pallas twin is
+                # needed here; chunked programs still under-count
+                # (lax.map bodies counted once) and emit no MFU.
+                # warmup_loops=2: one full post-compile loop discarded
+                # (the CLAUDE.md per-executable inflation rule).
                 chunked = pred_h._effective_chunk(bh) > 0
                 st = pred_h.benchmark_batch(bh, iters=it_h,
-                                            warmup_loops=1,
+                                            warmup_loops=2,
                                             cost_analysis=not chunked)
                 h_ms = st["mean_s"] * 1e3
                 extra[f"cluster32_{n_h}_serving_ms"] = round(h_ms, 1)

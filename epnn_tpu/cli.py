@@ -183,7 +183,9 @@ def _make_predictor(args, **kw):
     else:
         cfg = pred.cfg.replace(matmul_precision="highest",
                                dense_matmul_precision="default")
-    if getattr(args, "compute_dtype", "float32") != "float32":
+    if getattr(args, "compute_dtype", None) is not None:
+        # unconditional: an explicit --compute-dtype float32 must also
+        # override a bfloat16-configured checkpoint
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
     return Predictor(params=pred.params, cfg=cfg, **kw)
 
@@ -558,12 +560,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "on TPU — this flag pins the uncollapsed "
                             "summation order for strict audits)")
         p.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
-                       default="float32", dest="compute_dtype",
-                       help="activation dtype for the forward (bfloat16: "
+                       default=None, dest="compute_dtype",
+                       help="activation dtype for the forward (default: "
+                            "keep the checkpoint config).  bfloat16: "
                             "-10.7%% at 568k atoms, conservation 4.9e-8 "
                             "renormalized — benchmarks/RESULTS.md r11; "
                             "the electron-passing rounds stay f32 for "
-                            "exact antisymmetry regardless)")
+                            "exact antisymmetry regardless")
 
     p = sub.add_parser("infer", help="predict charges")
     _ckpt_args(p)

@@ -797,7 +797,10 @@ class Predictor:
                     state[0] = fp
                     return batch2, inv
         # (re)build the permutation: z-major cutoff-sided cell key over
-        # valid atoms, padding rows stable at the end (the r7g ordering)
+        # valid atoms, padding rows stable at the end (the r7g ordering;
+        # ONE key definition shared with bench/batteries)
+        from epnn_tpu.ops.fused import cell_sort_key
+
         b, n = xyz.shape[:2]
         perm = np.empty((b, n), np.int64)
         winfo = []  # per graph: (sorted valid keys, key adjacency span)
@@ -808,18 +811,15 @@ class Predictor:
                 perm[bi] = np.arange(n)
                 winfo.append((np.zeros((0,), np.int64), 1))
                 continue
-            cell = np.floor((pts - pts.min(0)) / self.cfg.cutoff
-                            ).astype(np.int64)
-            nmax = int(cell.max()) + 1
-            key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+            key, span = cell_sort_key(pts, self.cfg.cutoff)
             full = np.full((n,), np.iinfo(np.int64).max, np.int64)
             full[valid] = key
             perm[bi] = np.argsort(full, kind="stable")
             # a near pair's cells differ by <=1 per axis -> its z-major
-            # keys by <= nmax^2 + nmax + 1: with sorted keys this bounds
-            # every chunk's neighbor-INDEX window without any tables
-            # (the cold-path window source)
-            winfo.append((np.sort(key), nmax * nmax + nmax + 1))
+            # keys by <= span: with sorted keys this bounds every chunk's
+            # neighbor-INDEX window without any tables (the cold-path
+            # window source)
+            winfo.append((np.sort(key), span))
         inv = np.argsort(perm, axis=1, kind="stable")
 
         def take(a):
@@ -837,6 +837,26 @@ class Predictor:
         except TypeError:
             pass
         return batch2, inv
+
+    @staticmethod
+    def _keys_window_width(winfo, ranges, chunk: int) -> int:
+        """Cold-path window bound from the sorted cell keys: max over
+        chunks of the |Δkey| ≤ span neighbor-index window (no tables
+        needed).  ``ranges`` is the chunking row structure — one (0, n)
+        range on a single chip; per-device (d0, d0+R) ranges on the mesh
+        (chunk starts restart at each range's origin).  ``winfo`` holds
+        per-graph (sorted valid keys, key adjacency span); valid rows
+        sort first, so chunks past n_valid hold no valid neighbors."""
+        w = 1
+        for keys, span in winfo:
+            nv = keys.shape[0]
+            for r0, r1 in ranges:
+                for s in range(r0, min(r1, nv), chunk):
+                    e = min(s + chunk, r1, nv) - 1
+                    lo = np.searchsorted(keys, keys[s] - span, "left")
+                    hi = np.searchsorted(keys, keys[e] + span, "right")
+                    w = max(w, int(hi - lo))
+        return w
 
     def _near_window_for(self, batch: MolBatch, nbrs, chunk: int,
                          key) -> int:
@@ -864,17 +884,9 @@ class Predictor:
                 w = neighbor_window_width(nbrs[0], nbrs[1], chunk,
                                           align=align)
             else:
-                # cold path: bound every chunk's neighbor-index window
-                # from the sorted cell keys (valid rows first, so padded
-                # row chunks beyond n_valid have no valid neighbors)
-                w = 1
-                for keys, span in self._geom_keys[batch]:
-                    nv = keys.shape[0]
-                    for s in range(0, nv, chunk):
-                        e = min(s + chunk, nv) - 1
-                        lo = np.searchsorted(keys, keys[s] - span, "left")
-                        hi = np.searchsorted(keys, keys[e] + span, "right")
-                        w = max(w, int(hi - lo))
+                # cold path: window bound from the sorted cell keys
+                w = self._keys_window_width(self._geom_keys[batch],
+                                            [(0, n)], chunk)
                 w = min(-(-w // align) * align, n)
             if w >= n:
                 w = 0  # statically identical to "off" — skip the arg
@@ -953,20 +965,12 @@ class Predictor:
                         idxt[:, d0:d0 + r_dev], mskt[:, d0:d0 + r_dev],
                         chunk, align=align, table_rows=n_pad)))
             else:
-                # cold mesh path: the sorted z-major cell keys bound every
-                # chunk's neighbor-index window (|Δkey| ≤ nmax²+nmax+1 for
-                # a near pair); chunk starts restart at each device slice
-                w = 1
-                for keys, span in self._geom_keys[batch]:
-                    nv = keys.shape[0]
-                    for d0 in range(0, n_pad, r_dev):
-                        for s in range(d0, min(d0 + r_dev, nv), chunk):
-                            e = min(s + chunk, d0 + r_dev, nv) - 1
-                            lo = np.searchsorted(keys, keys[s] - span,
-                                                 "left")
-                            hi = np.searchsorted(keys, keys[e] + span,
-                                                 "right")
-                            w = max(w, int(hi - lo))
+                # cold mesh path: same key-derived bound, chunk starts
+                # restarting at each device slice's row origin
+                w = self._keys_window_width(
+                    self._geom_keys[batch],
+                    [(d0, d0 + r_dev) for d0 in range(0, n_pad, r_dev)],
+                    chunk)
                 w = min(-(-w // align) * align, n_pad)
             if w >= n_pad:
                 w = 0  # statically identical to "off" — skip the arg

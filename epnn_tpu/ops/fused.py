@@ -494,6 +494,21 @@ def _window_width_jit(idx, nbr_mask, row_chunk: int):
     return jnp.maximum(jnp.max(hi.max(-1) - lo.min(-1)) + 1, 1)
 
 
+def cell_sort_key(xyz: np.ndarray, cutoff: float):
+    """Host-side z-major cutoff-sided cell key (the r7g serving ordering
+    — the ONE definition shared by ``Predictor._spatial_view``, bench.py's
+    17,760 system and the huge-N batteries).  Returns ``(key, span)``:
+    ``np.argsort(key, kind='stable')`` is the cell-sorted atom order, and
+    any near pair (d ≤ cutoff) differs by at most ±1 cell per axis, so
+    its sorted keys differ by at most ``span`` = nmax²+nmax+1 — the
+    cold-path window bound."""
+    xyz = np.asarray(xyz)
+    cell = np.floor((xyz - xyz.min(0)) / float(cutoff)).astype(np.int64)
+    nmax = int(cell.max()) + 1 if cell.size else 1
+    key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+    return key, nmax * nmax + nmax + 1
+
+
 def neighbor_window_width(idx, nbr_mask, row_chunk: int,
                           align: int = 4096,
                           table_rows: int | None = None) -> int:

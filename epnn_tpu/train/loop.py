@@ -709,6 +709,23 @@ def train(
         ch = balanced_row_chunk(r_dev, _infer_mod.HUGE_GRAPH_ROW_CHUNK)
         return ch if 0 < ch < r_dev else 0
 
+    if tc.near_window > 0 and not any(
+            (bucket_chunk_sharded(pad) if n_atoms_axis > 1
+             and pad % n_atoms_axis == 0 else bucket_chunk(pad))
+            for pad in train_buckets):
+        import warnings
+
+        # windows exist only on the chunked path — with the -1 auto
+        # default a sub-threshold dataset would otherwise silently
+        # measure the un-windowed program (r4-round code review)
+        warnings.warn(
+            "TrainConfig.near_window is set but no training bucket will "
+            "chunk (auto chunking engages at "
+            f"{_infer_mod.HUGE_GRAPH_MIN_ATOMS} padded atoms; widest "
+            f"bucket here: {max(train_buckets, default=0)}) — the window "
+            "setting has no effect; set near_row_chunk explicitly to "
+            "chunk smaller buckets", stacklevel=2)
+
     # round-1 far-field collapse (bitwise-identical on TPU, ~19% off the
     # protein-scale train step — scripts/tpu_profile_r6.py): bucket rows
     # come from pad_molecules so the contract normally holds, but verify

@@ -123,12 +123,12 @@ def stage_train568(n=568320, iters=4):
     c = cfg.replace(matmul_precision="default")
     rng = np.random.default_rng(0)
     mol = synth_molecule(n, rng)
-    # cell-sort the atoms on the host (z-major cutoff-sided key — the
-    # Predictor's serving ordering) so neighbor indices are local and the
-    # window width comes out compact
-    cell = np.floor((mol.xyz - mol.xyz.min(0)) / c.cutoff).astype(np.int64)
-    nmax = int(cell.max()) + 1
-    key = (cell[:, 0] * nmax + cell[:, 1]) * nmax + cell[:, 2]
+    # cell-sort the atoms on the host (the Predictor's serving ordering,
+    # shared key helper) so neighbor indices are local and the window
+    # width comes out compact
+    from epnn_tpu.ops.fused import cell_sort_key
+
+    key, _span = cell_sort_key(mol.xyz, c.cutoff)
     order = np.argsort(key, kind="stable")
     mol.xyz[:] = mol.xyz[order]
     labels = rng.normal(0, 0.05, size=n).astype(np.float32)

@@ -913,6 +913,16 @@ def test_train_near_chunk_config_validation(toy_train_mols):
         train(toy_train_mols, SMALL,
               TrainConfig(epochs=1, near_window=8, near_row_chunk=0),
               progress=False)
+    # near_window under the -1 auto default with no bucket reaching the
+    # huge-N threshold: loud warning instead of a silent no-op
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        train(toy_train_mols, SMALL,
+              TrainConfig(epochs=1, near_window=8), progress=False)
+    assert any("no training bucket will chunk" in str(w.message)
+               for w in rec), [str(w.message) for w in rec]
     with pytest.raises(ValueError, match="requires remat"):
         train(toy_train_mols, SMALL,
               TrainConfig(epochs=1, near_row_chunk=8), progress=False)
