@@ -1943,6 +1943,25 @@ def test_predictor_cell_sort_conservation_gate(rng, monkeypatch):
     np.testing.assert_allclose(q, ref, atol=5e-6 * scale)
     assert abs(float(q.sum())) < 1e-4 * scale
 
+    # MULTI-graph batch with DIFFERENT valid sizes: the per-graph sort
+    # permutations keep padding rows stable at the end and charges come
+    # back in each caller's order (the ≥16,384 default must be safe for
+    # batched mid-size graphs, not just B=1 huge ones)
+    mol2 = Molecule(name="m2",
+                    symbols=list(g.choice(["H", "C", "O"], 50)),
+                    xyz=g.uniform(0, 7, (50, 3)).astype(np.float32),
+                    total_charge=1.0)
+    b2 = pad_molecules([mol, mol2], table_for_n_elems(9))
+    ref2 = mk(spatial_sort="off").predict_batch(b2)
+    q2 = mk().predict_batch(b2)
+    scale2 = float(np.abs(ref2).max()) + 1.0
+    np.testing.assert_allclose(q2, ref2, atol=5e-6 * scale2)
+    # per-graph conservation in caller order (padding rows exactly 0)
+    mask2 = np.asarray(b2.node_mask)
+    sums = (q2 * mask2).sum(axis=1)
+    np.testing.assert_allclose(sums, [0.0, 1.0], atol=1e-4 * scale2)
+    np.testing.assert_array_equal(q2 * (1 - mask2), 0.0)
+
 
 def test_balanced_row_chunk():
     """Auto chunk sizing minimizes pad waste: the chunked paths pad N up
